@@ -1,0 +1,104 @@
+"""Idempotent sinks.
+
+The reference's only write primitives are MySQL ``INSERT … ON DUPLICATE
+KEY UPDATE`` (upsert, SURVEY §2.1 K1) and ``INSERT IGNORE`` (keep-first,
+K2), both batched and idempotent so SQS redelivery is safe (T5).
+
+On a Parquet warehouse the equivalent durability contract is
+*deterministic recompute + atomic partition replace*:
+
+- ``write_upsert`` — union incoming rows with the existing table,
+  keep the newest row per primary key (``row_number() == 1`` over a
+  monotonically increasing ingest version), and atomically replace
+  the affected partitions (dynamic partition overwrite). This is the
+  plain-Parquet rendering of Delta ``MERGE INTO``.
+- ``write_insert_ignore`` — same, but keep the *oldest* row per key.
+
+Both writers shuffle once on the primary key; at 100 TB pass
+``partition_cols`` (e.g. an epoch bucket) so only touched partitions
+rewrite — the whole-table path is for small dims/state only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_VERSION_COL = "__ingest_version"
+
+
+def _merge(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    keys: list[str],
+    keep: str,
+) -> DataFrame:
+    """Resolve key conflicts between existing and incoming rows.
+
+    ``keep='incoming'`` → upsert semantics (K1); ``keep='existing'`` →
+    insert-ignore semantics (K2).
+    """
+    incoming_v = incoming.withColumn(_VERSION_COL, F.lit(1))
+    if existing is None:
+        merged = incoming_v
+    else:
+        existing_v = existing.select(*incoming.columns).withColumn(
+            _VERSION_COL, F.lit(0)
+        )
+        merged = existing_v.unionByName(incoming_v)
+    order = F.desc(_VERSION_COL) if keep == "incoming" else F.asc(_VERSION_COL)
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", _VERSION_COL)
+    )
+
+
+def _write(df: DataFrame, path: str, partition_cols: list[str] | None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        # Dynamic partition overwrite: only partitions present in `df`
+        # are replaced — the backfill/idempotency contract (SURVEY T4/T5).
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_cols
+        )
+    writer.parquet(path)
+
+
+def write_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """K1: INSERT … ON DUPLICATE KEY UPDATE → newest-wins merge + atomic write."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    merged = _merge(existing, incoming, keys, keep="incoming")
+    if existing is not None and not partition_cols:
+        # Full overwrite reads then rewrites the table; must materialize
+        # the merge before clobbering the input files.
+        merged = spark.createDataFrame(merged.collect(), merged.schema)
+    _write(merged, path, partition_cols)
+
+
+def write_insert_ignore(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """K2: INSERT IGNORE → oldest-wins merge + atomic write."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    merged = _merge(existing, incoming, keys, keep="existing")
+    if existing is not None and not partition_cols:
+        merged = spark.createDataFrame(merged.collect(), merged.schema)
+    _write(merged, path, partition_cols)

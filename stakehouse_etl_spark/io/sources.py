@@ -1,0 +1,74 @@
+"""Parquet table sources.
+
+The reference's sources are MySQL point/range SELECTs plus REST/GraphQL
+scans (SURVEY §2.1 S1–S6); here every table is a Parquet directory and
+"scan with predicate" is simply ``spark.read.parquet(...).filter(...)``
+— Catalyst pushes the predicate and the column list into the Parquet
+reader (check ``PushedFilters`` / ``ReadSchema`` in ``.explain``).
+
+At 100 TB the fact tables would be written partitioned by a time bucket
+(e.g. ``epoch_bucket = epoch // 10_000``) so range predicates prune
+partitions; the loaders below accept either layout transparently
+(``spark.read.parquet`` on a partitioned root handles both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated synthetic tables (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _table_path(sf_dir: str, name: str) -> str:
+    plain = os.path.join(sf_dir, f"{name}.parquet")
+    return plain if os.path.exists(plain) else os.path.join(sf_dir, name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain ``spark.read.parquet`` — no schema fudging,
+    so Parquet statistics, pushdown and vectorized decoding all apply.
+
+    One normalization: the synthetic ``events`` table stores ``ts`` as
+    parquet TIMESTAMP(NANOS), which Spark only reads via the
+    ``nanosAsLong`` escape hatch. We convert to a microsecond
+    timestamp with exact integer division (``div`` — a double round
+    trip would corrupt: nanos ≈ 1.7e18 > 2^53), truncating exactly as
+    DuckDB does, so both engines see identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(_table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register each table as a temp view so queries can use spark.sql."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,290 @@
+"""Window / sequential operators (SURVEY §2.5 W1–W5).
+
+The reference implements all of these as per-key Python loops over
+DESC-ordered MySQL rows (one loop per validator, one SELECT per key —
+O(keys) round-trips). Here each one is a single window over a
+key-partitioned, epoch-ordered DataFrame: one shuffle on the key,
+then sequential evaluation inside each partition, for *all* keys at
+once. At 100 TB the shuffle partitions by ``key`` (high cardinality →
+even distribution), and the window never materializes more than a
+partition.
+
+Reference semantics cited per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.functions.financials import apr_expr
+
+
+def _w(key: str | list[str], order: str) -> WindowSpec:
+    keys = [key] if isinstance(key, str) else key
+    return Window.partitionBy(*keys).orderBy(order)
+
+
+def cumulative_income(
+    balances: DataFrame,
+    withdrawals: DataFrame | None = None,
+    key: str = "bls_key",
+    time: str = "epoch",
+    balance: str = "balance",
+    withdrawal_amount: str = "values_withdrawals",
+    seed: DataFrame | None = None,
+    activation_epochs: DataFrame | None = None,
+    stop_at_gap: bool = True,
+    compute_apr: bool = True,
+    money_scale: int | None = None,
+) -> DataFrame:
+    """W1 (+W2): adjacent-epoch deltas → cumulative earnings / losses / APR.
+
+    Reference: ``src/validator_income_handler.py:103-133`` (resume
+    variant seeded from stored cumulative state) and ``:138-168``
+    (bootstrap variant seeded from chain ``activation_epoch``). Per
+    epoch step::
+
+        delta     = balance[i] + withdrawal[i] - balance[i-1]
+        earnings += max(0, delta)
+        losses   -= min(0, delta)
+        epochs_since_active += 1
+        apr       = calc_apr(earnings, epochs_since_active)
+
+    (the reference iterates ``balance[i+1] - balance[i]`` with the
+    withdrawal credited to the later epoch; expressed here as a
+    ``lag``.) The first observed epoch of a key produces no delta.
+
+    ``seed``: optional ``(key, seed_epoch, seed_earnings, seed_losses,
+    seed_epochs_since_active)`` DataFrame — prior cumulative state (T3
+    resume path). Rows at or before ``seed_epoch`` are dropped and the
+    cumulative sums start from the seeded totals.
+
+    ``activation_epochs``: optional ``(key, activation_epoch)`` — for
+    bootstrap keys, ``epochs_since_active`` starts from
+    ``first_epoch − activation_epoch`` (reference ``:141``).
+
+    ``stop_at_gap``: W2 — a hole in the epoch sequence
+    (``epoch[i] − epoch[i−1] > 1``) means upstream extraction is behind
+    ("Backfiller Needed", ``:109-111``); rows at/after the first gap of
+    a key are excluded until a backfill fills the hole.
+
+    ``money_scale``: when set (e.g. 100 for 2-decimal amounts), the
+    per-step deltas are rounded to ``delta*scale`` integers and the
+    cumulative sums run over exact longs — bit-identical under any
+    evaluation order / engine (floating cumsums differ between running
+    totals and segment-tree window implementations).
+
+    Scale note: one hash shuffle on ``key``; cumulative sums are
+    running aggregates inside the sorted partition (no O(n²) frames).
+    """
+    w = _w(key, time)
+    cum = Window.partitionBy(key).orderBy(time).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    df = balances
+    if withdrawals is not None:
+        wd = withdrawals.groupBy(key, time).agg(
+            F.sum(withdrawal_amount).alias("__wd")
+        )
+        df = df.join(wd, on=[key, time], how="left")
+    else:
+        df = df.withColumn("__wd", F.lit(None).cast("double"))
+
+    if seed is not None:
+        df = df.join(seed, on=key, how="left").filter(
+            F.col("seed_epoch").isNull() | (F.col(time) > F.col("seed_epoch"))
+        )
+    else:
+        df = (
+            df.withColumn("seed_epoch", F.lit(None).cast("long"))
+            .withColumn("seed_earnings", F.lit(None).cast("double"))
+            .withColumn("seed_losses", F.lit(None).cast("double"))
+            .withColumn("seed_epochs_since_active", F.lit(None).cast("double"))
+        )
+
+    prev_balance = F.lag(balance).over(w)
+    # The resume path has no in-range predecessor row for the first new
+    # epoch; the reference reads the prior balance implicitly via the
+    # stored cumulative state. We treat the first in-range row of a
+    # seeded key as delta-less too (its contribution was accumulated in
+    # the seed) — identical totals, no double count.
+    delta = F.col(balance) + F.coalesce(F.col("__wd"), F.lit(0.0)) - prev_balance
+
+    if money_scale is not None:
+        delta = F.round(delta * money_scale).cast("long")
+    df = df.withColumn("__delta", delta)
+
+    if stop_at_gap:
+        gap = (F.col(time) - F.lag(time).over(w)) > 1
+        first_gap = F.min(F.when(gap, F.col(time))).over(Window.partitionBy(key))
+        df = df.withColumn("__first_gap", first_gap).filter(
+            F.col("__first_gap").isNull() | (F.col(time) < F.col("__first_gap"))
+        )
+
+    pos_cum = F.coalesce(
+        F.sum(F.when(F.col("__delta") > 0, F.col("__delta"))).over(cum), F.lit(0)
+    )
+    neg_cum = F.coalesce(
+        F.sum(F.when(F.col("__delta") < 0, F.col("__delta"))).over(cum), F.lit(0)
+    )
+    if money_scale is not None:
+        pos_cum = pos_cum / float(money_scale)
+        neg_cum = neg_cum / float(money_scale)
+    earnings = F.coalesce(F.col("seed_earnings"), F.lit(0.0)) + pos_cum
+    losses = F.coalesce(F.col("seed_losses"), F.lit(0.0)) - neg_cum
+
+    if activation_epochs is not None:
+        first_epoch = F.min(time).over(Window.partitionBy(key))
+        df = df.join(activation_epochs, on=key, how="left")
+        base = F.coalesce(
+            F.col("seed_epochs_since_active"),
+            first_epoch - F.col("activation_epoch"),
+            F.lit(0.0),
+        )
+    else:
+        base = F.coalesce(F.col("seed_epochs_since_active"), F.lit(0.0))
+
+    n_epochs = base + F.row_number().over(w) - 1
+
+    out = df.select(
+        key,
+        time,
+        F.col(balance).alias(balance),
+        earnings.alias("earnings"),
+        losses.alias("losses"),
+        n_epochs.cast("double").alias("epochs_since_active"),
+    )
+    if compute_apr:
+        out = out.withColumn("apr", apr_expr(F.col("earnings"), F.col("epochs_since_active")))
+    return out
+
+
+def gap_flags(
+    df: DataFrame, key: str = "bls_key", time: str = "epoch", step: int = 1
+) -> DataFrame:
+    """W2 standalone: flag rows whose predecessor is more than ``step``
+    behind, and the first gap position per key.
+
+    Reference: ``src/validator_income_handler.py:109-111`` raises
+    "Backfiller Needed" and abandons the key for the run.
+    """
+    w = _w(key, time)
+    gap = (F.col(time) - F.lag(time).over(w)) > step
+    return df.withColumn("is_gap", F.coalesce(gap, F.lit(False))).withColumn(
+        "first_gap_at",
+        F.min(F.when(gap, F.col(time))).over(Window.partitionBy(key)),
+    )
+
+
+def truncate_at_gap(
+    df: DataFrame, key: str = "bls_key", time: str = "epoch", step: int = 1
+) -> DataFrame:
+    """W2: drop rows at/after the first sequence gap of each key."""
+    flagged = gap_flags(df, key, time, step)
+    return (
+        flagged.filter(
+            F.col("first_gap_at").isNull() | (F.col(time) < F.col("first_gap_at"))
+        )
+        .drop("is_gap", "first_gap_at")
+    )
+
+
+def spike_filter(
+    df: DataFrame,
+    key: str = "indexes",
+    time: str = "epoch",
+    value: str = "apr",
+    threshold: float = 0.10,
+) -> DataFrame:
+    """W3: drop isolated spikes — rows whose value differs from BOTH
+    ordered neighbours by more than ``threshold`` (relative).
+
+    Reference: ``src/index_epoch_apr_handler.py:86-94``. (The reference
+    pops from the list it is iterating, so its indices shift — a known
+    bug; this implements the documented *intent* with lag/lead, per
+    SURVEY W3.) Interior rows only: boundary rows have one neighbour
+    and are kept.
+    """
+    w = _w(key, time)
+    prev_v, next_v = F.lag(value).over(w), F.lead(value).over(w)
+    rel_prev = F.abs(F.col(value) - prev_v) / F.abs(prev_v)
+    rel_next = F.abs(F.col(value) - next_v) / F.abs(next_v)
+    is_spike = (
+        prev_v.isNotNull()
+        & next_v.isNotNull()
+        & (rel_prev > threshold)
+        & (rel_next > threshold)
+    )
+    return df.withColumn("__spike", is_spike).filter(~F.col("__spike")).drop("__spike")
+
+
+def top_k(df: DataFrame, order_col: str | Column, k: int = 7, ascending: bool = False) -> DataFrame:
+    """W4: global top-k (leaderboards, ``src/api_handler.py:304-310``).
+
+    ``orderBy().limit(k)`` — Spark plans this as TakeOrderedAndProject:
+    each task keeps a k-row heap, only k·partitions rows reach the
+    driver. No full sort at any scale.
+    """
+    col = F.col(order_col) if isinstance(order_col, str) else order_col
+    return df.orderBy(col.asc() if ascending else col.desc()).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    key: str | list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """W5: per-key trailing slice / per-group top-k
+    (``ORDER BY epoch DESC LIMIT n`` per key, ``src/api_handler.py:59``).
+
+    row_number over a per-key window ≤ k; one shuffle on the key.
+    """
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    keys = [key] if isinstance(key, str) else key
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def trailing_delta(
+    df: DataFrame,
+    key: str = "bls_key",
+    time: str = "epoch",
+    value: str = "earnings",
+    window_len: int = 1575,
+    min_rows: int = 9,
+) -> DataFrame:
+    """A10: first−last delta over a trailing ≤``window_len`` slice.
+
+    Reference ``src/apr_sync_handler.py:17-27``: daily earnings = value
+    at the newest epoch minus value at the oldest epoch of the last
+    1575 (``EPOCHS_PER_WEEK``); keys with fewer than ``min_rows`` rows
+    are skipped (``MINIMUM_EPOCH_LEADERBOARD = 9``).
+
+    Rendered as ``max_by/min_by(value, time)`` over the trailing slice —
+    a single grouped aggregate, no self-join.
+    """
+    sliced = top_k_per_group(df, key, time, window_len, ascending=False)
+    return (
+        sliced.groupBy(key)
+        .agg(
+            F.max_by(value, time).alias("__newest"),
+            F.min_by(value, time).alias("__oldest"),
+            F.count(F.lit(1)).alias("__n"),
+            F.max(time).alias("last_" + time),
+        )
+        .filter(F.col("__n") >= min_rows)
+        .select(
+            key,
+            "last_" + time,
+            (F.col("__newest") - F.col("__oldest")).alias(value + "_delta"),
+            F.col("__n").alias("n_rows"),
+        )
+    )

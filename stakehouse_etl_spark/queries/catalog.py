@@ -1,0 +1,37 @@
+"""Aggregated query catalog.
+
+Importing this module registers every query family into ``QUERIES``.
+``query_map`` / ``oracle_map`` are the shapes ``__spark_entry__.py``
+exposes to the driver.
+"""
+
+from __future__ import annotations
+
+from stakehouse_etl_spark.queries.registry import QUERIES, QueryDef
+
+# Registration side effects — order defines catalog listing order.
+from stakehouse_etl_spark.queries import core  # noqa: F401,E402
+
+try:  # beyond-reference data-pipeline queries (dedup/similarity/text)
+    from stakehouse_etl_spark.queries import datapipe  # noqa: F401,E402
+except ImportError:
+    pass
+try:  # streaming / incremental queries
+    from stakehouse_etl_spark.queries import streaming  # noqa: F401,E402
+except ImportError:
+    pass
+
+
+def query_map():
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_map():
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def bench_queries():
+    return {name: q.fn for name, q in QUERIES.items() if q.bench}
+
+
+__all__ = ["QUERIES", "QueryDef", "query_map", "oracle_map", "bench_queries"]

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for correctness-vs-oracle (UTC session timezone —
+DuckDB timestamps are UTC-naive) and for scale (AQE on, skew-join
+handling on, partition coalescing on). ``shuffle_partitions`` should
+be ~cores for local runs; on a real cluster leave AQE to coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stakehouse-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast joins for dimension tables up to 64 MB; at 100 TB the
+        # fact side never broadcasts but dims (region/nation/index maps) do.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply engine-critical runtime confs to an externally-created session.
+
+    The driver harness owns its own SparkSession; the only conf we must
+    pin for oracle parity is the session timezone (Spark timestamps are
+    session-TZ, DuckDB's are UTC-naive).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # may be fixed at session start on some deployments
+    return spark
