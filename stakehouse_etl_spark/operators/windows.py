@@ -93,8 +93,13 @@ def cumulative_income(
         df = df.withColumn("__wd", F.lit(None).cast("double"))
 
     if seed is not None:
+        # Keep the seed-epoch row itself through the window computation:
+        # it is the lag base for the first new delta (the reference reads
+        # balances from last_epoch INCLUSIVE for the same reason,
+        # src/validator_income_handler.py:72-79). It is dropped from the
+        # output at the end.
         df = df.join(seed, on=key, how="left").filter(
-            F.col("seed_epoch").isNull() | (F.col(time) > F.col("seed_epoch"))
+            F.col("seed_epoch").isNull() | (F.col(time) >= F.col("seed_epoch"))
         )
     else:
         df = (
@@ -138,15 +143,24 @@ def cumulative_income(
     if activation_epochs is not None:
         first_epoch = F.min(time).over(Window.partitionBy(key))
         df = df.join(activation_epochs, on=key, how="left")
-        base = F.coalesce(
-            F.col("seed_epochs_since_active"),
-            first_epoch - F.col("activation_epoch"),
-            F.lit(0.0),
-        )
+        boot_base = F.coalesce(first_epoch - F.col("activation_epoch"), F.lit(0.0))
     else:
-        base = F.coalesce(F.col("seed_epochs_since_active"), F.lit(0.0))
+        boot_base = F.lit(0.0)
 
-    n_epochs = base + F.row_number().over(w) - 1
+    # Seeded keys: the seed row is rn=1 and carries seed_n itself, so
+    # row i has n = seed_n + (rn − 1). Bootstrap keys: first row has
+    # n = boot_base (epochs since chain activation, reference :141).
+    rn = F.row_number().over(w)
+    n_epochs = F.when(
+        F.col("seed_epochs_since_active").isNotNull(),
+        F.col("seed_epochs_since_active") + rn - 1,
+    ).otherwise(boot_base + rn - 1)
+
+    if seed is not None:
+        df = df.withColumn("__n", n_epochs).filter(
+            F.col("seed_epoch").isNull() | (F.col(time) > F.col("seed_epoch"))
+        )
+        n_epochs = F.col("__n")
 
     out = df.select(
         key,
