@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. ``exact_dedup`` — hash-groupBy on a normalized fingerprint.
+2. ``jaccard_pairs`` — exact n-gram Jaccard via shingle self-join
+   (quadratic in bucket size; the ground truth for the sketches).
+3. ``minhash_lsh_pairs`` — MinHash signatures + LSH banding: the
+   100 TB path. Cost: one explode (doc × shingle), one groupBy (doc),
+   one explode (doc × band), one equi-join on (band, hash) — all
+   shuffle-bounded by data size, never all-pairs.
+4. ``simhash`` — 32-bit sign-hash sketch; near-dups differ in few bits.
+5. embedding cosine near-dup — see :mod:`similarity` (quantized).
+
+Every hash here is the md5-hex-prefix integer from
+:mod:`operators.text`, so DuckDB reproduces all of this exactly —
+the sketches have real value-level oracles, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.operators.text import (
+    hash32,
+    normalized_fingerprint,
+    shingles,
+)
+
+# MinHash parameters — shared with the SQL oracle generator.
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+MINHASH_PRIME = 1_000_000_007
+# Fixed affine coefficients (a_j, b_j), j < MINHASH_PERMS — generated
+# once from a fixed seed; literal so both engines share them.
+_MH_A = [
+    668265263, 374761393, 972663749, 144665161, 217645177, 377424577,
+    590234117, 725196257, 831143717, 908714861, 116268683, 295559843,
+    462882911, 649939499, 782342347, 935298713,
+]
+_MH_B = [
+    386132741, 562896977, 149760847, 913708841, 241298693, 683231381,
+    871239491, 327846431, 538289717, 724617343, 952198583, 167323411,
+    409284631, 614538947, 838291573, 273946211,
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tier 1: exact dedup on the normalized fingerprint.
+
+    Returns one row per distinct content: canonical (min) id, the
+    duplicate count. Single hash-shuffle on the fingerprint.
+    """
+    return (
+        df.select(
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs + per-doc distinct-shingle counts."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 20,
+) -> DataFrame:
+    """Tier 2: exact n-gram Jaccard over a shingle self-join.
+
+    The threshold compare is integer cross-multiplied
+    (``inter * 100 >= union * threshold_pct``) so no float boundary can
+    disagree between engines. Quadratic in per-shingle frequency: fine
+    as ground truth / within LSH buckets, not the 100 TB primary path.
+    """
+    sh = doc_shingles(df, text_col, id_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def minhash_signature_cols(shingle_hash: Column) -> list[Column]:
+    """The 16 permuted hash expressions (min-aggregated per doc)."""
+    return [
+        ((F.lit(_MH_A[j]) * shingle_hash + F.lit(_MH_B[j])) % MINHASH_PRIME).alias(
+            f"mh_{j}"
+        )
+        for j in range(MINHASH_PERMS)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of (a·h+b) mod p
+    for each of the 16 permutations. h is the cross-engine 32-bit hash."""
+    sh = doc_shingles(df, text_col, id_col, k).withColumn(
+        "h", hash32(F.col("shingle"))
+    )
+    perms = minhash_signature_cols(F.col("h"))
+    return sh.groupBy(id_col).agg(
+        *[F.min(p).alias(f"mh_{j}") for j, p in enumerate(perms)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 20,
+) -> DataFrame:
+    """Tier 3: MinHash + LSH banding → candidate pairs → exact Jaccard
+    verification of candidates only.
+
+    Bands of 4 rows; a pair is candidate iff some band's 4 signature
+    slots all match (joined on an md5 of the band values). At scale the
+    band join is an equi-join on (band_idx, band_key) — candidates are
+    a tiny fraction of all pairs; the exact-Jaccard rescoring join runs
+    only on them (left-semi pushdown of the candidate set).
+    """
+    sig = minhash_signatures(df, text_col, id_col, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{bi * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    candidates = (
+        ca.join(cb, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact-verify candidates only.
+    exact = jaccard_pairs(df, text_col, id_col, k, threshold_pct=0)
+    return (
+        exact.join(candidates, ["id_a", "id_b"], "left_semi")
+        .filter(
+            (F.col("jaccard") * 100) >= F.lit(threshold_pct)
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tier 4: 32-bit SimHash over token hashes.
+
+    bit b of the sketch = sign of Σ_tokens (±1 per token's bit b).
+    Near-duplicate docs land within small Hamming distance. Pure array
+    expressions: transform over bit positions, aggregate over token
+    hashes — all codegen'd, no UDF.
+    """
+    from stakehouse_etl_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: hash32(t))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
+    # Single pass over the token-hash array: the accumulator is the
+    # 32-long bit-sum vector — one md5 per token total (a per-bit
+    # aggregate would recompute the hash array 32×).
+    bit_sums = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sketch = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 8-bit chunks (a pair within
+    Hamming distance d ≤ 6 shares at least one of the 4 chunks exactly
+    — pigeonhole), then verify Hamming distance via bit_count(xor)."""
+    sk = simhash(df, text_col, id_col)
+    chunks = sk.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

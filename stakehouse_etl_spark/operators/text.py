@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability block (per BASELINE.json north star):
+language-ID, quality scoring, token counting, document
+fingerprinting — all pure JVM-side column expressions (no Python in
+the hot path; at 100 TB these run inside whole-stage codegen on the
+parquet scan, shuffle-free).
+
+Cross-engine determinism: every hash used anywhere in the engine is
+``hash64``/``hash32`` below — an md5-hex-prefix integer that DuckDB
+reproduces bit-for-bit (``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``),
+so even the sketch-based operators (MinHash/SimHash) have exact SQL
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Deliberately small + disjoint; extend per deployment.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "es", "no", "una", "en", "por", "con", "para"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), TOKEN_RE)
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash, reproducible in DuckDB as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash (8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    words = list(stopwords)
+    return F.size(F.filter(tokens(text), lambda t: t.isin(words)))
+
+
+def punct_count(text: Column) -> Column:
+    """Characters that are not alphanumeric, whitespace, or CJK."""
+    return F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    score = 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio
+          + 0.3·(1 − min(1, punct_ratio·5))
+    — long-enough, natural-language-like, low-symbol documents score
+    high. The exact weights are a default policy, not a law.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    stop = stopword_count(t)
+    punct = punct_count(t)
+    stop_ratio = stop / n_tok
+    punct_ratio = punct / n_chars
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "n_distinct_tokens": distinct_token_count(t).cast("long"),
+            "stopword_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def _membership_counter(words: tuple[str, ...]):
+    """One-arg lambda factory (a default-arg closure would make Spark
+    treat the lambda as the 2-arg (value, index) form)."""
+    wl = list(words)
+    return lambda t: t.isin(wl)
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language (the classic cheap LI heuristic;
+    a real deployment would use char n-gram profiles — same plan shape)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _membership_counter(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language = argmax stopword hits; deterministic tiebreak
+    by fixed language order; zero hits → 'und'."""
+    scores = langid_scores(F.col(text_col))
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Build CASE lang1 WHEN max ... in reverse so earlier langs win ties.
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(pred)
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s.cast("long"))
+    return out.withColumn("lang_pred", pred)
+
+
+def bag_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token bag — catches shuffled/near-identical duplicates."""
+    return F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(text))), " "))
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Whitespace/case-normalized exact-content fingerprint."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the unit set for Jaccard/MinHash)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, make))

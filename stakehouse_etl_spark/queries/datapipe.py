@@ -1,0 +1,421 @@
+"""Beyond-reference data-pipeline queries: dedup, similarity search,
+text analysis over ``documents`` / ``embeddings``.
+
+Every sketch (MinHash, SimHash, LSH) uses the cross-engine md5-prefix
+hash and integer arithmetic, so ALL of these have exact DuckDB value
+oracles — the SQL is generated from the same constants the Spark
+operators use (single source of truth, no drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators import similarity as sim
+from stakehouse_etl_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PRIME,
+    _MH_A,
+    _MH_B,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from stakehouse_etl_spark.operators.text import (
+    LANG_STOPWORDS,
+    bag_fingerprint,
+    langid,
+    normalized_fingerprint,
+    quality_features,
+)
+from stakehouse_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (single source of truth with the Spark operators)
+# ---------------------------------------------------------------------------
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_HASH32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM t
+),
+s2 AS (SELECT * FROM s WHERE shingle <> ''),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id)
+"""
+
+_JACCARD_CTE = """
+i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM s2 a JOIN s2 b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
+  FROM i
+  JOIN c ca ON ca.doc_id = id_a
+  JOIN c cb ON cb.doc_id = id_b
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    tags=("text", "tokenize"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+FROM t
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — pure codegen'd column
+    expressions over the parquet scan; no shuffle, no UDF."""
+    from stakehouse_etl_spark.operators.text import distinct_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        distinct_token_count(F.col("text")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_quality",
+    tags=("text", "quality"),
+    bench=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(toks, x -> x IN ({_EN}))) AS stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM t
+)
+SELECT doc_id,
+       stop / n_tok AS stopword_ratio,
+       punct / n_chars AS punct_ratio,
+       0.4 * least(1.0, n_tok / 100.0)
+         + 0.3 * (stop / n_tok)
+         + 0.3 * (1.0 - least(1.0, punct / n_chars * 5)) AS quality_score
+FROM f
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation features + composite
+    score — the cheap pre-filter stage of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = f"greatest({', '.join('score_' + l for l in langs)})"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} > 0 AND score_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    score_cols = ", ".join(f"CAST(score_{l} AS BIGINT) AS score_{l}" for l in langs)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id, lang,
+         {score_exprs}
+       FROM t)
+SELECT doc_id, lang, {score_cols}, {case} AS lang_pred FROM sc
+"""
+
+
+@register("text_langid", tags=("text", "langid"), oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hits, argmax with
+    deterministic tiebreak (first language in fixed order wins)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return langid(docs).drop("text")
+
+
+@register(
+    "text_fingerprints",
+    tags=("text", "fingerprint"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp
+FROM t
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content hash + order-
+    insensitive token-bag hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("content_fp"),
+        bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ladder
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    tags=("dedup",),
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 exact dedup: hash-groupBy on normalized fingerprint."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    tags=("dedup", "jaccard"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / union_sz AS jaccard
+FROM j WHERE inter * 100 >= union_sz * 20
+""",
+)
+def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 exact 3-gram Jaccard pairs (≥ 0.20, integer cross-multiply
+    threshold) — ground truth for the sketch tiers."""
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_pct=20
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({_MH_A[j]} * h + {_MH_B[j]}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j in range(len(_MH_A))
+    )
+    return f"""
+h AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS h FROM s2),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+)"""
+
+
+def _minhash_bands_sql() -> str:
+    selects = []
+    for bi in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh_{bi * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE}
+SELECT j.id_a, j.id_b, CAST(inter AS DOUBLE) / union_sz AS jaccard
+FROM j
+JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+WHERE inter * 100 >= union_sz * 20
+""",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-3 MinHash(16)+LSH(4×4) candidates, exact-verified — the
+    100 TB dedup path (no all-pairs join ever materializes). The SQL
+    oracle reproduces the identical signatures from the same md5-prefix
+    hash and affine constants."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_pct=20
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    tags=("dedup", "minhash"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}
+SELECT * FROM sig
+""",
+)
+def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures themselves (exact cross-engine parity of the
+    sketch, column by column)."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {_HASH32.format(x='t')}) AS hs FROM t),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), b ->
+           CASE WHEN list_sum(list_transform(hs, x ->
+                  CASE WHEN (x // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bitvals
+  FROM h
+)
+SELECT doc_id, CAST(list_sum(bitvals) AS BIGINT) AS simhash FROM b
+""",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 SimHash sketch (32-bit) per document."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {_HASH32.format(x='t')}) AS hs FROM t),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), b ->
+           CASE WHEN list_sum(list_transform(hs, x ->
+                  CASE WHEN (x // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS bitvals
+  FROM h
+),
+sk AS (SELECT doc_id, CAST(list_sum(bitvals) AS BIGINT) AS sh FROM b),
+chunks AS (
+  SELECT doc_id, sh, g.c AS chunk_idx, (sh >> (g.c * 8)) & 255 AS chunk_val
+  FROM sk CROSS JOIN generate_series(0, 3) g(c)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM chunks a JOIN chunks b USING (chunk_idx, chunk_val)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+""",
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit chunk blocking (pigeonhole for
+    d ≤ 6 over 4 chunks... conservative) + Hamming verification."""
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_QUANT_EMB = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+@register(
+    "sim_cosine_topk",
+    tags=("similarity", "ann"),
+    bench=True,
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
+n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, qe AS q_emb, nrm AS q_norm FROM n WHERE vec_id < 10),
+p AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(list_dot_product(q.q_emb, c.qe) AS DOUBLE)
+           / (sqrt(CAST(q.q_norm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos_sim
+  FROM n c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM p
+) WHERE rank <= 10
+""",
+)
+def sim_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<10 against
+    the full corpus (broadcast queries, single scan, k-bounded window).
+    Quantized-integer dot/norms → exact cross-engine values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, query_ids=list(range(10)), k=10)
+
+
+def _planes_sql() -> str:
+    terms = []
+    for p, plane in enumerate(sim.PLANES):
+        lits = ", ".join(str(v) for v in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product(qe, [{lits}]::BIGINT[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "sim_ann_lsh_pairs",
+    tags=("similarity", "ann", "lsh"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
+n AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(qe, x -> x * x)) AS nrm,
+         CAST({_planes_sql()} AS BIGINT) AS bucket
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+         / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
+FROM n a JOIN n b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25
+""",
+)
+def sim_ann_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via 8-hyperplane LSH buckets + exact
+    in-bucket cosine ≥ 0.25 — the scale path (equi-join on bucket, no
+    cross join). Planes are fixed-seed literals shared with the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_pairs(emb, min_cosine=0.25)
