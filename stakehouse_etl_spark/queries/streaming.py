@@ -1,0 +1,204 @@
+"""Streaming, incremental-state, and multimodal catalog queries.
+
+These exercise the engine paths that aren't single SQL statements —
+a real Structured Streaming query (file source → watermark window →
+memory sink), the incremental runner-state pipeline (3 successive
+runs through the idempotent sinks), and Arrow-batched multimodal
+plumbing. Each still carries an exact DuckDB oracle: the oracle states
+what the END RESULT must equal (streaming == batch window; incremental
+== full recompute; byte stats == codepoint sums on ASCII payloads) —
+the strongest correctness statement for these operators.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import _table_path, load_table
+from stakehouse_etl_spark.operators.multimodal import attach_payload, byte_features
+from stakehouse_etl_spark.queries.registry import register
+from stakehouse_etl_spark.streaming.incremental import incremental_income_run
+from stakehouse_etl_spark.streaming.structured import windowed_event_aggregate
+
+MICROS_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: tumbling window + watermark, driven to completion
+# ---------------------------------------------------------------------------
+@register(
+    "stream_windowed_counts",
+    tags=("streaming", "window", "watermark"),
+    oracle=f"""
+SELECT (epoch_us(ts) // {MICROS_PER_HOUR}) * {MICROS_PER_HOUR} AS win_start_us,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round("value" * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming query: parquet file source → 1-hour tumbling
+    event-time windows with a 2-hour watermark → memory sink, driven to
+    completion with processAllAvailable. The oracle is the equivalent
+    batch aggregation — the streaming/batch equivalence contract.
+
+    (Complete output mode: with a bounded source every window closes by
+    end-of-stream, so the final table equals the batch result.)
+    """
+    load_table(spark, sf_dir, "events")  # ensures nanosAsLong conf is set
+
+    workdir = tempfile.mkdtemp(prefix="stream_src_")
+    qname = "wincounts_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "events")
+        os.makedirs(src)
+        shutil.copy(_table_path(sf_dir, "events"), os.path.join(src, "part-0.parquet"))
+
+        # Raw file schema (ts is a nanos long under the conf); the
+        # stream converts exactly like the batch loader does.
+        raw_schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        agg = windowed_event_aggregate(stream)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        # Materialize before the temp source dir is deleted.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental runner-state pipeline: 3 runs == 1 full recompute
+# ---------------------------------------------------------------------------
+@register(
+    "inc_income_3runs",
+    tags=("incremental", "T1", "T3", "T5"),
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch, max("value") AS balance
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT user_id, epoch, balance,
+         CAST(round((balance + 0.0 - lag(balance) OVER w) * 100) AS BIGINT) AS delta,
+         epoch - lag(epoch) OVER w > 1 AS gap
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch)
+), g AS (
+  SELECT *, min(CASE WHEN gap THEN epoch END)
+              OVER (PARTITION BY user_id) AS first_gap
+  FROM l
+), t AS (
+  SELECT * FROM g WHERE first_gap IS NULL OR epoch < first_gap
+)
+SELECT user_id, epoch, balance,
+       0.0 + coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0) / 100.0 AS earnings,
+       0.0 - coalesce(sum(CASE WHEN delta < 0 THEN delta END) OVER cum, 0) / 100.0 AS losses,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch) - 1 AS DOUBLE)
+         AS epochs_since_active
+FROM t
+WINDOW cum AS (PARTITION BY user_id ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def inc_income_3runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3/T5 end-to-end: the hourly balance series arrives in three
+    epoch slices; each run resumes seeded keys / bootstraps new ones,
+    upserts income, advances the runner state — through the REAL
+    idempotent parquet sinks. The oracle is the single-shot full
+    recompute: incremental must equal batch exactly.
+
+    (The third run is deliberately a full-overlap replay of slice 3 —
+    exercising T5 idempotency: re-delivery must not change state.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    balances = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long").alias("epoch"),
+    ).agg(F.max("value").alias("balance"))
+
+    row = balances.agg(F.min("epoch"), F.max("epoch")).collect()[0]
+    lo, hi = row[0], row[1]
+    span = (hi - lo) // 3 or 1
+    cuts = [lo + span, lo + 2 * span, hi]
+
+    warehouse = tempfile.mkdtemp(prefix="inc_wh_")
+    try:
+        state_path = os.path.join(warehouse, "state")
+        income_path = os.path.join(warehouse, "income")
+        bal = balances.withColumnRenamed("user_id", "bls_key")
+        for cut in cuts:
+            incremental_income_run(
+                spark,
+                bal.filter(F.col("epoch") <= cut),
+                state_path=state_path,
+                income_path=income_path,
+            )
+        # T5 probe: replay the last slice verbatim — must be a no-op.
+        incremental_income_run(
+            spark,
+            bal.filter(F.col("epoch") <= cuts[-1]),
+            state_path=state_path,
+            income_path=income_path,
+        )
+        out = spark.read.parquet(income_path).select(
+            F.col("bls_key").alias("user_id"),
+            "epoch",
+            "balance",
+            "earnings",
+            "losses",
+            "epochs_since_active",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: Arrow-batched byte features
+# ---------------------------------------------------------------------------
+@register(
+    "mm_byte_features",
+    tags=("multimodal", "mapInPandas"),
+    oracle="""
+WITH b AS (
+  SELECT doc_id AS media_id, text,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS bytes
+  FROM documents
+)
+SELECT media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+       CAST(list_min(bytes) AS INTEGER) AS byte_min,
+       CAST(list_max(bytes) AS INTEGER) AS byte_max,
+       CAST(list_sum(bytes) % 997 AS BIGINT) AS checksum
+FROM b
+""",
+)
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary payload column →
+    Arrow-batched mapInPandas feature extraction (numpy over raw
+    bytes). Oracle: codepoint stats (payloads are ASCII here, so
+    codepoint == byte — the decode step itself is the deployment-
+    stubbed codec, see operators.multimodal.decode_media)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_features(attach_payload(docs))

@@ -1,0 +1,148 @@
+"""Structured Streaming renderings of the engine's incremental
+semantics (SURVEY §2.9).
+
+The reference's "streams" are SQS queues + 6-minute EventBridge ticks;
+the faithful Spark rendering of its epoch-discretized processing is
+Structured Streaming with event-time windows + watermarks:
+
+- ``windowed_event_aggregate`` — tumbling-window counts/sums with a
+  watermark for late data (T6 cadence → trigger; T4 late-data → the
+  watermark bounds state).
+- ``streaming_cumulative_income`` — the W1 kernel as a custom stateful
+  operator via ``applyInPandasWithState``: per-key running
+  earnings/losses state across micro-batches — the true streaming
+  twin of the runner-table resume path (T1/T3).
+
+Tests drive these with bounded file sources + ``availableNow`` /
+``processAllAvailable`` so a deterministic batch of rows flows through
+the streaming engine end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window + watermark aggregate.
+
+    Works identically on a batch OR streaming DataFrame (the batch run
+    is the oracle for the streaming run). Money sums go through integer
+    cents like everywhere else in the engine.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.window(time_col, window).alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_INCOME_STATE_SCHEMA = StructType(
+    [
+        StructField("last_balance_cents", LongType()),
+        StructField("earnings_cents", LongType()),
+        StructField("losses_cents", LongType()),
+        StructField("n_steps", LongType()),
+    ]
+)
+
+_INCOME_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("earnings", DoubleType()),
+        StructField("losses", DoubleType()),
+        StructField("n_steps", LongType()),
+    ]
+)
+
+
+def _income_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running W1 state across micro-batches.
+
+    State = (last balance, cumulative earnings/losses, step count) in
+    exact integer cents — the streaming twin of the runner-table seed
+    (reference src/validator_income_handler.py:103-107). Rows within a
+    batch are sorted by event time; Spark guarantees state continuity
+    across triggers.
+    """
+    if state.exists:
+        last_c, earn_c, loss_c, n = state.get
+    else:
+        last_c, earn_c, loss_c, n = None, 0, 0, 0
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_us")
+        for ts_us, cents in zip(pdf["ts_us"].to_numpy(), pdf["value_cents"].to_numpy()):
+            cents = int(cents)
+            if last_c is not None:
+                delta = cents - last_c
+                if delta > 0:
+                    earn_c += delta
+                else:
+                    loss_c -= delta
+                n += 1
+            last_c = cents
+            out.append((key[0], int(ts_us), earn_c / 100.0, loss_c / 100.0, n))
+    state.update((last_c, earn_c, loss_c, n))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "ts_us", "earnings", "losses", "n_steps"]
+        )
+
+
+def streaming_cumulative_income(events: DataFrame) -> DataFrame:
+    """W1 as a custom stateful streaming operator
+    (``applyInPandasWithState``): per-user cumulative earnings/losses
+    maintained in state across micro-batches.
+
+    Input: a streaming (or batch) events frame with user_id/ts/value.
+    At scale: state is per-key and O(1) per key; the shuffle partitions
+    by user_id exactly like the batch window does.
+    """
+    prepared = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _income_state_fn,
+        outputStructType=_INCOME_OUTPUT_SCHEMA,
+        stateStructType=_INCOME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

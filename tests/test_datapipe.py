@@ -1,0 +1,138 @@
+"""Tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from stakehouse_etl_spark.operators.multimodal import (
+    attach_payload,
+    byte_features,
+    decode_media,
+    fake_decode,
+)
+from stakehouse_etl_spark.operators.similarity import ann_lsh_pairs, cosine_topk
+from stakehouse_etl_spark.operators.text import quality_features
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    df = docs_df(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc")],
+    )
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),  # identical → jaccard 1.0
+            (3, "z y x w v u t s"),  # disjoint
+        ],
+    )
+    out = jaccard_pairs(df, threshold_pct=20).collect()
+    assert len(out) == 1
+    assert out[0]["id_a"] == 1 and out[0]["id_b"] == 2
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups_vs_exact(spark, sf_dir):
+    """LSH candidates must recover the exact-Jaccard pairs at the
+    operating threshold (recall check on the real corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold_pct=20).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold_pct=20).collect()
+    }
+    assert lsh <= exact  # LSH verifies candidates exactly → no false positives
+    recall = len(lsh) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_pairs_close_docs(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely unrelated text about spark query engines and shuffles"),
+        ],
+    )
+    sk = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert bin(sk[1] ^ sk[2]).count("1") < bin(sk[1] ^ sk[3]).count("1")
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+
+
+def test_quality_features_ranges(spark):
+    df = docs_df(spark, [(1, "the cat sat on the mat with it"), (2, "@@ ## !!")])
+    out = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert 0.0 <= out[1]["quality_score"] <= 1.0
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[1]["stopword_ratio"] == pytest.approx(4 / 8)  # the×2, with, it
+
+
+def test_cosine_topk_self_similar(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, query_ids=[0], k=3).collect()
+    ranked = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1 and ranked[-1] == 3
+
+
+def test_ann_lsh_no_false_positives_and_exact_cosine(spark, sf_dir):
+    """Bucketed pairs are a subset of brute-force threshold pairs, with
+    identical cosine values (quantized-integer math)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    got = ann_lsh_pairs(emb, min_cosine=0.25).collect()
+    for r in got:
+        assert r["cos_sim"] >= 0.25
+    # every returned pair must agree with a direct computation
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.round(np.array(r["embedding"]) * 1000).astype("int64")
+            for r in emb.collect()}
+    for r in got:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b) / (np.sqrt(float(a @ a)) * np.sqrt(float(b @ b)))
+        assert r["cos_sim"] == pytest.approx(cos, abs=1e-12)
+
+
+def test_multimodal_byte_features_and_frames(spark):
+    df = docs_df(spark, [(1, "abcd" * 32), (2, "xy")])
+    media = attach_payload(df)
+    feats = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert feats[1]["n_bytes"] == 128
+    assert feats[2]["byte_sum"] == ord("x") + ord("y")
+    frames = fake_decode(media, frame_bytes=64).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 2  # 128 bytes → two 64-byte frames
+    assert len(by_id[2]) == 1
+    with pytest.raises(NotImplementedError):
+        decode_media(media, "image")
