@@ -135,10 +135,23 @@ def cumulative_income(
         F.sum(F.when(F.col("__delta") < 0, F.col("__delta"))).over(cum), F.lit(0)
     )
     if money_scale is not None:
-        pos_cum = pos_cum / float(money_scale)
-        neg_cum = neg_cum / float(money_scale)
-    earnings = F.coalesce(F.col("seed_earnings"), F.lit(0.0)) + pos_cum
-    losses = F.coalesce(F.col("seed_losses"), F.lit(0.0)) - neg_cum
+        # Fold the seed into the INTEGER domain before the single final
+        # division: seed_earnings is itself an exact multiple of
+        # 1/money_scale (it was produced by this same path), so
+        # round(seed*scale) recovers its integer form losslessly and
+        # (seed_units + cum_units) / scale is bit-identical to a full
+        # single-shot recompute — the incremental==batch contract.
+        seed_e = F.coalesce(
+            F.round(F.col("seed_earnings") * money_scale).cast("long"), F.lit(0)
+        )
+        seed_l = F.coalesce(
+            F.round(F.col("seed_losses") * money_scale).cast("long"), F.lit(0)
+        )
+        earnings = (seed_e + pos_cum) / float(money_scale)
+        losses = (seed_l - neg_cum) / float(money_scale)
+    else:
+        earnings = F.coalesce(F.col("seed_earnings"), F.lit(0.0)) + pos_cum
+        losses = F.coalesce(F.col("seed_losses"), F.lit(0.0)) - neg_cum
 
     if activation_epochs is not None:
         first_epoch = F.min(time).over(Window.partitionBy(key))
@@ -223,14 +236,18 @@ def spike_filter(
     """
     w = _w(key, time)
     prev_v, next_v = F.lag(value).over(w), F.lead(value).over(w)
-    rel_prev = F.abs(F.col(value) - prev_v) / F.abs(prev_v)
-    rel_next = F.abs(F.col(value) - next_v) / F.abs(next_v)
+    # Null denominator when the neighbour is 0 (a zero neighbour has no
+    # defined relative diff → not a spike); also keeps ANSI mode from
+    # raising DIVIDE_BY_ZERO.
+    rel_prev = F.abs(F.col(value) - prev_v) / F.when(prev_v != 0, F.abs(prev_v))
+    rel_next = F.abs(F.col(value) - next_v) / F.when(next_v != 0, F.abs(next_v))
     is_spike = (
         prev_v.isNotNull()
         & next_v.isNotNull()
         & (rel_prev > threshold)
         & (rel_next > threshold)
     )
+    is_spike = F.coalesce(is_spike, F.lit(False))
     return df.withColumn("__spike", is_spike).filter(~F.col("__spike")).drop("__spike")
 
 

@@ -20,6 +20,10 @@ try:  # streaming / incremental queries
     from stakehouse_etl_spark.queries import streaming  # noqa: F401,E402
 except ImportError:
     pass
+try:  # coverage-completing + TPC-H-shaped bench queries
+    from stakehouse_etl_spark.queries import extra  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

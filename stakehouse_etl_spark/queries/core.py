@@ -525,9 +525,9 @@ WITH n AS (
 )
 SELECT user_id, epoch_us(ts) AS ts_us, "value"
 FROM n
-WHERE NOT (pv IS NOT NULL AND nv IS NOT NULL
-           AND abs("value" - pv) / abs(pv) > 0.1
-           AND abs("value" - nv) / abs(nv) > 0.1)
+WHERE NOT coalesce(pv IS NOT NULL AND nv IS NOT NULL
+           AND abs("value" - pv) / nullif(abs(pv), 0) > 0.1
+           AND abs("value" - nv) / nullif(abs(nv), 0) > 0.1, false)
 """,
 )
 def w3_spike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,389 @@
+"""Coverage-completing queries: the P-family predicate kernel, A8
+group-collect, F10 JSON, J4 coupled-min, the §3.2 index-APR pipeline
+composition, alternate sources, and TPC-H-shaped bench queries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.aggregates import exact_money_sum
+from stakehouse_etl_spark.queries.registry import register
+
+MICROS_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# P1–P7 — the predicate kernel in one query
+# ---------------------------------------------------------------------------
+@register(
+    "p_predicate_kernel",
+    tags=("P1", "P2", "P3", "P4", "P5", "P6", "P7", "filter"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'N'
+  AND l_linestatus IN ('O', 'F')
+  AND l_quantity BETWEEN 10 AND 40
+  AND l_extendedprice > 20000
+  AND l_discount <> 0.05
+  AND l_shipdate IS NOT NULL
+""",
+)
+def p_predicate_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P7 composite: projection, equality, IN-list, closed range,
+    open comparison, inequality, NULL guard — all pushed into the
+    parquet scan (the reference builds these as f-string SQL with a
+    1-vs-many special case, e.g. src/api_handler.py:27,44-46,73,250;
+    Catalyst makes the quirk vanish)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "N")
+        & F.col("l_linestatus").isin("O", "F")
+        & F.col("l_quantity").between(10, 40)
+        & (F.col("l_extendedprice") > 20000)
+        & (F.col("l_discount") != 0.05)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# A8 — sorted group-collect
+# ---------------------------------------------------------------------------
+@register(
+    "a8_group_collect",
+    tags=("A8", "agg"),
+    oracle="""
+SELECT c_nationkey,
+       array_to_string(list_sort(list(c_name)), '|') AS members
+FROM customer GROUP BY c_nationkey
+""",
+)
+def a8_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the reference's sort + itertools.groupby stream
+    (src/utils/apiUtils.py:56) as grouped collect_list; sorted and
+    joined to a string for order-stable cross-engine comparison."""
+    from stakehouse_etl_spark.operators.aggregates import group_collect
+
+    c = load_table(spark, sf_dir, "customer")
+    return group_collect(c, "c_nationkey", "c_name").select(
+        "c_nationkey", F.array_join("c_names", "|").alias("members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — JSON wire format
+# ---------------------------------------------------------------------------
+@register(
+    "f10_json_extract",
+    tags=("F10", "scalar"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+""",
+)
+def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: JSON as wire format (message bodies,
+    src/extract_handler.py:98,161) — schema-on-read extraction from the
+    props JSON column, JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# J4 — join + scalar MIN coupling
+# ---------------------------------------------------------------------------
+@register(
+    "j4_min_runner_epoch",
+    tags=("J4", "A2", "join"),
+    oracle=f"""
+WITH runner AS (
+  SELECT user_id, max(epoch_us(ts) // {MICROS_PER_HOUR}) AS last_epoch
+  FROM events GROUP BY user_id
+)
+SELECT c_mktsegment AS segment, min(last_epoch) AS min_epoch, count(*) AS n_members
+FROM runner
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def j4_min_runner_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the index pipeline's upper bound — min over a group's
+    members of each member's progress marker
+    (src/index_epoch_apr_handler.py:56-66): runner ⨝ membership →
+    grouped MIN."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    runner = ev.groupBy("user_id").agg(
+        F.max((F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long")).alias(
+            "last_epoch"
+        )
+    )
+    return (
+        runner.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+            "user_id",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.min("last_epoch").alias("min_epoch"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 composition — income ⨝ membership → index APR with spike filter
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_index_apr",
+    tags=("J3", "W1", "W3", "pipeline"),
+    bench=True,
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch, max("value") AS balance
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT user_id, epoch, balance,
+         CAST(round((balance + 0.0 - lag(balance) OVER w) * 100) AS BIGINT) AS delta
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch)
+), inc AS (
+  SELECT user_id, epoch,
+         0.0 + coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0) / 100.0 AS earnings,
+         0.0 - coalesce(sum(CASE WHEN delta < 0 THEN delta END) OVER cum, 0) / 100.0 AS losses
+  FROM l
+  WINDOW cum AS (PARTITION BY user_id ORDER BY epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT user_id % 5 AS indexes, epoch,
+         sum(CAST(round(earnings * 100) AS BIGINT)) / 100.0 AS earnings,
+         sum(CAST(round(losses * 100) AS BIGINT)) / 100.0 AS losses,
+         count(*) AS n_validators
+  FROM inc GROUP BY 1, 2
+), nb AS (
+  SELECT *, lag(earnings) OVER w AS pv, lead(earnings) OVER w AS nv
+  FROM agg
+  WINDOW w AS (PARTITION BY indexes ORDER BY epoch)
+)
+SELECT indexes, epoch, earnings, losses, n_validators
+FROM nb
+WHERE NOT coalesce(pv IS NOT NULL AND nv IS NOT NULL
+           AND abs(earnings - pv) / nullif(abs(pv), 0) > 0.1
+           AND abs(earnings - nv) / nullif(abs(nv), 0) > 0.1, false)
+""",
+)
+def pipeline_index_apr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end composition: W1 income per user → membership
+    assignment (user_id mod 5 as the index dim) → per-(index, epoch)
+    rollup (J3) → W3 spike smoothing — the index-APR pipeline
+    (src/index_epoch_apr_handler.py:42-94) on synthetic data, in one
+    declarative plan (one shuffle per repartitioning boundary, no
+    per-key Python anywhere)."""
+    from stakehouse_etl_spark.operators.windows import cumulative_income, spike_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    balances = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long").alias("epoch"),
+    ).agg(F.max("value").alias("balance"))
+    inc = cumulative_income(
+        balances,
+        key="user_id",
+        time="epoch",
+        balance="balance",
+        stop_at_gap=False,
+        compute_apr=False,
+        money_scale=100,
+    )
+    agg = (
+        inc.withColumn("indexes", F.col("user_id") % 5)
+        .groupBy("indexes", "epoch")
+        .agg(
+            exact_money_sum("earnings").alias("earnings"),
+            exact_money_sum("losses").alias("losses"),
+            F.count(F.lit(1)).alias("n_validators"),
+        )
+    )
+    return spike_filter(
+        agg, key="indexes", time="epoch", value="earnings", threshold=0.10
+    ).select("indexes", "epoch", "earnings", "losses", "n_validators")
+
+
+# ---------------------------------------------------------------------------
+# Alternate source formats — JSON/CSV round-trip equivalence
+# ---------------------------------------------------------------------------
+@register(
+    "src_json_roundtrip",
+    tags=("S", "source", "json"),
+    oracle="""
+SELECT event_type, count(*) AS n,
+       sum(CAST(round("value" * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage: events → newline-JSON (explicit schema,
+    timestamps as micros longs) → read back → aggregate. Result must
+    equal the parquet-sourced aggregate: format round-trip changes
+    nothing. (JDBC/Delta connectors are environment-gated; JSON/CSV
+    exercise the same spark.read plumbing.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="json_src_")
+    try:
+        path = os.path.join(workdir, "events_json")
+        ev.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "event_id long, ts_us long, event_type string, value double"
+        ).json(path)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped bench queries
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    tags=("J2", "W4", "bench"),
+    bench=True,
+    oracle="""
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two fact joins → grouped
+    revenue → top-10 (TakeOrderedAndProject). The customer filter
+    broadcasts; lineitem never shuffles more than once."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(F.round(rev * 10000).cast("long")) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    tags=("J2", "A3", "bench"),
+    bench=True,
+    oracle="""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join with a region-pruned dim chain;
+    every dimension broadcasts, the two fact tables meet in one
+    sort-merge/shuffled hash join on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(F.round(rev * 10000).cast("long")) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    tags=("A3", "J3", "bench"),
+    bench=True,
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING over the fact table feeding a
+    semi-join-like reduction, then dim attach and top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

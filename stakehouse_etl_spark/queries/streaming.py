@@ -152,6 +152,7 @@ def inc_income_3runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bal.filter(F.col("epoch") <= cut),
                 state_path=state_path,
                 income_path=income_path,
+                money_scale=100,
             )
         # T5 probe: replay the last slice verbatim — must be a no-op.
         incremental_income_run(
@@ -159,6 +160,7 @@ def inc_income_3runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bal.filter(F.col("epoch") <= cuts[-1]),
             state_path=state_path,
             income_path=income_path,
+            money_scale=100,
         )
         out = spark.read.parquet(income_path).select(
             F.col("bls_key").alias("user_id"),

@@ -85,6 +85,7 @@ def incremental_income_run(
     max_epochs_per_run: int | None = None,
     key: str = "bls_key",
     time: str = "epoch",
+    money_scale: int | None = None,
 ) -> DataFrame:
     """One incremental run: resume seeded keys, bootstrap new keys,
     upsert income rows, advance the runner state. Returns the income
@@ -119,6 +120,7 @@ def incremental_income_run(
         time=time,
         seed=state,
         stop_at_gap=True,
+        money_scale=money_scale,
     )
 
     income = income.cache()
@@ -154,6 +156,7 @@ def backfill_income(
     withdrawals: DataFrame | None = None,
     key: str = "bls_key",
     time: str = "epoch",
+    money_scale: int | None = None,
 ) -> DataFrame:
     """T4: repair = the same deterministic computation over an explicit
     range, upserted idempotently (partition replace). The reference's
@@ -167,6 +170,7 @@ def backfill_income(
         key=key,
         time=time,
         stop_at_gap=False,
+        money_scale=money_scale,
     ).filter((F.col(time) >= lo) & (F.col(time) <= hi))
     write_upsert(spark, income, income_path, keys=[key, time])
     return income
