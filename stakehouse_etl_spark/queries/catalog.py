@@ -24,6 +24,10 @@ try:  # coverage-completing + TPC-H-shaped bench queries
     from stakehouse_etl_spark.queries import extra  # noqa: F401,E402
 except ImportError:
     pass
+try:  # sinks, serving ratios, bounded catch-up, backfill, connectors
+    from stakehouse_etl_spark.queries import lifecycle  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
