@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.operators.text import (
+    fan_out,
     hash32,
     normalized_fingerprint,
     shingles,
@@ -72,7 +73,7 @@ def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded pairs + per-doc distinct-shingle counts."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     ).filter(F.col("shingle") != "")
@@ -187,14 +188,33 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact-verify candidates only.
-    exact = jaccard_pairs(df, text_col, id_col, k, threshold_pct=0)
+    # Exact-verify CANDIDATES ONLY: route each candidate pair's two
+    # shingle streams into one equi-joined intersection count. Work is
+    # O(candidates × shingles/doc) — the corpus-wide all-pairs join of
+    # plain jaccard_pairs never materializes, which is the entire point
+    # of LSH at 100 TB.
+    sh = doc_shingles(df, text_col, id_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        exact.join(candidates, ["id_a", "id_b"], "left_semi")
-        .filter(
-            (F.col("jaccard") * 100) >= F.lit(threshold_pct)
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
         )
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -213,6 +233,7 @@ def simhash(
     """
     from stakehouse_etl_spark.operators.text import tokens
 
+    df = fan_out(df)
     toks = tokens(F.col(text_col))
     hashes = F.transform(toks, lambda t: hash32(t))
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])

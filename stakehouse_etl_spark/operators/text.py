@@ -33,6 +33,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"]
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy
+    per-document work (shingling, hashing, sketching).
+
+    Small dimension-like inputs (one parquet file → one row group →
+    ONE split, regardless of maxPartitionBytes) otherwise serialize an
+    embarrassingly parallel computation onto a single core. Only
+    repartitions when the plan has fewer partitions than the session's
+    default parallelism — an input that is already well-partitioned
+    (the 100 TB case) passes through untouched, no shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
     return F.split(F.lower(F.trim(text)), TOKEN_RE)
