@@ -112,6 +112,48 @@ def byte_features(media: DataFrame) -> DataFrame:
     )
 
 
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_out", LongType()),
+        StructField("out_sum", LongType()),
+        StructField("out_min", IntegerType()),
+        StructField("out_max", IntegerType()),
+    ]
+)
+
+
+def resample_payload(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize/downsample stage (the image-resize / audio-resample
+    analog): keep every ``stride``-th byte of the payload. Same
+    Arrow-batched ``mapInPandas`` contract as the real codec stage —
+    a deployment swaps the numpy stride for PIL.resize / librosa
+    resample without touching the plan."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)[::stride]
+                s = int(arr.sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(arr.size),
+                        s,
+                        int(arr.min()) if arr.size else 0,
+                        int(arr.max()) if arr.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_out", "out_sum", "out_min", "out_max"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resample, schema=_RESAMPLE_SCHEMA
+    )
+
+
 def fake_decode(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
     """Deterministic stand-in for the codec: 'frames' are fixed-size
     byte stripes, 'pixels' are byte values — exercises the real

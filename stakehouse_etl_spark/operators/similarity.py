@@ -100,6 +100,124 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse codebook. Deterministic stand-in for k-means
+    training: the ``n_cells`` lowest-id vectors are the centroids (a
+    deployment trains offline — Spark ML KMeans — and broadcasts the
+    codebook through the exact same plan shape; the *search* plan below
+    is what matters at scale, not how the codebook was fit)."""
+    return (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            quantize(F.col(emb_col)).alias("c_emb"),
+        )
+        .withColumn("c_norm", sq_norm(F.col("c_emb")))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its best (max-cosine) cell: corpus ×
+    broadcast(codebook) → argmax per vector. One narrow pass over the
+    corpus, no shuffle of the vectors themselves; the inverted lists
+    exist only logically as the ``cell`` column (at 100 TB you would
+    `.repartition("cell")`+persist them as the index)."""
+    scored = (
+        embeddings.select(
+            F.col(id_col), quantize(F.col(emb_col)).alias("q_emb")
+        )
+        .withColumn("norm", sq_norm(F.col("q_emb")))
+        .join(F.broadcast(centroids))
+        .withColumn(
+            "c_cos",
+            cosine(
+                int_dot(F.col("q_emb"), F.col("c_emb")),
+                F.col("norm"),
+                F.col("c_norm"),
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "q_emb", "norm", "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query scores only the vectors in its
+    ``n_probe`` closest cells — the classic accuracy/cost dial
+    (n_probe = n_cells recovers brute force). Search cost per query
+    drops from O(corpus) to O(corpus·n_probe/n_cells); the candidate
+    join is an equi-join on ``cell``, never a cross join."""
+    cents = ivf_centroids(embeddings, n_cells, id_col, emb_col)
+    assign = ivf_assign(embeddings, cents, id_col, emb_col)
+
+    q = assign.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q_emb").alias("qq_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    probe_scored = q.join(F.broadcast(cents)).withColumn(
+        "p_cos",
+        cosine(
+            int_dot(F.col("qq_emb"), F.col("c_emb")),
+            F.col("q_norm"),
+            F.col("c_norm"),
+        ),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("cell"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            cosine(
+                int_dot(F.col("qq_emb"), F.col("q_emb")),
+                F.col("q_norm"),
+                F.col("norm"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def bucket_bits(emb_q: Column) -> Column:
     """LSH bucket id: sign bit per hyperplane, packed into a long.
     Integer dot with integer planes — exact, engine-independent."""

@@ -419,3 +419,60 @@ def sim_ann_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join). Planes are fixed-seed literals shared with the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_lsh_pairs(emb, min_cosine=0.25)
+
+
+_COS = (
+    "CAST(list_dot_product({a}, {b}) AS DOUBLE)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+)
+
+
+@register(
+    "sim_ivf_topk",
+    tags=("similarity", "ann", "ivf"),
+    bench=True,
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
+n AS (SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x)) AS nrm FROM e),
+cent AS (SELECT vec_id AS cell, qe AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, qe, nrm, cell FROM (
+    SELECT n.vec_id, n.qe, n.nrm, cent.cell,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_COS.format(a='n.qe', b='cent.c_emb', na='n.nrm', nb='cent.c_nrm')} DESC,
+             cent.cell ASC) AS rn
+    FROM n CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, qe AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_COS.format(a='q.q_emb', b='cent.c_emb', na='q.q_nrm', nb='cent.c_nrm')} DESC,
+             cent.cell ASC) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+p AS (
+  SELECT q.query_id, a.vec_id AS cand_id,
+         {_COS.format(a='q.q_emb', b='a.qe', na='q.q_nrm', nb='a.nrm')} AS cos_sim
+  FROM probe
+  JOIN asg a USING (cell)
+  JOIN q USING (query_id)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM p
+) WHERE rank <= 10
+""",
+)
+def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (8 cells, 2 probes): the ANN
+    scale path where each query scores only its probed inverted lists.
+    The oracle replays the identical coarse-quantize/probe/rescore
+    pipeline in SQL — approximation and all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, query_ids=list(range(10)), k=10, n_cells=8, n_probe=2)

@@ -204,3 +204,62 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed codec, see operators.multimodal.decode_media)."""
     docs = load_table(spark, sf_dir, "documents")
     return byte_features(attach_payload(docs))
+
+
+@register(
+    "mm_resample",
+    tags=("multimodal", "mapInPandas", "resize"),
+    oracle="""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(1, length(text) + 1, 4),
+                        i -> ascii(substr(text, i, 1))) AS bytes
+  FROM documents
+)
+SELECT media_id,
+       CAST(len(bytes) AS BIGINT) AS n_out,
+       CAST(list_sum(bytes) AS BIGINT) AS out_sum,
+       CAST(list_min(bytes) AS INTEGER) AS out_min,
+       CAST(list_max(bytes) AS INTEGER) AS out_max
+FROM b
+""",
+)
+def mm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize/downsample stage: every 4th payload byte
+    through the Arrow-batched resample UDF (the PIL.resize / audio
+    decimation stand-in — operators.multimodal.resample_payload)."""
+    from stakehouse_etl_spark.operators.multimodal import resample_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_payload(attach_payload(docs), stride=4)
+
+
+@register(
+    "mm_frame_sample",
+    tags=("multimodal", "mapInPandas", "frames"),
+    oracle="""
+WITH starts AS (
+  SELECT doc_id AS media_id, text,
+         UNNEST(range(1, length(text) + 1, 64)) AS start
+  FROM documents
+), fr AS (
+  SELECT media_id, start, substr(text, start, 64) AS frame
+  FROM starts
+)
+SELECT media_id,
+       CAST((start - 1) // 64 AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(range(1, length(frame) + 1),
+                                    i -> ascii(substr(frame, i, 1))))
+            // length(frame) AS BIGINT) AS frame_mean
+FROM fr
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling stage: one input row fans out to one
+    row per 64-byte 'frame' with its floor-mean 'pixel' value — the
+    video frame-extraction partition flow through the real mapInPandas
+    decode contract (operators.multimodal.fake_decode)."""
+    from stakehouse_etl_spark.operators.multimodal import fake_decode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode(attach_payload(docs), frame_bytes=64)
