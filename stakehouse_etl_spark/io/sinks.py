@@ -86,6 +86,48 @@ def write_upsert(
     _write(merged, path, partition_cols)
 
 
+def with_epoch_bucket(
+    df: DataFrame, time_col: str = "epoch", epochs_per_bucket: int = 225
+) -> DataFrame:
+    """Add the physical partition key for entity-time tables:
+    ``epoch_bucket = epoch // N`` (default 225 = one day of beacon
+    epochs, ``src/utils/constants.py:4``). Epoch-range predicates then
+    prune partitions at the scan (SURVEY §1.4 / §4)."""
+    return df.withColumn(
+        "epoch_bucket", (F.col(time_col) / epochs_per_bucket).cast("long")
+    )
+
+
+def write_time_partitioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    time_col: str = "epoch",
+    epochs_per_bucket: int = 225,
+) -> None:
+    """K1 upsert into an epoch-bucket-partitioned layout: only the
+    buckets present in ``incoming`` are merged and atomically replaced
+    (dynamic partition overwrite) — the steady-state incremental write
+    touches one or two day-partitions regardless of table history size,
+    and backfills (T4) rewrite exactly the repaired buckets."""
+    bucketed = with_epoch_bucket(incoming, time_col, epochs_per_bucket)
+    try:
+        existing = spark.read.parquet(path)
+        touched = [
+            r[0] for r in bucketed.select("epoch_bucket").distinct().collect()
+        ]
+        existing = existing.filter(F.col("epoch_bucket").isin(touched))
+    except Exception:
+        existing = None
+    merged = _merge(existing, bucketed, keys, keep="incoming")
+    if existing is not None:
+        # Materialize before overwriting the files being read. Bounded:
+        # only the touched buckets' rows, not the table.
+        merged = spark.createDataFrame(merged.collect(), merged.schema)
+    _write(merged, path, ["epoch_bucket"])
+
+
 def write_insert_ignore(
     spark: SparkSession,
     incoming: DataFrame,

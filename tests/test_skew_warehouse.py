@@ -1,0 +1,93 @@
+"""Skew operators + partitioned-warehouse sink tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sinks import with_epoch_bucket, write_time_partitioned
+from stakehouse_etl_spark.operators.skew import salted_join, two_stage_agg
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of the large side is one hot key — the salting target.
+    large = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = large.join(small, "k").select("k", "v", "w")
+    salted = salted_join(large, small, on=["k"]).select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_stage_agg_equals_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 97).alias("x")
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("x").alias("sx"), F.count("x").alias("n"),
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+    )
+    staged = two_stage_agg(
+        df, ["k"],
+        {"sx": ("x", "sum"), "n": ("x", "count"), "mn": ("x", "min"), "mx": ("x", "max")},
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_stage_agg_rejects_non_decomposable(spark):
+    df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    try:
+        two_stage_agg(df, ["k"], {"a": ("x", "avg")})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_time_partitioned_upsert_touches_only_buckets(spark):
+    wh = tempfile.mkdtemp(prefix="wh_")
+    path = os.path.join(wh, "income")
+    try:
+        day0 = spark.createDataFrame(
+            [("a", 10, 1.0), ("a", 200, 2.0), ("b", 10, 3.0)],
+            "bls_key string, epoch long, earnings double",
+        )
+        write_time_partitioned(spark, day0, path, keys=["bls_key", "epoch"])
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("epoch_bucket=")
+        ) == ["epoch_bucket=0"]
+
+        # Second write: bucket 1 rows + an update to one bucket-0 row.
+        day1 = spark.createDataFrame(
+            [("a", 10, 9.0), ("a", 250, 4.0)],
+            "bls_key string, epoch long, earnings double",
+        )
+        write_time_partitioned(spark, day1, path, keys=["bls_key", "epoch"])
+        back = spark.read.parquet(path)
+        got = {(r.bls_key, r.epoch): r.earnings for r in back.collect()}
+        assert got == {
+            ("a", 10): 9.0,   # upserted (newest wins)
+            ("a", 200): 2.0,  # untouched row of the touched bucket survives
+            ("b", 10): 3.0,
+            ("a", 250): 4.0,  # new bucket
+        }
+
+        # Partition pruning: an epoch-bucket predicate reaches the scan.
+        pruned = back.filter(F.col("epoch_bucket") == 1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "epoch_bucket" in plan
+        assert {r.epoch for r in pruned.collect()} == {250}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_with_epoch_bucket(spark):
+    df = spark.createDataFrame([(0,), (224,), (225,), (450,)], "epoch long")
+    got = [r.epoch_bucket for r in with_epoch_bucket(df).orderBy("epoch").collect()]
+    assert got == [0, 0, 1, 2]
