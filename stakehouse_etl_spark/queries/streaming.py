@@ -88,6 +88,95 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful streaming operator: per-key W1 state across micro-batches
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stateful_income",
+    tags=("streaming", "state", "applyInPandasWithState", "W1"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round("value" * 100) AS BIGINT) AS cents
+  FROM events
+), l AS (
+  SELECT user_id, ts_us, cents - lag(cents) OVER w AS delta,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS n_steps
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+)
+SELECT user_id, ts_us,
+       0.0 + coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0) / 100.0 AS earnings,
+       0.0 - coalesce(sum(CASE WHEN delta <= 0 THEN delta END) OVER cum, 0) / 100.0 AS losses,
+       n_steps
+FROM l
+WINDOW cum AS (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def stream_stateful_income(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W1 kernel as a REAL custom stateful streaming operator:
+    events arrive as three time-ordered micro-batches
+    (maxFilesPerTrigger=1) through ``applyInPandasWithState`` — per-key
+    integer-cents state carries across triggers (the streaming twin of
+    the runner-table resume, T1/T3). The oracle is the batch window
+    recompute: stream == batch, exactly.
+    """
+    from stakehouse_etl_spark.streaming.structured import (
+        streaming_cumulative_income,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    row = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us, hi_us = row[0].timestamp() * 1e6, row[1].timestamp() * 1e6
+    span = (hi_us - lo_us) / 3
+
+    workdir = tempfile.mkdtemp(prefix="stateful_src_")
+    qname = "stateinc_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        cut1, cut2 = int(lo_us + span), int(lo_us + 2 * span)
+        ranges = [  # half-open, disjoint, exhaustive
+            (-(1 << 62), cut1),
+            (cut1, cut2),
+            (cut2, (1 << 62)),
+        ]
+        for i, (lo_cut, hi_cut) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.unix_micros("ts") >= F.lit(lo_cut))
+                & (F.unix_micros("ts") < F.lit(hi_cut))
+            )
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_cumulative_income(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Incremental runner-state pipeline: 3 runs == 1 full recompute
 # ---------------------------------------------------------------------------
 @register(
