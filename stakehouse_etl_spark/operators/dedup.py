@@ -129,18 +129,20 @@ def minhash_signature_cols(shingle_hash: Column) -> list[Column]:
     ]
 
 
+def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    hashed = sh.withColumn("h", hash32(F.col("shingle")))
+    perms = minhash_signature_cols(F.col("h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(p).alias(f"mh_{j}") for j, p in enumerate(perms)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of (a·h+b) mod p
     for each of the 16 permutations. h is the cross-engine 32-bit hash."""
-    sh = doc_shingles(df, text_col, id_col, k).withColumn(
-        "h", hash32(F.col("shingle"))
-    )
-    perms = minhash_signature_cols(F.col("h"))
-    return sh.groupBy(id_col).agg(
-        *[F.min(p).alias(f"mh_{j}") for j, p in enumerate(perms)]
-    )
+    return _signatures_from_shingles(doc_shingles(df, text_col, id_col, k), id_col)
 
 
 def minhash_lsh_pairs(
@@ -159,7 +161,18 @@ def minhash_lsh_pairs(
     a tiny fraction of all pairs; the exact-Jaccard rescoring join runs
     only on them (left-semi pushdown of the candidate set).
     """
-    sig = minhash_signatures(df, text_col, id_col, k)
+    from pyspark.storagelevel import StorageLevel
+
+    # The exploded shingle table feeds THREE consumers (signatures,
+    # and both sides of the candidate-intersection join); without a
+    # persist each consumer re-runs the tokenize/shingle/md5 subtree.
+    # MEMORY_AND_DISK: spills at scale, LRU-evicted when idle — at
+    # 100 TB you would persist this (or the signatures) as a real
+    # intermediate table anyway.
+    sh = doc_shingles(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _signatures_from_shingles(sh, id_col)
     band_structs = F.array(
         *[
             F.struct(
@@ -193,7 +206,6 @@ def minhash_lsh_pairs(
     # O(candidates × shingles/doc) — the corpus-wide all-pairs join of
     # plain jaccard_pairs never materializes, which is the entire point
     # of LSH at 100 TB.
-    sh = doc_shingles(df, text_col, id_col, k)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
