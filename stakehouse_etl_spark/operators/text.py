@@ -159,10 +159,21 @@ def normalized_fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (the unit set for Jaccard/MinHash)."""
+    """Distinct k-word shingles (the unit set for Jaccard/MinHash).
+
+    Documents with fewer than ``k`` tokens yield an empty array —
+    guarded explicitly because ``F.sequence(1, 0)`` produces a
+    DESCENDING [1, 0], not an empty range, and the element_at lookups
+    would then read past the token array (found by
+    tests/test_properties.py).
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
     make = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(k)]
     )
-    return F.array_distinct(F.transform(idx, make))
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), make)
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -256,6 +256,30 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U2 — multiset difference (exceptAll)
+# ---------------------------------------------------------------------------
+@register(
+    "u2_except_all",
+    tags=("U2", "setop"),
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+""",
+)
+def u2_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: multiset difference (the reference's set(a) − set(b) is the
+    distinct special case, SURVEY U2; exceptAll keeps multiplicities —
+    planned as a left-anti-style hash difference, one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    b = o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select("o_custkey")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped bench queries
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,167 @@
+"""Property tests for the distributed kernels against naive Python
+reimplementations (the reference's test strategy, SURVEY §5, extended
+beyond the financial kernel to the window and sketch operators).
+
+Each hypothesis example generates a whole multi-key dataset and runs
+ONE Spark job, so example counts stay small but each example checks
+many keys at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.operators.dedup import (
+    _MH_A,
+    _MH_B,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    minhash_signatures,
+)
+from stakehouse_etl_spark.operators.windows import cumulative_income, spike_filter
+
+# --- strategies -----------------------------------------------------------
+
+series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # epoch
+        st.floats(min_value=0, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+panels = st.dictionaries(
+    st.integers(min_value=0, max_value=5), series, min_size=1, max_size=4
+)
+
+WORDS = ["aa", "bb", "cc", "dd", "ee"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _dedupe(series_):
+    out = {}
+    for e, v in series_:
+        out[e] = v  # last write wins; unique (key, epoch)
+    return sorted(out.items())
+
+
+# --- W1 cumulative income -------------------------------------------------
+
+
+def naive_income(rows, stop_at_gap):
+    """rows: sorted (epoch, balance). Returns [(epoch, earnings, losses)]."""
+    out, earn_c, loss_c = [], 0, 0
+    prev_e, prev_c = None, None
+    for e, v in rows:
+        c = round(v * 100)
+        if prev_e is not None and stop_at_gap and e - prev_e > 1:
+            break
+        if prev_c is not None:
+            d = c - prev_c
+            if d > 0:
+                earn_c += d
+            else:
+                loss_c -= d
+        out.append((e, earn_c / 100.0, loss_c / 100.0))
+        prev_e, prev_c = e, c
+    return out
+
+
+@given(panels, st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_cumulative_income_matches_naive(spark, panel, stop):
+    rows = [
+        (k, e, v) for k, s in panel.items() for e, v in _dedupe(s)
+    ]
+    df = spark.createDataFrame(rows, "bls_key long, epoch long, balance double")
+    got = {
+        (r.bls_key, r.epoch): (r.earnings, r.losses)
+        for r in cumulative_income(
+            df, stop_at_gap=stop, compute_apr=False, money_scale=100
+        ).collect()
+    }
+    want = {}
+    for k, s in panel.items():
+        for e, earn, loss in naive_income(_dedupe(s), stop):
+            want[(k, e)] = (earn, loss)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == pytest.approx(want[key][0])
+        assert got[key][1] == pytest.approx(want[key][1])
+
+
+# --- W3 spike filter ------------------------------------------------------
+
+
+def naive_spike_filter(rows, threshold=0.10):
+    keep = []
+    for i, (e, v) in enumerate(rows):
+        if 0 < i < len(rows) - 1:
+            pv, nv = rows[i - 1][1], rows[i + 1][1]
+            rp = abs(v - pv) / abs(pv) if pv != 0 else None
+            rn = abs(v - nv) / abs(nv) if nv != 0 else None
+            if rp is not None and rn is not None and rp > threshold and rn > threshold:
+                continue
+        keep.append((e, v))
+    return keep
+
+
+@given(panels)
+@settings(max_examples=8, deadline=None)
+def test_spike_filter_matches_naive(spark, panel):
+    rows = [(k, e, v) for k, s in panel.items() for e, v in _dedupe(s)]
+    df = spark.createDataFrame(rows, "indexes long, epoch long, apr double")
+    got = {
+        (r.indexes, r.epoch) for r in spike_filter(df, threshold=0.10).collect()
+    }
+    want = {
+        (k, e)
+        for k, s in panel.items()
+        for e, _ in naive_spike_filter(_dedupe(s))
+    }
+    assert got == want
+
+
+# --- MinHash signatures ---------------------------------------------------
+
+
+def naive_minhash(text):
+    toks = re.split(r"\s+", text.strip().lower())
+    shingles = {
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+    } - {""}
+    if not shingles:
+        return None
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    return tuple(
+        min((_MH_A[j] * h + _MH_B[j]) % MINHASH_PRIME for h in hs)
+        for j in range(MINHASH_PERMS)
+    )
+
+
+@given(docs_strategy)
+@settings(max_examples=8, deadline=None)
+def test_minhash_signatures_match_naive(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: tuple(r[f"mh_{j}"] for j in range(MINHASH_PERMS))
+        for r in minhash_signatures(df).collect()
+    }
+    want = {
+        i: naive_minhash(t)
+        for i, t in enumerate(texts)
+        if naive_minhash(t) is not None
+    }
+    assert got == want
