@@ -165,3 +165,81 @@ def test_minhash_signatures_match_naive(spark, texts):
         if naive_minhash(t) is not None
     }
     assert got == want
+
+
+# --- J9 as-of / interval assignment ---------------------------------------
+
+events_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=3),  # key
+    st.dictionaries(  # block -> value (unique blocks per key)
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=100, max_value=105),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(events_strategy, st.integers(min_value=0, max_value=10), st.integers(min_value=0, max_value=15))
+@settings(max_examples=8, deadline=None)
+def test_interval_assignment_matches_naive(spark, evs, t0, span):
+    from stakehouse_etl_spark.operators.joins import (
+        assign_intervals_to_timeline,
+        intervals_from_events,
+    )
+
+    t1 = t0 + span
+    rows = [(k, b, v) for k, bs in evs.items() for b, v in bs.items()]
+    df = spark.createDataFrame(rows, "bls_key long, block_number long, to_index long")
+    out = assign_intervals_to_timeline(
+        intervals_from_events(df), timeline_start=t0, timeline_end=t1
+    )
+    got = {(r.bls_key, r.epoch): r.to_index for r in out.collect()}
+
+    want = {}
+    for k, bs in evs.items():
+        changes = sorted(bs.items())
+        for t in range(t0, t1 + 1):
+            in_force = [v for b, v in changes if b <= t]
+            if in_force:
+                want[(k, t)] = in_force[-1]
+    assert got == want
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),  # left times
+    st.dictionaries(  # right: time -> value, unique times
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=99),
+        min_size=1,
+        max_size=8,
+    ),
+)
+
+
+@given(st.dictionaries(st.integers(min_value=0, max_value=2), asof_strategy, min_size=1, max_size=3),
+       st.sampled_from(["backward", "forward"]))
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_naive(spark, panel, direction):
+    from stakehouse_etl_spark.operators.joins import asof_join
+
+    lrows = [(k, t, i) for k, (lts, _) in panel.items() for i, t in enumerate(lts)]
+    rrows = [(k, t, v) for k, (_, rs) in panel.items() for t, v in rs.items()]
+    left = spark.createDataFrame(lrows, "k long, lt long, lid long")
+    right = spark.createDataFrame(rrows, "k long, rt long, val long")
+    out = asof_join(left, right, key="k", left_time="lt", right_time="rt",
+                    direction=direction)
+    got = {(r.k, r.lid): r.val for r in out.collect()}
+
+    want = {}
+    for k, (lts, rs) in panel.items():
+        for i, t in enumerate(lts):
+            if direction == "backward":
+                cand = [(rt, v) for rt, v in rs.items() if rt <= t]
+                want[(k, i)] = max(cand)[1] if cand else None
+            else:
+                cand = [(rt, v) for rt, v in rs.items() if rt >= t]
+                want[(k, i)] = min(cand)[1] if cand else None
+    assert got == want
