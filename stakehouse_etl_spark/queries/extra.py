@@ -256,6 +256,65 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 with withdrawal credits — the full reference income formula
+# ---------------------------------------------------------------------------
+@register(
+    "w1_income_with_withdrawals",
+    tags=("W1", "F9", "window"),
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch, max("value") AS balance
+  FROM events GROUP BY 1, 2
+), wd AS (
+  SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch, min("value") AS wd
+  FROM events GROUP BY 1, 2
+  HAVING (epoch_us(ts) // {MICROS_PER_HOUR}) % 3 = 0
+), l AS (
+  SELECT b.user_id, b.epoch, b.balance,
+         CAST(round((b.balance + coalesce(w.wd, 0.0) - lag(b.balance)
+                     OVER win) * 100) AS BIGINT) AS delta
+  FROM b LEFT JOIN wd w ON w.user_id = b.user_id AND w.epoch = b.epoch
+  WINDOW win AS (PARTITION BY b.user_id ORDER BY b.epoch)
+)
+SELECT user_id, epoch, balance,
+       0.0 + coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0) / 100.0 AS earnings,
+       0.0 - coalesce(sum(CASE WHEN delta < 0 THEN delta END) OVER cum, 0) / 100.0 AS losses
+FROM l
+WINDOW cum AS (PARTITION BY user_id ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def w1_income_with_withdrawals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with the withdrawal credit — the FULL reference income step
+    ``delta = balance[i] + withdrawal[i] − balance[i−1]``
+    (src/validator_income_handler.py:112-128): a withdrawn amount is
+    income even though the balance dropped. Withdrawals synthesized as
+    the hourly min on every 3rd epoch; left-join credited, F9 default
+    zero."""
+    from stakehouse_etl_spark.operators.windows import cumulative_income
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long")
+    balances = ev.groupBy("user_id", epoch.alias("epoch")).agg(
+        F.max("value").alias("balance")
+    )
+    wd = (
+        ev.groupBy("user_id", epoch.alias("epoch"))
+        .agg(F.min("value").alias("values_withdrawals"))
+        .filter(F.col("epoch") % 3 == 0)
+    )
+    return cumulative_income(
+        balances,
+        withdrawals=wd,
+        key="user_id",
+        time="epoch",
+        stop_at_gap=False,
+        compute_apr=False,
+        money_scale=100,
+    ).select("user_id", "epoch", "balance", "earnings", "losses")
+
+
+# ---------------------------------------------------------------------------
 # U2 — multiset difference (exceptAll)
 # ---------------------------------------------------------------------------
 @register(
