@@ -37,8 +37,14 @@ PLANES: list[list[int]] = (
 
 
 def quantize(emb: Column) -> Column:
-    """float array → exact integer-milli array."""
-    return F.transform(emb, lambda x: F.round(x * QUANT).cast("long"))
+    """float array → exact integer-milli array.
+
+    The multiply is pinned to DOUBLE in both engines: a float32 element
+    like 0.31949999928474426f scales to 319.5 under float32 arithmetic
+    but 319.4999… under double — one quantization unit apart after
+    rounding (found at sf0.1, vec 1879). float→double widening itself
+    is exact, so double is the unambiguous common domain."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:

@@ -349,7 +349,7 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
-_QUANT_EMB = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 @register(
