@@ -64,9 +64,11 @@ def sq_norm(a: Column) -> Column:
 
 
 def cosine(dot: Column, na: Column, nb: Column) -> Column:
-    return dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
+    """NULL for zero-norm vectors (cosine undefined; also keeps ANSI
+    mode from raising DIVIDE_BY_ZERO) — downstream comparisons then
+    drop those candidates naturally."""
+    denom = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    return dot.cast("double") / F.when(denom != 0, denom)
 
 
 def cosine_topk(
