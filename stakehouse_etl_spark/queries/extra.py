@@ -339,6 +339,44 @@ def u2_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CSV source round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "src_csv_roundtrip",
+    tags=("S", "source", "csv"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage: customer → CSV with header → read back
+    with explicit schema → aggregate; must equal the parquet-sourced
+    result (format changes nothing). Exercises the spark.read.csv
+    plumbing incl. quoting/escapes on real string columns."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="csv_src_")
+    try:
+        path = os.path.join(workdir, "customer_csv")
+        cust.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.option("header", True).schema(
+            "c_custkey long, c_name string, c_mktsegment string, c_acctbal double"
+        ).csv(path)
+        out = back.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias(
+                "sum_acctbal"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped bench queries
 # ---------------------------------------------------------------------------
 @register(
