@@ -428,6 +428,44 @@ _COS = (
 
 
 @register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity", "lsh"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
+n AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(qe, x -> x * x)) AS nrm,
+         CAST({_planes_sql()} AS BIGINT) AS bucket
+  FROM e
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+    AND CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+          / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25
+)
+SELECT e.vec_id, emb.label
+FROM e JOIN embeddings emb USING (vec_id)
+WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+""",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (the last rung of the dedup
+    ladder): LSH-blocked candidate pairs at cosine ≥ 0.25, then the
+    greedy keep-lowest-id rule — any vector with a lower-id near-dup
+    is dropped; survivors pass through. At scale this is the standard
+    one-pass semantic-dedup shape: bucket equi-join (no cross join),
+    distinct drop-set, broadcast anti-join back onto the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.ann_lsh_pairs(emb, min_cosine=0.25)
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(F.broadcast(drops), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
+@register(
     "sim_ivf_topk",
     tags=("similarity", "ann", "ivf"),
     bench=True,
