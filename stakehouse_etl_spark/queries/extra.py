@@ -377,6 +377,42 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ORC source round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "src_orc_roundtrip",
+    tags=("S", "source", "orc"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_totalprice
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage: orders → ORC → read back → aggregate;
+    must equal the parquet-sourced result. ORC is the second columnar
+    format Spark reads natively (vectorized, predicate pushdown), so
+    the same warehouse layout works on ORC-resident lakes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    workdir = tempfile.mkdtemp(prefix="orc_src_")
+    try:
+        path = os.path.join(workdir, "orders_orc")
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "sum_totalprice"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped bench queries
 # ---------------------------------------------------------------------------
 @register(
