@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators import skew
 from stakehouse_etl_spark.operators.aggregates import exact_money_sum
 from stakehouse_etl_spark.queries.registry import register
 
@@ -374,6 +375,78 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation operators (results must equal the unsalted plans)
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_join",
+    tags=("skew", "J5"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): the hot-key fallback
+    for joins AQE can't split (e.g. one orderkey holding a double-digit
+    share of rows). Oracle is the PLAIN join — salting must be
+    invisible in the result."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, o, on=["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias(
+            "sum_qty"
+        ),
+    )
+
+
+@register(
+    "skew_two_stage_agg",
+    tags=("skew", "A7"),
+    oracle="""
+SELECT l_returnflag, count(l_orderkey) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def skew_two_stage_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (salt → merge) grouped aggregate for hot group keys;
+    sums go through integer cents so the per-salt partial order can't
+    introduce float drift. Oracle is the plain one-stage GROUP BY."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_extendedprice",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    out = skew.two_stage_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("l_orderkey", "count"),
+            "sum_qty_c": ("qty_c", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        (F.col("sum_qty_c") / 100.0).alias("sum_qty"),
+        "min_price",
+        "max_price",
+    )
 
 
 # ---------------------------------------------------------------------------
