@@ -144,3 +144,29 @@ def write_insert_ignore(
     if existing is not None and not partition_cols:
         merged = spark.createDataFrame(merged.collect(), merged.schema)
     _write(merged, path, partition_cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Hash-bucketed (and per-file sorted) warehouse table: the
+    co-located-join layout. Two tables bucketed by the same key with
+    the same bucket count join with NO exchange on either side — at
+    100 TB, pre-bucketing the fact tables on their join key (e.g.
+    ``bls_key`` or ``orderkey``) turns every steady-state fact⋈fact
+    join and keyed aggregation into a shuffle-free stage. Parquet
+    datasource table; pass ``path`` for an external location."""
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*(sort_by or keys))
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stakehouse_etl_spark.io import sinks
 from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators import skew
 from stakehouse_etl_spark.operators.aggregates import exact_money_sum
@@ -447,6 +448,61 @@ def skew_two_stage_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed warehouse tables (co-located shuffle-free joins)
+# ---------------------------------------------------------------------------
+@register(
+    "sink_bucketed_join",
+    tags=("K", "sink", "bucketing"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def sink_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed warehouse tables: lineitem and
+    orders are written `bucketBy(8, orderkey)` + sorted, then joined
+    bucket-to-bucket — the physical plan has no Exchange on either
+    side (asserted in tests/test_skew_warehouse.py). The oracle is the
+    plain join: bucketing changes the layout, never the result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    workdir = tempfile.mkdtemp(prefix="bucketed_")
+    try:
+        sinks.write_bucketed(
+            li, "q_li_bucketed", ["l_orderkey"], 8,
+            path=os.path.join(workdir, "li"),
+        )
+        sinks.write_bucketed(
+            o, "q_o_bucketed", ["o_orderkey"], 8,
+            path=os.path.join(workdir, "o"),
+        )
+        a = spark.table("q_li_bucketed")
+        b = spark.table("q_o_bucketed")
+        out = (
+            a.join(b, a.l_orderkey == b.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                    / 100.0
+                ).alias("sum_price"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS q_o_bucketed")
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -91,3 +91,32 @@ def test_with_epoch_bucket(spark):
     df = spark.createDataFrame([(0,), (224,), (225,), (450,)], "epoch long")
     got = [r.epoch_bucket for r in with_epoch_bucket(df).orderBy("epoch").collect()]
     assert got == [0, 0, 1, 2]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from stakehouse_etl_spark.io.sinks import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(left, "t_left_b", ["k"], 4, path=os.path.join(wh, "l"))
+        write_bucketed(right, "t_right_b", ["k"], 4, path=os.path.join(wh, "r"))
+        # Force a non-broadcast join so the shuffle would be visible.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("t_left_b"), spark.table("t_right_b")
+        joined = a.join(b, "k").select("k", "v", "w")
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "Exchange" not in plan, plan
+        got = {(r.k, r.v, r.w) for r in joined.collect()}
+        assert len(got) == 1000 and (5, 10, 15) in got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_left_b")
+        spark.sql("DROP TABLE IF EXISTS t_right_b")
+        shutil.rmtree(wh, ignore_errors=True)
