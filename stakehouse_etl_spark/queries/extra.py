@@ -915,6 +915,135 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_customer_distribution",
+    tags=("J10", "A5", "A7"),
+    oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join with an extra join-side
+    predicate (customers with zero matches count as 0), then a
+    histogram of the grouped counts — two aggregations, the second
+    over the first's tiny output."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    tags=("J3", "A4"),
+    oracle="""
+WITH qc AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+thresh AS (
+  SELECT l_partkey, sum(qty_c) * 1.0 / count(*) * 0.2 AS limit_c
+  FROM qc GROUP BY l_partkey
+)
+SELECT sum(price_c) / 100.0 / 7.0 AS avg_yearly
+FROM qc JOIN thresh USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND qty_c * 1.0 < limit_c
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (20% of each part's
+    average quantity) decorrelated into a grouped threshold join. The
+    threshold is computed from exact integer cents with identical
+    arithmetic in both engines, so the boundary comparison can't flip
+    on float drift."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.sum("qty_c") * 1.0 / F.count(F.lit(1)) * 0.2).alias("limit_c")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(thresh, "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("qty_c") * 1.0 < F.col("limit_c"))
+        .agg((F.sum("price_c") / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q22_global_balance_anti",
+    tags=("J6", "A4", "F7"),
+    oracle="""
+WITH cc AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+avg_bal AS (
+  SELECT sum(bal_c) * 1.0 / count(*) AS avg_c FROM cc WHERE bal_c > 0
+)
+SELECT cntrycode, count(*) AS numcust,
+       sum(bal_c) / 100.0 AS totacctbal
+FROM cc, avg_bal
+WHERE bal_c * 1.0 > avg_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+""",
+)
+def tpch_q22_global_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar threshold (average positive
+    balance, exact integer cents broadcast via cross join) +
+    anti-join against urgent orders, grouped by a derived country
+    code — 'rich customers with no urgent orders'."""
+    cc = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    avg_bal = cc.filter(F.col("bal_c") > 0).agg(
+        (F.sum("bal_c") * 1.0 / F.count(F.lit(1))).alias("avg_c")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cc.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") * 1.0 > F.col("avg_c"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "tpch_q18_large_orders",
     tags=("A3", "J3", "bench"),
     bench=True,
