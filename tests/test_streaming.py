@@ -45,9 +45,12 @@ def _write_batches(spark, workdir, frames):
             for f in os.listdir(os.path.join(workdir, f"tmp{i}"))
             if f.endswith(".parquet")
         ][0]
-        shutil.copy(
-            os.path.join(workdir, f"tmp{i}", part), os.path.join(src, f"batch{i}.parquet")
-        )
+        dest = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(os.path.join(workdir, f"tmp{i}", part), dest)
+        # The file source orders micro-batches by modification time;
+        # spread mtimes so trigger order == batch index deterministically.
+        base = 1_700_000_000
+        os.utime(dest, (base + i * 10, base + i * 10))
     return src
 
 
@@ -162,3 +165,43 @@ def test_backfill_repairs_gap(spark, workdir):
     w = {(r["bls_key"], r["epoch"]): (r["earnings"], r["losses"]) for r in want.collect()}
     g = {(r["bls_key"], r["epoch"]): (r["earnings"], r["losses"]) for r in repaired.collect()}
     assert g == w and len(g) == 10
+
+
+def test_streaming_watermark_drops_too_late_rows(spark, workdir):
+    """T4 late-data contract: a row older than the watermark must not
+    mutate a finalized window. Batch 2 advances the watermark to 01:30
+    (03:30 − 2h); batch 3 delivers a 00:20 straggler — the [00:00,01:00)
+    window is emitted (append mode) with the straggler excluded."""
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, g, v) for i, (t, g, v) in enumerate(rows)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = mk([("2024-01-01 00:10:00", "a", 1.5), ("2024-01-01 00:50:00", "a", 2.0)])
+    b2 = mk([("2024-01-01 03:30:00", "b", 3.0)])
+    # Late-row filtering uses the PREVIOUS batch's watermark (eviction
+    # uses the updated one), so the straggler needs one batch between
+    # it and the watermark-advancing row to be reliably dropped.
+    b3 = mk([("2024-01-01 03:40:00", "b", 4.0)])
+    b4 = mk([("2024-01-01 00:20:00", "a", 99.0)])  # too late: 00:20 < 01:30
+    src = _write_batches(spark, workdir, [b1, b2, b3, b4])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_event_aggregate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["win_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("late_test").collect()
+    }
+    midnight_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
+    assert got == {(midnight_us, "a"): (2, 3.5)}
