@@ -915,6 +915,113 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_rollup_region_nation",
+    tags=("A7", "rollup"),
+    oracle="""
+SELECT r_name, n_name, count(*) AS n,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP: per-(region, nation), per-region subtotals,
+    and the grand total in one pass — Spark expands the grouping sets
+    before the shuffle, so it's still a single exchange. NULL group
+    keys mark the subtotal levels identically in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias(
+                "sum_bal"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    tags=("J2", "A3", "F5"),
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS volume_c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+SELECT o_year,
+       sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c ELSE 0 END) * 1.0
+         / sum(volume_c) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume
+    per year — conditional-sum ratio over a two-role nation join.
+    Exact integer volumes make the share division drift-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume_c.alias("volume_c"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume_c"))
+                    .otherwise(F.lit(0))
+                )
+                * 1.0
+                / F.sum("volume_c")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
     "tpch_q13_customer_distribution",
     tags=("J10", "A5", "A7"),
     oracle="""
