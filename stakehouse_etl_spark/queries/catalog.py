@@ -28,6 +28,10 @@ try:  # sinks, serving ratios, bounded catch-up, backfill, connectors
     from stakehouse_etl_spark.queries import lifecycle  # noqa: F401,E402
 except ImportError:
     pass
+try:  # TPC-H Q2/Q9/Q11/Q12/Q15/Q20/Q21 — completing the 22-query set
+    from stakehouse_etl_spark.queries import tpch2  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
