@@ -1,0 +1,71 @@
+"""Connected components over an edge list — duplicate-cluster
+resolution for the dedup ladder.
+
+Pairwise near-duplicate detection (MinHash/SimHash/Jaccard,
+operators/dedup.py) yields EDGES; a training-data pipeline needs
+CLUSTERS ("keep one doc per component"), and pairs alone
+under-delete: A~B and B~C without A~C must still collapse to one
+kept document. Min-label propagation closes that gap.
+
+Iterative algorithm, driver-controlled loop, data stays distributed:
+each pass is one join + one grouped min (two shuffles), converging in
+O(component diameter) passes — near-dup clusters are shallow (text
+corpora: diameter ≲ 5), so a handful of passes suffices at any scale.
+``localCheckpoint`` truncates the lineage each pass so the plan
+doesn't grow with iterations. The only driver-side data is the 1-row
+convergence count per pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected components; returns (node, component) with
+    component = min node id reachable from the node.
+
+    Only nodes appearing in ``edges`` are labeled (singletons are
+    their own component trivially — union them in at the call site if
+    needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

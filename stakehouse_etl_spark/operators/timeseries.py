@@ -1,0 +1,120 @@
+"""Time-series operators: gap-based sessionization and linear
+gap-fill interpolation.
+
+Beyond-reference capability block. The reference's data is an
+entity–time panel (SURVEY §1.1) with exactly these needs at scale:
+user activity must be segmented into sessions (the reference's
+"epochs_since_active" streaks, src/validator_income_handler.py:117,
+are a degenerate 1-epoch-gap session), and missing epochs must be
+repaired (the reference ships four offline backfillers for this,
+SURVEY §2.9 T4 — interpolation is the analytical completion of that
+repair path).
+
+Both operators are single-key-shuffle window plans: one
+``partitionBy(key)`` exchange, everything else whole-stage codegen.
+At 100 TB they scale linearly with the number of keys; no driver
+state, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_us: str = "ts_us",
+    gap_us: int = 4 * 3600 * 1_000_000,
+    measures: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Assign gap-based sessions and aggregate one row per session.
+
+    A new session starts when the time since the previous event of the
+    same key exceeds ``gap_us``. Implemented as the classic
+    flag-then-running-sum: ``lag`` marks session starts, a cumulative
+    sum numbers them — two window passes over ONE hash-partitioning of
+    the key (Catalyst reuses the exchange), then a grouped aggregate
+    that AQE coalesces. Equivalent to ``F.session_window`` but keyed
+    by ordinal session number, which joins back to events cheaply.
+    """
+    w = Window.partitionBy(key).orderBy(ts_us)
+    flag = F.when(
+        (F.col(ts_us) - F.lag(ts_us).over(w)) > gap_us, F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy(key).orderBy(ts_us).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = df.withColumn("_new", flag).withColumn(
+        "session_seq", F.sum("_new").over(cum)
+    )
+    aggs = {
+        "session_start_us": F.min(ts_us),
+        "session_end_us": F.max(ts_us),
+        "n_events": F.count(F.lit(1)),
+    }
+    if measures:
+        aggs.update(measures)
+    return sessions.groupBy(key, "session_seq").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key: str = "user_id",
+    time: str = "epoch",
+    value: str = "balance",
+) -> DataFrame:
+    """Densify an integer time grid per key and linearly interpolate
+    the value over interior gaps.
+
+    Per key: build the full ``[min(time), max(time)]`` range with
+    ``sequence`` + ``explode`` (no driver loop, no cross join), left
+    join the observations back, then bracket every missing point with
+    the nearest observed neighbors via ``last(..., ignorenulls)`` /
+    ``first(..., ignorenulls)`` windows and interpolate
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``.
+
+    This is the reference's backfill repair (SURVEY T4) promoted from
+    "re-fetch the missing epochs" to "repair analytically": the same
+    missing-range computation (U3,
+    back-fillers/validator-balances-backfiller.py:154) feeds an exact
+    window interpolation instead of a REST replay.
+    """
+    spans = df.groupBy(key).agg(
+        F.min(time).alias("_t0"), F.max(time).alias("_t1")
+    )
+    grid = spans.select(
+        key, F.explode(F.sequence("_t0", "_t1")).alias(time)
+    )
+    joined = grid.join(df.select(key, time, value), [key, time], "left")
+    back = (
+        Window.partitionBy(key)
+        .orderBy(time)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(time)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value)
+    t_obs = F.when(v.isNotNull(), F.col(time))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(t_obs, ignorenulls=True).over(back)
+    next_t = F.first(t_obs, ignorenulls=True).over(fwd)
+    frac = (F.col(time) - prev_t) * 1.0 / (next_t - prev_t)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        key,
+        time,
+        filled.alias(value),
+        v.isNull().alias("interpolated"),
+    )

@@ -1,0 +1,371 @@
+"""Advanced analytics queries: time-series sessionization and
+gap-fill interpolation, TF-IDF term scoring, CUBE grouping sets,
+exact interpolated percentiles, and connected-component duplicate
+clusters.
+
+Cross-engine exactness rules (same as the rest of the catalog):
+integer money/time math until the final division; interpolation and
+scoring expressions are written as the IDENTICAL arithmetic tree in
+Spark and DuckDB so IEEE rounding agrees bit-for-bit; ranking limits
+always carry a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.graph import connected_components
+from stakehouse_etl_spark.operators.text import fan_out, tokens
+from stakehouse_etl_spark.operators.timeseries import gap_fill_linear, sessionize
+from stakehouse_etl_spark.queries.datapipe import _JACCARD_CTE, _SHINGLES_CTE, _TOKS
+from stakehouse_etl_spark.queries.registry import register
+
+MICROS_PER_HOUR = 3_600_000_000
+SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based)
+# ---------------------------------------------------------------------------
+@register(
+    "ts_sessionize",
+    tags=("timeseries", "W1", "session"),
+    bench=True,
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round("value" * 100) AS BIGINT) AS v_c
+  FROM events
+), f AS (
+  SELECT user_id, ts_us, v_c,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us, v_c,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) / 100.0 AS sum_value
+FROM s GROUP BY 1, 2
+""",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4 h inactivity gap) of the events
+    stream: lag-flag → running-sum session numbers → per-session
+    aggregate, all on one hash-partitioning of user_id
+    (operators/timeseries.py:sessionize). The scale-out unit is the
+    key, so 100 TB of events sessionize with exactly one shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    out = sessionize(
+        ev,
+        key="user_id",
+        ts_us="ts_us",
+        gap_us=SESSION_GAP_US,
+        measures={"sum_v_c": F.sum("v_c")},
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        (F.col("sum_v_c") / 100.0).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill linear interpolation
+# ---------------------------------------------------------------------------
+@register(
+    "ts_gap_fill_interpolate",
+    tags=("timeseries", "T4", "U3"),
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch,
+         max("value") AS balance
+  FROM events GROUP BY 1, 2
+), obs AS (
+  SELECT * FROM b WHERE epoch % 5 <> 2 AND epoch % 7 <> 3
+), span AS (
+  SELECT user_id, min(epoch) AS t0, max(epoch) AS t1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(t0, t1 + 1)) AS epoch FROM span
+), g AS (
+  SELECT grid.user_id, grid.epoch, obs.balance
+  FROM grid LEFT JOIN obs ON obs.user_id = grid.user_id
+                         AND obs.epoch = grid.epoch
+), w AS (
+  SELECT user_id, epoch, balance,
+         last_value(balance IGNORE NULLS) OVER wb AS pv,
+         first_value(balance IGNORE NULLS) OVER wf AS nv,
+         last_value(CASE WHEN balance IS NOT NULL THEN epoch END IGNORE NULLS)
+           OVER wb AS pt,
+         first_value(CASE WHEN balance IS NOT NULL THEN epoch END IGNORE NULLS)
+           OVER wf AS nt
+  FROM g
+  WINDOW wb AS (PARTITION BY user_id ORDER BY epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, epoch,
+       CASE WHEN balance IS NOT NULL THEN balance
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * ((epoch - pt) * 1.0 / (nt - pt))
+       END AS balance,
+       balance IS NULL AS interpolated
+FROM w
+""",
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 repair, analytically: thin the hourly balance panel on a
+    deterministic mask (epoch%5==2 or epoch%7==3 dropped), densify the
+    grid with sequence+explode (U3), and linearly interpolate interior
+    gaps with ignorenulls neighbor windows
+    (operators/timeseries.py:gap_fill_linear). The reference repairs
+    such gaps by replaying REST fetches
+    (back-fillers/validator-balances-backfiller.py:127-189)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long").alias("epoch"),
+    ).agg(F.max("value").alias("balance"))
+    obs = b.filter((F.col("epoch") % 5 != 2) & (F.col("epoch") % 7 != 3))
+    return gap_fill_linear(obs, key="user_id", time="epoch", value="balance")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring (rarity-weighted, log-free for exact parity)
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "tfidf"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), t2 AS (SELECT * FROM tok WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM t2 GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM t2 GROUP BY 1),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, term, tf, df,
+         (tf * n_docs * 1000000.0) / (doc_len * df) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS BIGINT) AS rn
+  FROM sc
+)
+SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 5
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term scoring: score = tf·N·10⁶ / (doc_len·df) —
+    the standard tf·idf ordering with the log dropped and every factor
+    an exact integer, so one correctly-rounded IEEE division is the
+    only float op and both engines agree bit-for-bit. Top-5 terms per
+    document, total ORDER (score DESC, term) so ranks can't tie-swap.
+    Plan: explode → two grouped counts + one term-keyed count, all
+    map-side-combined; the doc-frequency dim broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs") * F.lit(1000000.0))
+                / (F.col("doc_len") * F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "a_cube_region_segment",
+    tags=("A7", "cube"),
+    oracle="""
+SELECT r_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+""",
+)
+def a_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, segment): all four grouping sets — detail,
+    both one-way subtotals, grand total — in ONE pass / one exchange
+    (Spark expands grouping sets before the shuffle; same NULL
+    subtotal markers as the ROLLUP twin, a_rollup_region_nation)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias(
+                "sum_bal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (engine-identical arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "a_percentile_kernel",
+    tags=("A4", "window", "percentile"),
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+), agg AS (
+  SELECT priority, max(n) AS n,
+         max(CASE WHEN rn = (1 * (n - 1)) // 2 + 1 THEN v END) AS a50,
+         max(CASE WHEN rn = (1 * (n - 1)) // 2 + 2 THEN v END) AS b50,
+         max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN v END) AS a90,
+         max(CASE WHEN rn = (9 * (n - 1)) // 10 + 2 THEN v END) AS b90
+  FROM s GROUP BY priority
+)
+SELECT priority, n,
+       (a50 + (coalesce(b50, a50) - a50) * (((1 * (n - 1)) % 2) / 2.0))
+         / 100.0 AS p50,
+       (a90 + (coalesce(b90, a90) - a90) * (((9 * (n - 1)) % 10) / 10.0))
+         / 100.0 AS p90
+FROM agg
+""",
+)
+def a_percentile_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (p50/p90 of order value
+    per priority) built from row_number + count windows and the
+    textbook ``a + (b − a)·frac`` at position p·(n−1) — the SAME
+    expression tree in both engines, over integer cents, so the result
+    hashes identically (built-in percentile_cont implementations
+    differ in interpolation rounding across engines; this kernel
+    doesn't). The position p·(n−1) is carried as integer numerator /
+    denominator (k = num·(n−1) div den, frac = (num·(n−1) mod den)/den)
+    so not even the fraction touches inexact floats — DuckDB parses
+    0.9 as exact DECIMAL while Spark uses binary double, and that
+    1-ulp fraction gap is visible after multiplying by cents. One
+    window shuffle + one grouped aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    s = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+
+    def k_of(num: int, den: int):
+        return F.expr(f"({num} * (n - 1)) div {den}")
+
+    def hit(num: int, den: int, offset: int):
+        return F.max(F.when(F.col("rn") == k_of(num, den) + offset, F.col("v")))
+
+    agg = s.groupBy("priority").agg(
+        F.max("n").alias("n"),
+        hit(1, 2, 1).alias("a50"),
+        hit(1, 2, 2).alias("b50"),
+        hit(9, 10, 1).alias("a90"),
+        hit(9, 10, 2).alias("b90"),
+    )
+
+    def interp(a: str, b: str, num: int, den: int):
+        frac = ((F.lit(num) * (F.col("n") - 1)) % den) / float(den)
+        return (F.col(a) + (F.coalesce(F.col(b), F.col(a)) - F.col(a)) * frac) / 100.0
+
+    return agg.select(
+        "priority",
+        "n",
+        interp("a50", "b50", 1, 2).alias("p50"),
+        interp("a90", "b90", 9, 10).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component duplicate clusters (iterative; recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cc_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: min-label propagation
+    (operators/graph.py:connected_components) over the exact-Jaccard
+    edge list — transitively closes A~B~C chains that pairwise dedup
+    under-deletes. The oracle is a DuckDB recursive-CTE transitive
+    closure; the Spark side is the iterative join+min loop that scales
+    (closure is quadratic in component size, label propagation is
+    linear per pass × diameter passes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")

@@ -32,6 +32,10 @@ try:  # TPC-H Q2/Q9/Q11/Q12/Q15/Q20/Q21 — completing the 22-query set
     from stakehouse_etl_spark.queries import tpch2  # noqa: F401,E402
 except ImportError:
     pass
+try:  # sessionize / gap-fill / tfidf / cube / percentiles / components
+    from stakehouse_etl_spark.queries import analytics  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
