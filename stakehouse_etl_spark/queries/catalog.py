@@ -36,6 +36,10 @@ try:  # sessionize / gap-fill / tfidf / cube / percentiles / components
     from stakehouse_etl_spark.queries import analytics  # noqa: F401,E402
 except ImportError:
     pass
+try:  # repetition metrics / PII redaction / corpus-clean pipeline
+    from stakehouse_etl_spark.queries import corpus  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

@@ -1,0 +1,245 @@
+"""Corpus-preparation queries: Gopher-style repetition metrics, PII
+redaction, and the end-to-end corpus-cleaning pipeline (quality
+filter → exact dedup → near-dup cluster collapse).
+
+This is the "what a 100 TB training-data pipeline actually runs"
+composition: every stage is an already-oracle-checked kernel
+(text_quality, dedup_exact, dedup_jaccard_pairs, dedup_cc_clusters),
+and the pipeline query proves the COMPOSITION end-to-end against one
+DuckDB CTE chain, recursive closure included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.graph import connected_components
+from stakehouse_etl_spark.operators.text import (
+    fan_out,
+    normalized_fingerprint,
+    quality_features,
+    tokens,
+)
+from stakehouse_etl_spark.queries.datapipe import _EN, _TOKS
+from stakehouse_etl_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style duplicate-text signals)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_metrics",
+    tags=("text", "repetition", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS BIGINT) AS n_bigram,
+         CAST(len(list_distinct(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_bigram_distinct
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+top AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, n_tok,
+       1.0 - n_distinct / n_tok AS dup_token_ratio,
+       CASE WHEN n_bigram > 0 THEN 1.0 - n_bigram_distinct / n_bigram
+            ELSE 0.0 END AS dup_bigram_ratio,
+       top_count / n_tok AS top_token_ratio
+FROM base JOIN top ON base.doc_id = top.doc_id
+""",
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for corpus filtering (the Gopher/MassiveText
+    family): duplicate-token fraction, duplicate-bigram fraction, and
+    the most-frequent-token share. Array ops (distinct counts, bigram
+    construction via ``transform``) run inside codegen on the scan; the
+    per-token top count is one explode + grouped max. High values ⇒
+    boilerplate/spam; at 100 TB this is the cheap second-pass filter
+    after length/stopword quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # Raw (non-distinct) bigrams — `operators.text.shingles` dedups,
+    # which is right for Jaccard sets but wrong for repetition counts.
+    # Guard size<2: F.sequence(1, 0) yields DESCENDING [1,0], not [].
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = fan_out(docs).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(bigrams).cast("long").alias("n_bigram"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_bigram_distinct"),
+    )
+    tok = fan_out(docs).select("doc_id", F.explode(toks).alias("term"))
+    top = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_count"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_tok")).alias("dup_token_ratio"),
+        F.when(
+            F.col("n_bigram") > 0,
+            F.lit(1.0) - F.col("n_bigram_distinct") / F.col("n_bigram"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+        (F.col("top_count") / F.col("n_tok")).alias("top_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub, JVM-side)
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{4,}"
+
+
+@register(
+    "text_pii_redact",
+    tags=("text", "pii", "F7"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_fp
+FROM documents
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact email addresses and long digit
+    runs (pseudo-identifiers) with sentinel tokens — pure
+    ``regexp_count``/``regexp_replace`` column expressions, zero
+    Python, zero shuffle; emits an md5 of the redacted text so the
+    oracle verifies the exact output bytes without shipping full
+    documents through the comparator."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_LONGNUM_RE),
+        F.lit("<NUM>"),
+    )
+    return fan_out(docs).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_LONGNUM_RE))
+        .cast("long")
+        .alias("n_longnums"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning (the flagship composition)
+# ---------------------------------------------------------------------------
+_QUALITY_KEEP = """
+0.4 * least(1.0, n_tok / 100.0)
+  + 0.3 * (stop / n_tok)
+  + 0.3 * (1.0 - least(1.0, punct / n_chars * 5)) >= 0.5
+"""
+
+
+@register(
+    "pipeline_corpus_clean",
+    tags=("pipeline", "dedup", "text", "graph"),
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok, length(text) AS n_chars,
+         len(list_filter(toks, x -> x IN ({_EN}))) AS stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id, text, toks FROM f WHERE {_QUALITY_KEEP}
+), fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM q
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+), surv AS (
+  SELECT q.doc_id, q.toks FROM q JOIN canon USING (doc_id)
+), s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM surv
+), s2 AS (SELECT * FROM s WHERE shingle <> ''),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id),
+i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM s2 a JOIN s2 b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), j AS (
+  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
+  FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
+), sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+), dropped AS (SELECT doc_id FROM comp WHERE component < doc_id)
+SELECT doc_id FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning, the composition a training-data
+    pipeline runs nightly: (1) quality filter (length/stopword/punct
+    composite ≥ 0.5), (2) exact dedup on the normalized-content
+    fingerprint keeping the lowest doc_id, (3) near-dup collapse —
+    exact 3-gram Jaccard ≥ 0.2 pairs → connected components → keep
+    the component minimum. Returns the kept corpus ids. Stages (1)(2)
+    are scan + one hash-shuffle; (3) runs on the already-thinned
+    survivor set, which is the right cost order at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_features(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+    )
+    qdocs = docs.join(q, "doc_id", "left_semi")
+    canon = (
+        qdocs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = qdocs.join(canon, "doc_id", "left_semi")
+    edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    dropped = comp.filter(F.col("component") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return surv.select("doc_id").join(dropped, "doc_id", "left_anti")

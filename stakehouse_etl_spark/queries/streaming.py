@@ -352,3 +352,134 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fake_decode(attach_payload(docs), frame_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — real stream, 2h window / 1h slide
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding_counts",
+    tags=("streaming", "window", "sliding"),
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS ts_us, event_type,
+         CAST(round("value" * 100) AS BIGINT) AS v_c
+  FROM events
+), x AS (
+  SELECT (ts_us // {MICROS_PER_HOUR} - off) * {MICROS_PER_HOUR} AS win_start_us,
+         event_type, v_c
+  FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS o(off)
+)
+SELECT win_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) / 100.0 AS sum_value
+FROM x GROUP BY 1, 2
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h width, 1 h hop) as a REAL
+    streaming query driven to completion — every event lands in
+    exactly two windows; Spark expands the memberships before the one
+    shuffle. The oracle materializes the same two-window membership
+    with an integer-micros cross join (window starts are the two hour
+    marks at ts//1h and ts//1h − 1)."""
+    load_table(spark, sf_dir, "events")  # ensures nanosAsLong conf is set
+
+    workdir = tempfile.mkdtemp(prefix="stream_slide_")
+    qname = "slidecounts_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "events")
+        os.makedirs(src)
+        shutil.copy(_table_path(sf_dir, "events"), os.path.join(src, "part-0.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        agg = windowed_event_aggregate(stream, window="2 hours", slide="1 hour")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Native session windows — real stream, 4h gap, merging session state
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 4 * MICROS_PER_HOUR
+
+
+@register(
+    "stream_session_windows",
+    tags=("streaming", "session", "window"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round("value" * 100) AS BIGINT) AS v_c
+  FROM events
+), f AS (
+  SELECT user_id, ts_us, v_c,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us, v_c,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM f
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) / 100.0 AS sum_value
+FROM s GROUP BY user_id, seq
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessions (4 h inactivity gap) as a
+    REAL streaming query — Structured Streaming maintains MERGING
+    session state across micro-batches (two files → two triggers).
+    The oracle is the lag/cumsum gap-session rendering; note Spark's
+    session boundary is a closed gap (new session at delta == gap),
+    hence ``>=`` in the oracle where ts_sessionize uses ``>``."""
+    load_table(spark, sf_dir, "events")  # ensures nanosAsLong conf is set
+
+    workdir = tempfile.mkdtemp(prefix="stream_sess_")
+    qname = "sesswin_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "events")
+        os.makedirs(src)
+        shutil.copy(_table_path(sf_dir, "events"), os.path.join(src, "part-0.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        from stakehouse_etl_spark.streaming.structured import (
+            session_window_aggregate,
+        )
+
+        agg = session_window_aggregate(stream, gap="4 hours")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -41,18 +41,25 @@ def windowed_event_aggregate(
     time_col: str = "ts",
     group_col: str = "event_type",
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window + watermark aggregate.
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window
+    + watermark aggregate.
 
     Works identically on a batch OR streaming DataFrame (the batch run
     is the oracle for the streaming run). Money sums go through integer
-    cents like everywhere else in the engine.
+    cents like everywhere else in the engine. A sliding window assigns
+    each event to window/slide overlapping windows — Spark expands the
+    memberships before the shuffle, so it is still one exchange.
     """
     df = events
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)
+    win = (
+        F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    )
     return (
-        df.groupBy(F.window(time_col, window).alias("win"), F.col(group_col))
+        df.groupBy(win.alias("win"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias(
@@ -62,6 +69,45 @@ def windowed_event_aggregate(
         .select(
             F.unix_micros(F.col("win.start")).alias("win_start_us"),
             group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_aggregate(
+    events: DataFrame,
+    gap: str = "4 hours",
+    watermark: str = "8 hours",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native ``F.session_window`` gap-session aggregate (batch or
+    streaming).
+
+    Sessions close after ``gap`` of per-key inactivity; the window
+    start is the first event, the end is last event + gap. Equivalent
+    to operators/timeseries.py:sessionize (which keys sessions by
+    ordinal instead); this form is the one Structured Streaming can
+    maintain incrementally with merging session state.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(time_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )
