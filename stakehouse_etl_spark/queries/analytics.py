@@ -369,3 +369,157 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     cc = connected_components(edges, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function kernel (rank / dense_rank / ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@register(
+    "w_rank_kernel",
+    tags=("W4", "window", "rank"),
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def w_rank_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function family in one windowed pass:
+    rank, dense_rank, ntile(4), percent_rank ((rank−1)/(n−1)) and
+    cume_dist (peers≤/n) — all rational arithmetic on row positions,
+    so both engines agree exactly. One window shuffle, deterministic
+    total order (acctbal DESC, custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "a_pivot_event_types",
+    tags=("A7", "pivot"),
+    oracle="""
+SELECT user_id,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click'
+             THEN CAST(round("value" * 100) AS BIGINT) END), 0) AS BIGINT)
+         / 100.0 AS click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view'
+             THEN CAST(round("value" * 100) AS BIGINT) END), 0) AS BIGINT)
+         / 100.0 AS view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round("value" * 100) AS BIGINT) END), 0) AS BIGINT)
+         / 100.0 AS purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error'
+             THEN CAST(round("value" * 100) AS BIGINT) END), 0) AS BIGINT)
+         / 100.0 AS error
+FROM events GROUP BY user_id
+""",
+)
+def a_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide per-type value sums with an EXPLICIT pivot
+    value list — at scale the explicit list matters (implicit pivot
+    runs a distinct scan first and caps at
+    spark.sql.pivotMaxValues). Integer-cents sums, zero-filled like
+    the reference's defaulted dict lookups (F9)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.coalesce(F.sum("v_c"), F.lit(0)))
+    )
+    return out.select(
+        "user_id",
+        *[(F.coalesce(F.col(t), F.lit(0)) / 100.0).alias(t)
+          for t in ("click", "view", "purchase", "error")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide→long
+# ---------------------------------------------------------------------------
+@register(
+    "a_unpivot_metrics",
+    tags=("A7", "unpivot"),
+    oracle="""
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+)
+""",
+)
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide columns → (key, metric, value) long form —
+    Spark's native unpivot generates the rows without a UNION of
+    scans (one pass over the table; the oracle's UNION ALL is the
+    semantic statement, not the plan)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array posexplode over the embeddings table
+# ---------------------------------------------------------------------------
+@register(
+    "arr_posexplode_stats",
+    tags=("array", "similarity"),
+    oracle="""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS sum_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM x GROUP BY pos
+""",
+)
+def arr_posexplode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flattening with ordinality: posexplode the embedding
+    vectors and aggregate per dimension (the column-statistics pass a
+    vector store runs for quantization/normalization). Sum goes
+    through integer micro-units for exact parity; min/max are
+    order-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return x.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("val").cast("double") * 1000000).cast("long"))
+            / 1000000.0
+        ).alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -483,3 +483,67 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream–static enrichment join
+# ---------------------------------------------------------------------------
+@register(
+    "stream_static_enrich",
+    tags=("streaming", "J5", "join"),
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the streaming events feed joins a STATIC
+    broadcast dimension (customer) per micro-batch, then aggregates by
+    segment — the standard streaming-enrichment topology (every
+    reference serving join, J5, in streaming form). Static side is
+    planned once and broadcast to every trigger; no state is needed
+    for the join itself."""
+    load_table(spark, sf_dir, "events")  # ensures nanosAsLong conf is set
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_enrich_")
+    qname = "enrich_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "events")
+        os.makedirs(src)
+        shutil.copy(_table_path(sf_dir, "events"), os.path.join(src, "part-0.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        agg = (
+            stream.join(F.broadcast(cust), "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                ).alias("sum_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
