@@ -194,7 +194,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    # doc_len and df both derive from tf — NOT from a re-explode of the
+    # corpus — so the explode subplan is identical under every consumer
+    # and eligible for AQE exchange reuse (ReusedExchange at runtime);
+    # a persistent deployment would materialize tf once explicitly.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     sc = (
