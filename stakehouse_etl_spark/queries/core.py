@@ -123,12 +123,22 @@ def w2_income_epoch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's "Backfiller Needed" guard
     (src/validator_income_handler.py:109-111)."""
     ev = load_table(spark, sf_dir, "events")
-    balances = ev.groupBy(
-        "user_id",
-        (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR))
-        .cast("long")
-        .alias("epoch"),
-    ).agg(F.max("value").alias("balance"))
+    # One shuffle, not two: HashPartitioning(user_id) satisfies the
+    # hourly groupBy's ClusteredDistribution(user_id, epoch) AND the
+    # income windows' partitionBy(user_id), so the explicit
+    # repartition replaces both exchanges. (Worth it here because
+    # events→hourly dedup gives ~no row reduction, so the map-side
+    # partial agg the (user,epoch) exchange would enable buys nothing.)
+    balances = (
+        ev.repartition("user_id")
+        .groupBy(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR))
+            .cast("long")
+            .alias("epoch"),
+        )
+        .agg(F.max("value").alias("balance"))
+    )
     inc = cumulative_income(
         balances,
         key="user_id",

@@ -191,10 +191,17 @@ def pipeline_index_apr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stakehouse_etl_spark.operators.windows import cumulative_income, spike_filter
 
     ev = load_table(spark, sf_dir, "events")
-    balances = ev.groupBy(
-        "user_id",
-        (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long").alias("epoch"),
-    ).agg(F.max("value").alias("balance"))
+    # user_id-only partitioning serves the hourly agg AND the income
+    # windows in one exchange (see w2_income_epoch_hourly); the only
+    # other shuffle is the unavoidable (indexes, epoch) rollup.
+    balances = (
+        ev.repartition("user_id")
+        .groupBy(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long").alias("epoch"),
+        )
+        .agg(F.max("value").alias("balance"))
+    )
     inc = cumulative_income(
         balances,
         key="user_id",
@@ -297,11 +304,18 @@ def w1_income_with_withdrawals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     epoch = (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR)).cast("long")
-    balances = ev.groupBy("user_id", epoch.alias("epoch")).agg(
-        F.max("value").alias("balance")
+    # Both sides partitioned by user_id only: one exchange each, then
+    # the (user, epoch) join is co-partitioned on a key subset
+    # (SPARK-35703) and the income windows reuse the same layout —
+    # three exchanges collapse to two.
+    balances = (
+        ev.repartition("user_id")
+        .groupBy("user_id", epoch.alias("epoch"))
+        .agg(F.max("value").alias("balance"))
     )
     wd = (
-        ev.groupBy("user_id", epoch.alias("epoch"))
+        ev.repartition("user_id")
+        .groupBy("user_id", epoch.alias("epoch"))
         .agg(F.min("value").alias("values_withdrawals"))
         .filter(F.col("epoch") % 3 == 0)
     )
