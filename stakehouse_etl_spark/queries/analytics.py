@@ -527,3 +527,83 @@ def arr_posexplode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments: variance / stddev / correlation, engine-exact
+# ---------------------------------------------------------------------------
+@register(
+    "a_stats_kernel",
+    tags=("A4", "stats"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       CAST(sx AS DOUBLE) / n AS mean_qty,
+       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty,
+       sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         / (CAST(n AS DOUBLE) * (n - 1))) AS std_qty,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS corr_qty_price
+FROM s
+""",
+)
+def a_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / Pearson correlation with EXACT cross-engine
+    parity: built-in var_samp/corr merge partial (mean, M2) states in
+    partition order, which drifts between engines — this kernel
+    instead aggregates exact integer moments (Σx, Σx², Σxy on rounded
+    units, all < 2⁵³) and evaluates the closed forms in one identical
+    double expression tree (sqrt is IEEE correctly-rounded, so even
+    stddev matches bit-for-bit). One partial+final aggregation, no
+    window."""
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        x.alias("x"),
+        y.alias("y"),
+        (x * x).alias("xx"),
+        (y * y).alias("yy"),
+        (x * y).alias("xy"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("xx").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    var_num = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_num = nd * F.col("syy") - syd * F.col("sy")
+    var_qty = var_num / (nd * (F.col("n") - 1))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sxd / F.col("n")).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        (
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / (F.sqrt(var_num) * F.sqrt(vary_num))
+        ).alias("corr_qty_price"),
+    )

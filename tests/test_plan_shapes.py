@@ -1,0 +1,92 @@
+"""Physical-plan regression tests — the scale contract, enforced.
+
+Each test asserts a plan property that the 100 TB design depends on
+(shuffle counts, pushdown, top-k strategy, group-limit pushdown). A
+refactor that silently reintroduces an exchange or loses pushdown
+fails CI here, not in a cluster bill.
+
+Plans are inspected via ``explain("formatted")`` text on the sf0.001
+tables (plan shape is scale-invariant; AQE may coalesce partitions at
+runtime but the static exchange/scan structure is what we pin).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stakehouse_etl_spark.queries.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(plan: str) -> int:
+    # Shuffle exchanges only — broadcast exchanges are free-ish by design.
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_w2_income_single_shuffle(spark):
+    plan = plan_of(spark, "w2_income_epoch_hourly")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = plan_of(spark, "ts_sessionize")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_income_with_withdrawals_two_shuffles(spark):
+    # One per aggregated side; the (user, epoch) join and the income
+    # windows reuse the user_id layout (SPARK-35703 subset match).
+    plan = plan_of(spark, "w1_income_with_withdrawals")
+    assert count_exchanges(plan) == 2, plan
+
+
+def test_q3_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q6_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    # Column pruning: the 11-column lineitem scans 4 columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(":") <= 5, read_schema
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_group_limit_pushdown(spark):
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_predicate_kernel_no_shuffle(spark):
+    plan = plan_of(spark, "p_predicate_kernel")
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_no_cartesian_anywhere_in_bench_suite(spark):
+    for name, q in QUERIES.items():
+        if not q.bench or name in ("pipeline_corpus_clean",):
+            continue  # corpus pipeline drives an iterative loop — skipped
+        try:
+            plan = plan_of(spark, name)
+        except Exception as e:  # pragma: no cover - sink queries need dirs
+            pytest.skip(f"{name}: {e}")
+        assert "CartesianProduct" not in plan, name
