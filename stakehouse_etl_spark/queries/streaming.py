@@ -547,3 +547,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream–stream join (time-bounded inner join with watermarked state)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join", "watermark"),
+    oracle=f"""
+SELECT a.user_id,
+       epoch_us(a.ts) AS click_ts_us,
+       epoch_us(b.ts) AS purchase_ts_us,
+       CAST(round(a."value" * 100) AS BIGINT) / 100.0 AS click_value,
+       CAST(round(b."value" * 100) AS BIGINT) / 100.0 AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream INNER join: clicks matched to purchases by the
+    same user within the following hour — both sides are live streams
+    with watermarks bounding the buffered state (clicks can be evicted
+    once the purchase-side watermark passes click_ts + 1 h; without
+    the time bound the join state grows forever). Inner matches emit
+    as they arrive, so the bounded run equals the batch join exactly."""
+    load_table(spark, sf_dir, "events")  # ensures nanosAsLong conf is set
+
+    workdir = tempfile.mkdtemp(prefix="stream_ssj_")
+    qname = "ssjoin_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "events")
+        os.makedirs(src)
+        shutil.copy(_table_path(sf_dir, "events"), os.path.join(src, "part-0.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+
+        def read_side(kind: str, alias: str) -> DataFrame:
+            s = spark.readStream.schema(raw_schema).parquet(src)
+            if dict(s.dtypes).get("ts") == "bigint":
+                s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            return (
+                s.filter(F.col("event_type") == kind)
+                .select(
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"),
+                    F.col("value").alias(f"{alias}_value"),
+                )
+                .withWatermark(f"{alias}_ts", "2 hours")
+            )
+
+        clicks = read_side("click", "c")
+        purchases = read_side("purchase", "p")
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select(
+            F.col("c_user").alias("user_id"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            (F.round(F.col("c_value") * 100).cast("long") / 100.0).alias(
+                "click_value"
+            ),
+            (F.round(F.col("p_value") * 100).cast("long") / 100.0).alias(
+                "purchase_value"
+            ),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
