@@ -292,3 +292,113 @@ def user_income(
             "dETHBalance",
         )
     )
+
+
+# --- /savETHIndexNames (src/api_handler.py:517-530) ---
+def index_names_merged(
+    solo: DataFrame, stakers: DataFrame, liquid: DataFrame
+) -> DataFrame:
+    """Dict-merge-with-override as a join: solo-staker index names,
+    overridden by the staker name for every liquid index
+    (``solo_stakers[index] = stakers[index]`` loop at
+    src/api_handler.py:524-525). All three are small subgraph dims —
+    broadcast, no shuffle."""
+    liquid_flag = liquid.select("indexes").withColumn("_liquid", F.lit(True))
+    st = stakers.select("indexes", F.col("name").alias("_staker_name"))
+    return (
+        solo.join(F.broadcast(st), "indexes", "left")
+        .join(F.broadcast(liquid_flag), "indexes", "left")
+        .select(
+            "indexes",
+            F.when(F.col("_liquid").isNotNull(), F.col("_staker_name"))
+            .otherwise(F.col("name"))
+            .alias("name"),
+        )
+    )
+
+
+# --- /indexLeaderboard (src/api_handler.py:552-589) ---
+def index_leaderboard(
+    index_apr: DataFrame, membership: DataFrame, validator_indexes: DataFrame
+) -> DataFrame:
+    """Per-index latest APR + the index's bls keys + the reference's
+    inverted validators flag (0 when the index IS in the
+    validator-index set, 1 otherwise — src/api_handler.py:576-581)."""
+    latest = latest_per_key(index_apr, key="indexes", order_col="epoch")
+    latest_members = latest_per_key(membership, key="bls_key", order_col="epoch")
+    keys = (
+        latest_members.groupBy("indexes")
+        .agg(F.sort_array(F.collect_list("bls_key")).alias("bls_keys"))
+    )
+    vflag = validator_indexes.select("indexes").withColumn("_v", F.lit(True))
+    return (
+        latest.join(F.broadcast(keys), "indexes", "left")
+        .join(F.broadcast(vflag), "indexes", "left")
+        .select(
+            "indexes",
+            "epoch",
+            "apr",
+            "earnings",
+            "losses",
+            F.coalesce("bls_keys", F.array().cast("array<string>")).alias(
+                "bls_keys"
+            ),
+            F.when(F.col("_v").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+                "validators"
+            ),
+        )
+    )
+
+
+# --- /userIncome/mev_fees + /userIncome/runner per-key ratio block
+#     (src/api_handler.py:715-806) ---
+def per_key_ratio_block(
+    earnings_interface: DataFrame,
+    topups: DataFrame,
+    slots: DataFrame | None = None,
+    node_runner: bool = False,
+) -> DataFrame:
+    """The per-key redemption/sETH block shared by the MEV and
+    node-runner income endpoints:
+
+    ``redemption = (24 + earnings/1e9) / (8 − losses/1e9 + topup)``;
+    MEV: ``sETH = ((24 + earnings/1e9)/8) · slot`` with the slot count
+    from the subgraph (src/api_handler.py:745-747); node-runner:
+    ``slot = 4 − losses/1e9 + topup`` and a fixed 4-slot sETH
+    (src/api_handler.py:791-794). Topups default to 0 (F9)."""
+    t = topups.select("bls_key", F.col("topup").alias("_topup"))
+    df = earnings_interface.join(F.broadcast(t), "bls_key", "left").withColumn(
+        "_topup", F.coalesce("_topup", F.lit(0.0))
+    )
+    earn_eth = F.lit(24) + gwei_to_eth(F.col("earnings"))
+    loss_eth = gwei_to_eth(F.col("losses"))
+    redemption = earn_eth / (F.lit(8) - loss_eth + F.col("_topup"))
+    if node_runner:
+        slot = F.lit(4) - loss_eth + F.col("_topup")
+        seth = (earn_eth / 8) * 4
+        picked = df
+    else:
+        s = slots.select("bls_key", F.col("slot").alias("_slot"))
+        picked = df.join(F.broadcast(s), "bls_key", "left")
+        slot = F.coalesce(F.col("_slot"), F.lit(0.0))
+        seth = (earn_eth / 8) * slot
+    return picked.select(
+        "bls_key",
+        redemption.alias("redemption_rate"),
+        slot.alias("validator_slot"),
+        seth.alias("sETH"),
+    )
+
+
+# --- /lsdWisePerformance (src/api_handler.py:876-906) ---
+def lsd_wise_apr(tickers: DataFrame, index_apr: DataFrame) -> DataFrame:
+    """Ticker dim left-joined to the latest per-index APR with zero
+    defaults for inactive LSDs (the reference's .get(..., 0) loop at
+    src/api_handler.py:891-899)."""
+    latest = latest_per_key(index_apr, key="indexes", order_col="epoch")
+    return tickers.join(F.broadcast(latest), "indexes", "left").select(
+        "indexes",
+        F.col("ticker").alias("Ticker"),
+        F.coalesce("earnings", F.lit(0.0)).alias("Earnings"),
+        F.coalesce("apr", F.lit(0.0)).alias("APR"),
+    )

@@ -140,3 +140,81 @@ def test_index_redemption_rate(spark, tables):
     assert out.n == 1
     assert out.redemption_rate == pytest.approx(25.5e9 / 8e9)
     assert out.band == "Red"
+
+
+def test_index_names_merged(spark):
+    solo = spark.createDataFrame(
+        [(1, "solo-1"), (2, "solo-2"), (3, "solo-3")], "indexes long, name string"
+    )
+    stakers = spark.createDataFrame(
+        [(1, "stk-1"), (2, "stk-2")], "indexes long, name string"
+    )
+    liquid = spark.createDataFrame([(2,)], "indexes long")
+    out = {
+        r["indexes"]: r["name"]
+        for r in serving.index_names_merged(solo, stakers, liquid).collect()
+    }
+    # liquid index 2 takes the staker name; others keep the solo name
+    assert out == {1: "solo-1", 2: "stk-2", 3: "solo-3"}
+
+
+def test_index_leaderboard_flags_and_keys(spark, tables):
+    income, membership, earnings_interface, threat, slot_wd = tables
+    index_apr = spark.createDataFrame(
+        [(10, 1, 5.0, 1.0, 0.0), (10, 2, 6.0, 2.0, 0.0), (30, 9, 9.0, 3.0, 0.1)],
+        "indexes long, epoch long, apr double, earnings double, losses double",
+    )
+    validator_indexes = spark.createDataFrame([(30,)], "indexes long")
+    rows = {
+        r["indexes"]: r
+        for r in serving.index_leaderboard(
+            index_apr, membership, validator_indexes
+        ).collect()
+    }
+    assert rows[10]["epoch"] == 2 and rows[10]["validators"] == 1
+    assert rows[30]["validators"] == 0
+    # latest membership of "a" is index 20, so index 10 keeps only "b"
+    assert rows[10]["bls_keys"] == ["b"]
+    assert rows[30]["bls_keys"] == ["c"]
+
+
+def test_per_key_ratio_block_mev_and_runner(spark, tables):
+    income, membership, earnings_interface, threat, slot_wd = tables
+    topups = spark.createDataFrame(
+        [("a", 1.0)], "bls_key string, topup double"
+    )
+    slots = spark.createDataFrame(
+        [("a", 2.0), ("b", 3.0)], "bls_key string, slot double"
+    )
+    mev = {
+        r["bls_key"]: r
+        for r in serving.per_key_ratio_block(
+            earnings_interface, topups, slots
+        ).collect()
+    }
+    # a: earnings 2.0e9 gwei -> 2 ETH, losses 0.2e9 -> 0.2, topup 1
+    assert mev["a"]["redemption_rate"] == pytest.approx((24 + 2) / (8 - 0.2 + 1))
+    assert mev["a"]["sETH"] == pytest.approx(((24 + 2) / 8) * 2.0)
+    runner = {
+        r["bls_key"]: r
+        for r in serving.per_key_ratio_block(
+            earnings_interface, topups, node_runner=True
+        ).collect()
+    }
+    assert runner["b"]["validator_slot"] == pytest.approx(4 - 0.0 + 0.0)
+    assert runner["b"]["sETH"] == pytest.approx(((24 + 1.5) / 8) * 4)
+
+
+def test_lsd_wise_apr_zero_defaults(spark):
+    tickers = spark.createDataFrame(
+        [(10, "tETH"), (99, "xETH")], "indexes long, ticker string"
+    )
+    index_apr = spark.createDataFrame(
+        [(10, 1, 5.0, 1.0, 0.0), (10, 2, 6.5, 2.5, 0.0)],
+        "indexes long, epoch long, apr double, earnings double, losses double",
+    )
+    out = {
+        r["indexes"]: r for r in serving.lsd_wise_apr(tickers, index_apr).collect()
+    }
+    assert out[10]["APR"] == 6.5 and out[10]["Earnings"] == 2.5
+    assert out[99]["APR"] == 0.0 and out[99]["Earnings"] == 0.0  # inactive LSD
