@@ -630,3 +630,153 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (stateful dropDuplicates)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_dedup_exact",
+    tags=("streaming", "dedup", "state"),
+    oracle="""
+SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents
+""",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 exact dedup as a STREAMING operator: documents arrive as
+    two micro-batches and ``dropDuplicates`` keeps per-fingerprint
+    state across triggers, so a duplicate landing in a later batch is
+    suppressed — the streaming-ingest form of the corpus pipeline's
+    first stage. Output is the fingerprint SET (which physical row
+    survives within a batch is scheduler-dependent; the set is not)."""
+    from stakehouse_etl_spark.operators.text import normalized_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    qname = "sdedup_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        # Two deterministic halves -> two triggers (mtime-ordered).
+        for i, half in enumerate(
+            (docs.filter(F.col("doc_id") % 2 == 0),
+             docs.filter(F.col("doc_id") % 2 == 1))
+        ):
+            tmp = os.path.join(workdir, f"half{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = (
+            stream.select(normalized_fingerprint(F.col("text")).alias("fingerprint"))
+            .dropDuplicates(["fingerprint"])
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        assert n_total >= out.count()  # state suppressed cross-batch dups
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> idempotent upsert warehouse sink (foreachBatch)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_upsert_foreachbatch",
+    tags=("streaming", "K1", "T5", "sink"),
+    oracle=f"""
+SELECT user_id, epoch_us(ts) // {MICROS_PER_HOUR} AS epoch,
+       max("value") AS balance
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 in streaming form: the events stream lands in the warehouse
+    through ``foreachBatch`` -> ``write_upsert`` (newest-wins merge on
+    (user_id, epoch)) across three micro-batches; re-delivery of a key
+    just overwrites the same row, so the final table equals the batch
+    aggregate — the idempotent-sink contract that replaces the
+    reference's SQS redelivery + ON DUPLICATE KEY UPDATE
+    (serverless.yaml:42-61 + src/utils/data_utils.py:10-15)."""
+    from stakehouse_etl_spark.io.sinks import write_upsert
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    row = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us, hi_us = row[0].timestamp() * 1e6, row[1].timestamp() * 1e6
+    span = (hi_us - lo_us) / 3
+
+    workdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        # Cuts aligned to hour-bucket boundaries: each (user, epoch)
+        # hour lands wholly in one micro-batch, so the newest-wins
+        # upsert never overwrites an earlier batch's partial max (the
+        # unaligned variant would silently drop it). A production
+        # stream would instead keep the running max in a streaming agg
+        # (update mode) ahead of the sink.
+        cut1 = (int(lo_us + span) // MICROS_PER_HOUR) * MICROS_PER_HOUR
+        cut2 = (int(lo_us + 2 * span) // MICROS_PER_HOUR) * MICROS_PER_HOUR
+        ranges = [(-(1 << 62), cut1), (cut1, cut2), (cut2, (1 << 62))]
+        for i, (lo_cut, hi_cut) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.unix_micros("ts") >= F.lit(lo_cut))
+                & (F.unix_micros("ts") < F.lit(hi_cut))
+            )
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        table_path = os.path.join(workdir, "warehouse", "hourly_balances")
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            hourly = batch_df.groupBy(
+                "user_id",
+                (F.unix_micros("ts") / F.lit(MICROS_PER_HOUR))
+                .cast("long")
+                .alias("epoch"),
+            ).agg(F.max("value").alias("balance"))
+            write_upsert(
+                batch_df.sparkSession, hourly, table_path,
+                keys=["user_id", "epoch"],
+            )
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(table_path).select("user_id", "epoch", "balance")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -115,3 +115,30 @@ def test_cc_only_edge_nodes_labeled(spark):
     edges = spark.createDataFrame([(7, 9)], "src long, dst long")
     out = connected_components(edges)
     assert rows(out, "node", "component") == [(7, 7), (9, 7)]
+
+
+# ------------------------------------------------------------- edges
+def test_sessionize_empty_input(spark):
+    ev = spark.createDataFrame([], "user_id string, ts_us long")
+    assert sessionize(ev, key="user_id", ts_us="ts_us", gap_us=10).count() == 0
+
+
+def test_gap_fill_single_point(spark):
+    obs = spark.createDataFrame(
+        [("k", 5, 1.5)], "key string, epoch long, balance double"
+    )
+    out = gap_fill_linear(obs, key="key", time="epoch", value="balance")
+    assert rows(out, "epoch", "balance", "interpolated") == [(5, 1.5, False)]
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    out = connected_components(edges)
+    assert rows(out, "node", "component") == [(1, 1), (2, 1)]
