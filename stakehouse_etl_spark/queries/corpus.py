@@ -243,3 +243,85 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return surv.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/holdout split (hash-bucketed, engine-reproducible)
+# ---------------------------------------------------------------------------
+@register(
+    "split_train_holdout",
+    tags=("split", "sampling", "dedup"),
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 10 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 8 THEN 'train' ELSE 'holdout' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM h GROUP BY 1, 2
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/holdout split by content-stable key
+    hash — the reproducible-split primitive every training-data
+    pipeline needs (df.sample() is engine- and partitioning-dependent;
+    hashing the key is not, and the SAME doc lands in the SAME split
+    on every engine, every run, every scale). md5-prefix hash64 is the
+    engine-wide deterministic hash (operators/text.py:hash64)."""
+    from stakehouse_etl_spark.operators.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string")) % 10
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 8, F.lit("train")).otherwise(F.lit("holdout")).alias(
+                "split"
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct with a verifiable error contract
+# ---------------------------------------------------------------------------
+@register(
+    "a_approx_distinct_bounded",
+    tags=("A6", "approx"),
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       true AS approx_within_10pct
+FROM events GROUP BY event_type
+""",
+)
+def a_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate family with a CONTRACT the oracle can
+    check: HyperLogLog++ distinct counts (rsd 0.01) must land within
+    10% of exact (a ~10-sigma bound — sketch values themselves can't
+    hash-match across engines, so the query emits the exact count plus
+    the bound VERDICT, which can). At 100 TB the approx path is the
+    one that avoids the exact-distinct shuffle entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.10
+        ).alias("approx_within_10pct"),
+    )
