@@ -11,7 +11,7 @@ DuckDB CTE chain, recursive closure included.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
@@ -224,19 +224,24 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scan + one hash-shuffle; (3) runs on the already-thinned
     survivor set, which is the right cost order at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    q = (
+    # Quality gate filters IN PLACE (quality_features keeps the source
+    # columns — no join back). Exact dedup shuffles ONLY (doc_id, fp)
+    # to the keep-min groupBy and broadcast-semi-joins the tiny winner
+    # set back: document text never crosses an exchange here (a
+    # row_number window over fp would shuffle every text byte — worse
+    # than re-reading cheap columnar parquet).
+    qdocs = (
         quality_features(docs)
         .filter(F.col("quality_score") >= 0.5)
-        .select("doc_id")
+        .select(*docs.columns)
     )
-    qdocs = docs.join(q, "doc_id", "left_semi")
     canon = (
         qdocs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    surv = qdocs.join(canon, "doc_id", "left_semi")
+    surv = qdocs.join(F.broadcast(canon), "doc_id", "left_semi")
     edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")
     dropped = comp.filter(F.col("component") < F.col("node")).select(

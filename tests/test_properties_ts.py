@@ -154,3 +154,67 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df).select("node", "component").collect()
     )
     assert got == _naive_components(edges)
+
+
+# ------------------------------------------------- percentile kernel
+pct_groups = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _naive_pctl(values, num, den):
+    xs = sorted(values)
+    n = len(xs)
+    pos_num = num * (n - 1)
+    k, rem = divmod(pos_num, den)
+    a = xs[k]
+    b = xs[k + 1] if k + 1 < n else a
+    return (a + (b - a) * (rem / den)) / 100.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(pct_groups)
+def test_percentile_kernel_matches_naive(spark, groups):
+    from pyspark.sql import Window
+
+    rows = [(g, i, v) for g, vs in groups.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    wc = Window.partitionBy("g")
+    s = df.select(
+        "g",
+        "v",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+
+    def hit(num, den, off):
+        k = F.expr(f"({num} * (n - 1)) div {den}")
+        return F.max(F.when(F.col("rn") == k + off, F.col("v")))
+
+    agg = s.groupBy("g").agg(
+        F.max("n").alias("n"),
+        hit(1, 2, 1).alias("a50"),
+        hit(1, 2, 2).alias("b50"),
+        hit(9, 10, 1).alias("a90"),
+        hit(9, 10, 2).alias("b90"),
+    )
+
+    def interp(a, b, num, den):
+        frac = ((F.lit(num) * (F.col("n") - 1)) % den) / float(den)
+        return (F.col(a) + (F.coalesce(F.col(b), F.col(a)) - F.col(a)) * frac) / 100.0
+
+    out = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in agg.select(
+            "g",
+            interp("a50", "b50", 1, 2).alias("p50"),
+            interp("a90", "b90", 9, 10).alias("p90"),
+        ).collect()
+    }
+    for g, vs in groups.items():
+        assert out[g][0] == _naive_pctl(vs, 1, 2), g
+        assert out[g][1] == _naive_pctl(vs, 9, 10), g
