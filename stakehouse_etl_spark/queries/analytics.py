@@ -607,3 +607,88 @@ def a_stats_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(var_num) * F.sqrt(vary_num))
         ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) with deterministic tie-break
+# ---------------------------------------------------------------------------
+@register(
+    "a_mode_kernel",
+    tags=("A6", "mode"),
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY cnt DESC, q ASC) AS BIGINT) AS rn
+  FROM c
+)
+SELECT l_returnflag, q AS mode_qty, cnt AS mode_count FROM r WHERE rn = 1
+""",
+)
+def a_mode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a DETERMINISTIC
+    tie-break (count DESC, value ASC) — built-in ``mode()`` leaves
+    ties engine/order-dependent, which can never hash-match; the
+    count + row_number kernel always does. Two aggregations, the
+    second over the tiny count table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("q"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (integer bucket math)
+# ---------------------------------------------------------------------------
+@register(
+    "a_histogram_fixed_width",
+    tags=("A5", "histogram"),
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v_c FROM orders
+), bounds AS (
+  SELECT min(v_c) AS lo, max(v_c) AS hi FROM v
+)
+SELECT CAST((v_c - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v_c) AS BIGINT) / 100.0 AS bucket_min,
+       CAST(max(v_c) AS BIGINT) / 100.0 AS bucket_max
+FROM v, bounds
+GROUP BY 1 ORDER BY 1
+""",
+)
+def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bucket histogram of order value — the data-
+    exploration primitive. Bucket assignment is pure integer math
+    ((v−lo)·10 div (hi−lo+1): exact, no float boundary can disagree),
+    with the global bounds as a 1-row broadcast. One pass + one tiny
+    regroup; at 100 TB this is a scan plus a 10-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v_c"))
+    bounds = v.agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("(v_c - lo) * 10 div (hi - lo + 1)").alias("bucket"), "v_c"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("v_c") / 100.0).alias("bucket_min"),
+            (F.max("v_c") / 100.0).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )

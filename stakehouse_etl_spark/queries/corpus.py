@@ -23,7 +23,12 @@ from stakehouse_etl_spark.operators.text import (
     quality_features,
     tokens,
 )
-from stakehouse_etl_spark.queries.datapipe import _EN, _TOKS
+from stakehouse_etl_spark.queries.datapipe import (
+    _EN,
+    _JACCARD_CTE as _JACCARD_CTE_REF,
+    _SHINGLES_CTE as _SHINGLES_CTE_REF,
+    _TOKS,
+)
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -329,4 +334,51 @@ def a_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_approx") - F.col("n_exact"))
             <= F.col("n_exact") * 0.10
         ).alias("approx_within_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein verification tier over candidate pairs
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_levenshtein_pairs",
+    tags=("dedup", "levenshtein"),
+    oracle=f"""
+WITH {{shingles}}, {{jaccard}},
+cand AS (SELECT id_a, id_b FROM j WHERE inter * 100 >= union_sz * 20)
+SELECT id_a, id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) * 1.0
+         / greatest(length(a.text), length(b.text)) AS edit_ratio
+FROM cand
+JOIN documents a ON a.doc_id = id_a
+JOIN documents b ON b.doc_id = id_b
+""".format(
+        shingles=_SHINGLES_CTE_REF, jaccard=_JACCARD_CTE_REF
+    ),
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier: exact Levenshtein (JVM
+    built-in, integers — hash-exact across engines) computed ONLY on
+    the near-dup candidate pairs, never all-pairs (Levenshtein is
+    O(len²) per pair; the candidate set is what makes it affordable,
+    the same candidates-only discipline as the MinHash verify stage).
+    edit_ratio normalizes by the longer text in one exact division."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_dist"),
+            (
+                dist.cast("long") * 1.0
+                / F.greatest(F.length("text_a"), F.length("text_b"))
+            ).alias("edit_ratio"),
+        )
     )
