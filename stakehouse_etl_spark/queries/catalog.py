@@ -40,6 +40,10 @@ try:  # repetition metrics / PII redaction / corpus-clean pipeline
     from stakehouse_etl_spark.queries import corpus  # noqa: F401,E402
 except ImportError:
     pass
+try:  # packing / sampling / contamination / ngram LM / kmeans / TWA
+    from stakehouse_etl_spark.queries import pipeline2  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
