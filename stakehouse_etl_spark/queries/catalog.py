@@ -44,6 +44,10 @@ try:  # packing / sampling / contamination / ngram LM / kmeans / TWA
     from stakehouse_etl_spark.queries import pipeline2  # noqa: F401,E402
 except ImportError:
     pass
+try:  # funnel / cohort / SCD2 / range join / source mixing
+    from stakehouse_etl_spark.queries import analytics2  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
