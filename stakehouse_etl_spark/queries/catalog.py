@@ -48,6 +48,10 @@ try:  # funnel / cohort / SCD2 / range join / source mixing
     from stakehouse_etl_spark.queries import analytics2  # noqa: F401,E402
 except ImportError:
     pass
+try:  # pagerank / range-frame rolling / group OLS / vocab overlap
+    from stakehouse_etl_spark.queries import analytics3  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

@@ -90,3 +90,29 @@ def test_no_cartesian_anywhere_in_bench_suite(spark):
         except Exception as e:  # pragma: no cover - sink queries need dirs
             pytest.skip(f"{name}: {e}")
         assert "CartesianProduct" not in plan, name
+
+
+def test_funnel_single_shuffle(spark):
+    # Three chained whole-partition MIN windows share one user_id
+    # exchange; the final groupBy(user_id) reuses it too.
+    plan = plan_of(spark, "ts_funnel_conversion")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_scd2_single_shuffle(spark):
+    # lag-filter-lead/row_number all on (user_id; ts, event_id):
+    # exchange AND sort reused across the windows.
+    plan = plan_of(spark, "ts_scd2_history")
+    assert count_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_rolling_range_single_shuffle(spark):
+    plan = plan_of(spark, "ts_rolling_1h_range")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_ols_trend_single_shuffle(spark):
+    # row_number window and the moment groupBy both cluster on user_id.
+    plan = plan_of(spark, "ml_group_ols_trend")
+    assert count_exchanges(plan) == 1, plan
