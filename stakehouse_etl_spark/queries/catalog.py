@@ -52,6 +52,10 @@ try:  # pagerank / range-frame rolling / group OLS / vocab overlap
     from stakehouse_etl_spark.queries import analytics3  # noqa: F401,E402
 except ImportError:
     pass
+try:  # z-order / partition pruning / vocab coverage
+    from stakehouse_etl_spark.queries import layout  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
