@@ -42,6 +42,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_funnel_conversion",
     tags=("timeseries", "funnel", "window"),
+    bench=True,
     oracle="""
 WITH s AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
@@ -250,6 +251,7 @@ def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j11_range_join_bucketed",
     tags=("join", "range", "bucketed"),
+    bench=True,
     oracle=f"""
 WITH s AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events

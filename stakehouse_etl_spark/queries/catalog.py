@@ -56,6 +56,10 @@ try:  # z-order / partition pruning / vocab coverage
     from stakehouse_etl_spark.queries import layout  # noqa: F401,E402
 except ImportError:
     pass
+try:  # heavy-hitters contract / equi-depth histogram
+    from stakehouse_etl_spark.queries import approx2  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

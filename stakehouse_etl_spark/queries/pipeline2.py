@@ -39,6 +39,7 @@ _PACK_BUCKET = 64  # docs per prefix-sum bucket (scale: ~#docs/64 bucket rows)
 @register(
     "corpus_pack_sequences",
     tags=("corpus", "packing", "window"),
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
