@@ -367,34 +367,16 @@ def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     One groupBy over the corpus does all the heavy lifting map-side;
     everything after operates on the #sources-row table, where global
     windows are free. Pure BIGINT arithmetic end-to-end."""
+    from stakehouse_etl_spark.operators.alloc import largest_remainder_alloc
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
     )
-    w_all = Window.partitionBy()
-    g = t.select(
-        "source",
-        "n_tok",
-        F.sum("n_tok").over(w_all).cast("long").alias("total"),
-    ).select(
-        "source",
-        "n_tok",
-        F.expr(f"({MIX_BUDGET} * n_tok) div total").alias("base_alloc"),
-        ((F.lit(MIX_BUDGET) * F.col("n_tok")) % F.col("total")).alias("rem"),
-    )
-    r = g.select(
-        "*",
-        (F.lit(MIX_BUDGET) - F.sum("base_alloc").over(w_all)).alias("leftover"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("rem"), F.asc("source")))
-        .cast("long")
-        .alias("rnk"),
-    )
-    extra = F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
-    return r.select(
-        "source",
-        "n_tok",
+    return largest_remainder_alloc(t, "source", "n_tok", MIX_BUDGET).select(
+        F.col("key").alias("source"),
+        F.col("weight").alias("n_tok"),
         "base_alloc",
-        extra.cast("long").alias("extra"),
-        (F.col("base_alloc") + extra).cast("long").alias("final_alloc"),
+        "extra",
+        "final_alloc",
     )

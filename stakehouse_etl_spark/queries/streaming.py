@@ -780,3 +780,108 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel (sequence detection / CEP across micro-batches)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_funnel_stages",
+    tags=("streaming", "state", "funnel", "applyInPandasWithState"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END) OVER cum AS fv
+  FROM s
+  WINDOW cum AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > fv
+                     THEN ts_us END) OVER cum AS fc
+  FROM v
+  WINDOW cum AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > fc
+                     THEN ts_us END) OVER cum AS fp
+  FROM c
+  WINDOW cum AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us,
+       fv AS first_view_us, fc AS first_click_us, fp AS first_purchase_us,
+       CAST(CASE WHEN fp IS NOT NULL THEN 3
+                 WHEN fc IS NOT NULL THEN 2
+                 WHEN fv IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM p
+""",
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence detection (view → click → purchase) as a REAL custom
+    stateful streaming operator: events arrive in three time-ordered
+    micro-batches; per-user funnel state (three first-reach
+    timestamps) carries across triggers via ``applyInPandasWithState``
+    and each event emits the funnel state at that stream position.
+    The oracle is the batch cumulative-window recompute — for every
+    prefix of the stream, stream state == batch state, the strongest
+    streaming/batch equivalence statement (not just final-row
+    equality). The final row per user equals ``ts_funnel_conversion``
+    (queries/analytics2.py), its batch twin."""
+    from stakehouse_etl_spark.streaming.structured import streaming_funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    row = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us, hi_us = row[0].timestamp() * 1e6, row[1].timestamp() * 1e6
+    span = (hi_us - lo_us) / 3
+
+    workdir = tempfile.mkdtemp(prefix="funnel_src_")
+    qname = "funnel_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        cut1, cut2 = int(lo_us + span), int(lo_us + 2 * span)
+        ranges = [  # half-open, disjoint, exhaustive
+            (-(1 << 62), cut1),
+            (cut1, cut2),
+            (cut2, (1 << 62)),
+        ]
+        for i, (lo_cut, hi_cut) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.unix_micros("ts") >= F.lit(lo_cut))
+                & (F.unix_micros("ts") < F.lit(hi_cut))
+            )
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

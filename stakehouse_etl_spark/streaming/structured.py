@@ -192,3 +192,101 @@ def streaming_cumulative_income(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("fv_us", LongType()),  # -1 sentinel = not reached
+        StructField("fc_us", LongType()),
+        StructField("fp_us", LongType()),
+    ]
+)
+
+_FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("fv_us", LongType()),  # -1 sentinel, mapped to NULL outside
+        StructField("fc_us", LongType()),
+        StructField("fp_us", LongType()),
+    ]
+)
+
+
+def _funnel_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key funnel progress (view -> click -> purchase) across
+    micro-batches — sequence detection (CEP) as a custom stateful
+    operator. State = the three first-reach timestamps, -1 until
+    reached; a stage only advances on an event STRICTLY after the
+    previous stage's timestamp, so out-of-order stage completions
+    never count (the property a per-type MIN pivot gets wrong).
+    Integer epoch-micros only; -1 sentinels keep the Arrow transfer
+    null-free (mapped to NULL by the caller)."""
+    fv, fc, fp = state.get if state.exists else (-1, -1, -1)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, event_id, etype in zip(
+            pdf["ts_us"].to_numpy(), pdf["event_id"].to_numpy(), pdf["event_type"]
+        ):
+            ts_us = int(ts_us)
+            if etype == "view" and fv < 0:
+                fv = ts_us
+            elif etype == "click" and fc < 0 and fv >= 0 and ts_us > fv:
+                fc = ts_us
+            elif etype == "purchase" and fp < 0 and fc >= 0 and ts_us > fc:
+                fp = ts_us
+            out.append((key[0], int(event_id), ts_us, fv, fc, fp))
+    state.update((fv, fc, fp))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_us", "fv_us", "fc_us", "fp_us"],
+        )
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Funnel/sequence detection as a custom stateful streaming
+    operator (``applyInPandasWithState``): per-user first-view /
+    first-click-after-view / first-purchase-after-click timestamps
+    maintained across micro-batches, emitted per event (append mode —
+    each event row carries the funnel state at that point of the
+    stream, so the final row per user is the completed funnel).
+
+    At scale: state is 3 longs per key; the shuffle clusters on
+    user_id exactly like the batch funnel's window exchange. Time
+    order across triggers comes from the source (time-split files
+    here; Kafka partition-time ordering in production) — the same
+    prerequisite the reference's incremental income runner has."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    raw = prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_state_fn,
+        outputStructType=_FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    null_if_unset = lambda c: F.when(F.col(c) >= 0, F.col(c))  # noqa: E731
+    stage = (
+        F.when(F.col("fp_us") >= 0, 3)
+        .when(F.col("fc_us") >= 0, 2)
+        .when(F.col("fv_us") >= 0, 1)
+        .otherwise(0)
+    )
+    return raw.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        null_if_unset("fv_us").alias("first_view_us"),
+        null_if_unset("fc_us").alias("first_click_us"),
+        null_if_unset("fp_us").alias("first_purchase_us"),
+        stage.cast("long").alias("funnel_stage"),
+    )

@@ -205,3 +205,42 @@ def test_streaming_watermark_drops_too_late_rows(spark, workdir):
     }
     midnight_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
     assert got == {(midnight_us, "a"): (2, 3.5)}
+
+
+def test_stream_funnel_final_rows_equal_batch_funnel(spark, sf_dir):
+    """The stateful streaming funnel's last emitted row per user must
+    equal the batch funnel query (ts_funnel_conversion) — the
+    streaming/batch equivalence contract for sequence detection."""
+    from stakehouse_etl_spark.queries.analytics2 import ts_funnel_conversion
+    from stakehouse_etl_spark.queries.streaming import stream_funnel_stages
+
+    stream_rows = stream_funnel_stages(spark, sf_dir).collect()
+    last = {}
+    for r in stream_rows:
+        key = (r["ts_us"], r["event_id"])
+        if r["user_id"] not in last or key > (
+            last[r["user_id"]]["ts_us"],
+            last[r["user_id"]]["event_id"],
+        ):
+            last[r["user_id"]] = r
+    batch = {r["user_id"]: r for r in ts_funnel_conversion(spark, sf_dir).collect()}
+    assert set(last) == set(batch)
+    for uid, s in last.items():
+        b = batch[uid]
+        assert (
+            s["first_view_us"],
+            s["first_click_us"],
+            s["first_purchase_us"],
+            s["funnel_stage"],
+        ) == (
+            b["first_view_us"],
+            b["first_click_us"],
+            b["first_purchase_us"],
+            b["funnel_stage"],
+        ), uid
+    # Stages only ever advance along the stream.
+    per_user = {}
+    for r in sorted(stream_rows, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        prev = per_user.get(r["user_id"], 0)
+        assert r["funnel_stage"] >= prev
+        per_user[r["user_id"]] = r["funnel_stage"]
