@@ -296,3 +296,62 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtree rollup (BOM / org-chart aggregation)
+# ---------------------------------------------------------------------------
+TREE_MAX_DEPTH = 30  # covers 2^30 nodes; ancestors beyond collapse to root 0
+
+
+@register(
+    "graph_tree_rollup",
+    tags=("graph", "hierarchy", "rollup"),
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+),
+anc AS (
+  SELECT doc_id AS node, doc_id, n_tok FROM t
+  UNION ALL
+  SELECT node // 2, doc_id, n_tok FROM anc WHERE node >= 1
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(sum(n_tok) AS BIGINT) AS subtree_tok
+FROM anc GROUP BY node
+""",
+)
+def graph_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM / org-chart) subtree aggregation over the
+    implicit binary tree ``parent(n) = n div 2``: for every node, the
+    descendant-or-self count and total token mass of its subtree.
+
+    The recursive-join formulation (the oracle's recursive CTE) walks
+    the tree a level per iteration — a join chain as deep as the
+    hierarchy. The scale shape used here instead: each row EMITS its
+    whole ancestor path arithmetically (``array_distinct`` of
+    ``doc_id >> i``, depth ≤ 30 — fixed-size, no joins at all), one
+    explode (fan-out = tree depth ≈ log₂ N), one shuffle (groupBy
+    ancestor). Works for any encodable hierarchy (materialized-path /
+    dewey keys); depth-skew lands on the root's partition exactly like
+    a grand-total does — two-stage agg (operators/skew.py) is the
+    fallback. All counts BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    ancestors = F.expr(
+        f"array_distinct(transform(sequence(0, {TREE_MAX_DEPTH}),"
+        " i -> shiftright(doc_id, i)))"
+    )
+    return (
+        t.select(F.explode(ancestors).alias("node"), "n_tok")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            F.sum("n_tok").cast("long").alias("subtree_tok"),
+        )
+    )

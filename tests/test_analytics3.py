@@ -120,3 +120,28 @@ def test_vocab_overlap_matches_naive(spark, sf_dir):
             g = got[(a, b)]
             assert (g["inter"], g["union_sz"]) == (inter, union)
             assert abs(g["jaccard"] - inter / union) < 1e-12
+
+
+def test_tree_rollup_recurrence(spark, sf_dir):
+    """Subtree totals must satisfy the tree recurrence:
+    subtree(p) = own(p) + subtree(2p) + subtree(2p+1)."""
+    import re as _re
+
+    from stakehouse_etl_spark.queries.analytics3 import graph_tree_rollup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    own = {
+        r["doc_id"]: len(_re.split(r"\s+", r["text"].strip().lower())) for r in docs
+    }
+    got = {
+        r["node"]: (r["n_desc"], r["subtree_tok"])
+        for r in graph_tree_rollup(spark, sf_dir).collect()
+    }
+    # Root covers every document exactly once.
+    assert got[0] == (len(own), sum(own.values()))
+    for node, (n_desc, tok) in got.items():
+        child_desc = sum(got[c][0] for c in (2 * node, 2 * node + 1) if c in got and node > 0)
+        child_tok = sum(got[c][1] for c in (2 * node, 2 * node + 1) if c in got and node > 0)
+        if node > 0:
+            assert n_desc == (1 if node in own else 0) + child_desc, node
+            assert tok == own.get(node, 0) + child_tok, node

@@ -116,3 +116,11 @@ def test_ols_trend_single_shuffle(spark):
     # row_number window and the moment groupBy both cluster on user_id.
     plan = plan_of(spark, "ml_group_ols_trend")
     assert count_exchanges(plan) == 1, plan
+
+
+def test_tree_rollup_single_shuffle_no_join(spark):
+    # Ancestor-path explosion: the whole hierarchy rollup is one
+    # explode + one aggregation exchange — no join, no iteration.
+    plan = plan_of(spark, "graph_tree_rollup")
+    assert count_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
