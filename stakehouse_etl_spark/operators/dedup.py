@@ -230,6 +230,119 @@ def minhash_lsh_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """Tier-2b: exact Jaccard similarity join via PREFIX FILTERING
+    (the AllPairs/PPJoin family of set-similarity joins).
+
+    Order each doc's shingles rarest-first (ascending corpus document
+    frequency, ties by shingle text — one deterministic global order).
+    Any pair with Jaccard >= t must agree on at least one shingle
+    within each side's first ``n - ceil(t*n) + 1`` shingles
+    (pigeonhole: a pair sharing none of either prefix has intersection
+    <= n - p < ceil(t*n) <= t*union). So the candidate self-join runs
+    only on the rare prefix shingles — at 100 TB this is the reason
+    the join is feasible at high thresholds without LSH's false
+    negatives: high-frequency shingles (the quadratic blowup in the
+    naive shingle self-join) never enter the join, and the frequency
+    ordering makes the surviving prefix postings lists the shortest
+    ones. Verification then intersects full shingle sets for candidate
+    pairs only (array_intersect on per-doc sorted arrays).
+
+    The threshold compare is integer cross-multiplied; equality with
+    the exact all-pairs oracle is the losslessness proof.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, text_col, id_col, k)
+    # Corpus-wide document frequency per shingle (the prefix ordering).
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle")
+    per_doc = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = ranked.withColumn("pos", F.row_number().over(per_doc)).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer form.
+    ceil_tn = (F.col("n_sh") * threshold_pct + 99) / 100
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - ceil_tn.cast("long") + 1
+    ).select(id_col, "shingle")
+    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    candidates = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Near-superset detection: max-containment |A∩B| / min(|A|,|B|).
+
+    Jaccard misses the case where a short doc is wholly contained in a
+    long one (union is dominated by the long side); containment is the
+    standard complement in training-corpus dedup. Same shingle-join
+    shape as :func:`jaccard_pairs`, integer threshold compare.
+    """
+    sh = doc_shingles(df, text_col, id_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("min_sz", F.least("n_a", "n_b"))
+        .filter(F.col("inter") * 100 >= F.col("min_sz") * threshold_pct)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("min_sz")).alias("containment"),
+        )
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -60,6 +60,10 @@ try:  # heavy-hitters contract / equi-depth histogram
     from stakehouse_etl_spark.queries import approx2  # noqa: F401,E402
 except ImportError:
     pass
+try:  # prefix-filter similarity join / containment / CDC / anomaly / PPS
+    from stakehouse_etl_spark.queries import pipeline3  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

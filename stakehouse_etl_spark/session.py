@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps without isAdjustedToUTC must still read as
+        # TIMESTAMP (LTZ, UTC session) — NTZ breaks unix_micros()/window()
+        # parity with the DuckDB oracle's naive-UTC timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast joins for dimension tables up to 64 MB; at 100 TB the
         # fact side never broadcasts but dims (region/nation/index maps) do.
@@ -51,6 +55,10 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     session-TZ, DuckDB's are UTC-naive).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # conf may not exist on older Spark; LTZ is then the default
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
