@@ -93,7 +93,14 @@ def jaccard_pairs(
     disagree between engines. Quadratic in per-shingle frequency: fine
     as ground truth / within LSH buckets, not the 100 TB primary path.
     """
-    sh = doc_shingles(df, text_col, id_col, k)
+    from pyspark.storagelevel import StorageLevel
+
+    # Three consumers (counts + both join sides) — persist or the
+    # tokenize/shingle/md5 subtree runs 3× (same trap as in
+    # minhash_lsh_pairs).
+    sh = doc_shingles(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -258,8 +265,13 @@ def prefix_filter_jaccard_pairs(
     the exact all-pairs oracle is the losslessness proof.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    sh = doc_shingles(df, text_col, id_col, k)
+    # Consumed by the frequency count, the ranked prefix, and the
+    # verification sets — persist against triple recompute.
+    sh = doc_shingles(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "shingle")
@@ -318,7 +330,11 @@ def containment_pairs(
     standard complement in training-corpus dedup. Same shingle-join
     shape as :func:`jaccard_pairs`, integer threshold compare.
     """
-    sh = doc_shingles(df, text_col, id_col, k)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -46,6 +46,11 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # Labels only ever DECREASE under min-propagation, so "no label
+    # changed" ⇔ "the global label sum is unchanged" — a one-row agg
+    # over the just-checkpointed labels, much cheaper than the
+    # join-old-vs-new convergence check (one fewer shuffle per pass).
+    prev_sum = None
     for _ in range(max_iter):
         neighbor = (
             sym.join(labels, sym.b == labels.node)
@@ -58,14 +63,9 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

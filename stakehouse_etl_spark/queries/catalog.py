@@ -64,6 +64,10 @@ try:  # prefix-filter similarity join / containment / CDC / anomaly / PPS
     from stakehouse_etl_spark.queries import pipeline3  # noqa: F401,E402
 except ImportError:
     pass
+try:  # DQ audit / rolling distinct / PMI / int8 quantize / as-of tolerance
+    from stakehouse_etl_spark.queries import pipeline4  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

@@ -246,7 +246,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    surv = qdocs.join(F.broadcast(canon), "doc_id", "left_semi")
+    from pyspark.storagelevel import StorageLevel
+
+    # Survivors feed the Jaccard edge build AND the final anti-join —
+    # persist so the quality-filter scan doesn't run twice.
+    surv = qdocs.join(F.broadcast(canon), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")
     dropped = comp.filter(F.col("component") < F.col("node")).select(
