@@ -56,11 +56,29 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", "component")
             .union(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # Pointer jump (path doubling): follow node -> component one more
+        # hop, so label distance DOUBLES per pass — convergence in
+        # O(log diameter) instead of O(diameter). A 1000-node chain
+        # resolves in ~10 passes, not 1000; shallow near-dup clusters
+        # still converge in 2-3. One extra self-join on the (small)
+        # label table per pass.
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.component == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]

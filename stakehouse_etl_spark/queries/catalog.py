@@ -68,6 +68,10 @@ try:  # DQ audit / rolling distinct / PMI / int8 quantize / as-of tolerance
     from stakehouse_etl_spark.queries import pipeline4  # noqa: F401,E402
 except ImportError:
     pass
+try:  # knn precision@10 / langid confusion / grouping sets
+    from stakehouse_etl_spark.queries import pipeline5  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
