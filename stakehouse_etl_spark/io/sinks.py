@@ -66,6 +66,48 @@ def _write(df: DataFrame, path: str, partition_cols: list[str] | None) -> None:
     writer.parquet(path)
 
 
+def write_cdc(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_val: str = "D",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Apply one CDC batch (upserts + delete tombstones) to the table.
+
+    Within the batch the LAST op per key (by ``seq_cols``) decides:
+    delete removes the key, anything else upserts the row. Same
+    single-shuffle merge shape as :func:`write_upsert`, plus one
+    anti-join for the tombstones — the plain-Parquet rendering of
+    Delta ``MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE``.
+    Batches must be applied in change order (the streaming foreachBatch
+    contract guarantees it).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+    compact = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = compact.filter(F.col(op_col) != delete_val).drop(op_col)
+    dels = compact.filter(F.col(op_col) == delete_val).select(*keys)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    if existing is not None:
+        base = existing.join(dels, keys, "left_anti")
+        merged = _merge(base, ups, keys, keep="incoming")
+        if not partition_cols:
+            merged = spark.createDataFrame(merged.collect(), merged.schema)
+    else:
+        merged = ups
+    _write(merged, path, partition_cols)
+
+
 def write_upsert(
     spark: SparkSession,
     incoming: DataFrame,

@@ -72,6 +72,14 @@ try:  # knn precision@10 / langid confusion / grouping sets
     from stakehouse_etl_spark.queries import pipeline5  # noqa: F401,E402
 except ImportError:
     pass
+try:  # bloom prefilter join / schema evolution / streaming CDC
+    from stakehouse_etl_spark.queries import pipeline6  # noqa: F401,E402
+except ImportError:
+    pass
+try:  # intersect-all / OHLC resample / incremental agg merge
+    from stakehouse_etl_spark.queries import pipeline7  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
