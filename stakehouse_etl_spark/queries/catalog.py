@@ -80,6 +80,10 @@ try:  # intersect-all / OHLC resample / incremental agg merge
     from stakehouse_etl_spark.queries import pipeline7  # noqa: F401,E402
 except ImportError:
     pass
+try:  # SCD2 point-in-time join / n-gram novelty
+    from stakehouse_etl_spark.queries import pipeline8  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

@@ -124,3 +124,36 @@ def test_tree_rollup_single_shuffle_no_join(spark):
     plan = plan_of(spark, "graph_tree_rollup")
     assert count_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_prefilter_broadcasts_both_sides(spark):
+    # The bucket set and the exact key set must both reach the probe
+    # side as broadcasts: the orders scan flows through two
+    # BroadcastHashJoin LeftSemi with NO shuffle before the final agg.
+    plan = plan_of(spark, "j13_bloom_prefilter_join")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ohlc_single_shuffle_no_window(spark):
+    # min_by/max_by fold open/close into the grouped pass: one exchange
+    # (the groupBy), zero Window operators.
+    plan = plan_of(spark, "ts_resample_ohlc")
+    assert count_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_asof_tolerance_single_shuffle(spark):
+    # Union-timeline as-of: both inputs union THEN shuffle once on
+    # user_id for the window; no join operator at all.
+    plan = plan_of(spark, "j12_asof_tolerance")
+    assert count_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    # GROUPING SETS must plan as one Expand + aggregate, not N scans.
+    plan = plan_of(spark, "a_grouping_sets")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    # customer+nation+region scanned once each — no per-set rescan.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3, plan
