@@ -84,6 +84,10 @@ try:  # SCD2 point-in-time join / n-gram novelty
     from stakehouse_etl_spark.queries import pipeline8  # noqa: F401,E402
 except ImportError:
     pass
+try:  # small-file compaction / PQ codebook
+    from stakehouse_etl_spark.queries import pipeline9  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
