@@ -88,6 +88,10 @@ try:  # small-file compaction / PQ codebook
     from stakehouse_etl_spark.queries import pipeline9  # noqa: F401,E402
 except ImportError:
     pass
+try:  # Welch t / triangle count / percent-of-total
+    from stakehouse_etl_spark.queries import pipeline10  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
