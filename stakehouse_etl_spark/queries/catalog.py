@@ -92,6 +92,10 @@ try:  # Welch t / triangle count / percent-of-total
     from stakehouse_etl_spark.queries import pipeline10  # noqa: F401,E402
 except ImportError:
     pass
+try:  # count-min sketch / freshness / dedup rate / calibration
+    from stakehouse_etl_spark.queries import pipeline11  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
