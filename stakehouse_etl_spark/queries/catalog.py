@@ -96,6 +96,10 @@ try:  # count-min sketch / freshness / dedup rate / calibration
     from stakehouse_etl_spark.queries import pipeline11  # noqa: F401,E402
 except ImportError:
     pass
+try:  # drill-across / chi2 drift / write-audit-publish
+    from stakehouse_etl_spark.queries import pipeline12  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
