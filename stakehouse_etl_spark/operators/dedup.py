@@ -152,6 +152,49 @@ def minhash_signatures(
     return _signatures_from_shingles(doc_shingles(df, text_col, id_col, k), id_col)
 
 
+def _band_candidates(sh: DataFrame, id_col: str) -> DataFrame:
+    """LSH band-join candidate pairs from an exploded shingle table."""
+    sig = _signatures_from_shingles(sh, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{bi * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        ca.join(cb, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Unverified LSH candidate pairs (for recall evaluation of the
+    banding scheme against the exact join)."""
+    return _band_candidates(doc_shingles(df, text_col, id_col, k), id_col)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,35 +222,7 @@ def minhash_lsh_pairs(
     sh = doc_shingles(df, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = _signatures_from_shingles(sh, id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{bi * LSH_ROWS + r}").cast("string")
-                            for r in range(LSH_ROWS)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
-        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    )
-    ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    candidates = (
-        ca.join(cb, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidates = _band_candidates(sh, id_col)
     # Exact-verify CANDIDATES ONLY: route each candidate pair's two
     # shingle streams into one equi-joined intersection count. Work is
     # O(candidates × shingles/doc) — the corpus-wide all-pairs join of

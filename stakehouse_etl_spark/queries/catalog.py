@@ -100,6 +100,10 @@ try:  # drill-across / chi2 drift / write-audit-publish
     from stakehouse_etl_spark.queries import pipeline12  # noqa: F401,E402
 except ImportError:
     pass
+try:  # LSH eval / exact AUC / gopher rules
+    from stakehouse_etl_spark.queries import pipeline13  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():

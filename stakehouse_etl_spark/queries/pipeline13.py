@@ -1,0 +1,242 @@
+"""Data-pipeline queries, wave 13: sketch-tier evaluation (LSH
+precision/recall), exact ROC-AUC, and the Gopher quality-rule suite.
+
+These close the loop on tiers built earlier: the LSH eval scores the
+approximate dedup path against its own exact ground truth; AUC scores
+the quality heuristic as a classifier; the rule suite consolidates
+the Gopher-style per-rule violation counts a corpus refresh reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.queries.datapipe import (
+    _JACCARD_CTE,
+    _SHINGLES_CTE,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+)
+from stakehouse_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# LSH candidate precision / recall vs the exact join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_eval_pr",
+    tags=("dedup", "lsh", "eval"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE},
+exact AS (SELECT id_a, id_b FROM j WHERE inter * 100 >= union_sz * 20),
+tp AS (SELECT count(*) AS n FROM exact JOIN cand USING (id_a, id_b))
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM tp) AS BIGINT) AS n_tp,
+       CAST((SELECT n FROM tp) AS DOUBLE)
+         / (SELECT count(*) FROM cand) AS precision,
+       CAST((SELECT n FROM tp) AS DOUBLE)
+         / (SELECT count(*) FROM exact) AS recall
+""",
+)
+def dedup_lsh_eval_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the LSH banding scheme itself: candidate pairs
+    from the 4×4 band join scored against the exact Jaccard >= 0.2
+    join — precision (how much verification work the candidates cost)
+    and recall (what the sketch missed; banding has false negatives by
+    design, and THIS query is the observability for tuning
+    bands × rows at 100 TB). Every tier of the dedup ladder now has
+    its quality measured by the tier below it.
+    """
+    from stakehouse_etl_spark.operators.dedup import jaccard_pairs, lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    cand = lsh_candidates(docs)
+    n_exact = exact.count()
+    n_cand = cand.count()
+    n_tp = exact.join(cand, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, n_cand, n_tp, n_tp / n_cand, n_tp / n_exact)],
+        "n_exact long, n_candidates long, n_tp long, precision double, recall double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the rank-sum (Mann-Whitney U) identity
+# ---------------------------------------------------------------------------
+
+
+def _auc_sql() -> str:
+    from stakehouse_etl_spark.operators.text import STOPWORDS_EN
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                  text FROM documents),
+f AS (
+  SELECT doc_id, lang, len(toks) AS n_tok, length(text) AS n_chars,
+         len(list_filter(toks, x -> x IN ({en}))) AS stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM t
+),
+scored AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         0.4 * least(1.0, n_tok / 100.0)
+           + 0.3 * (stop / n_tok)
+           + 0.3 * (1.0 - least(1.0, punct / n_chars * 5)) AS score
+  FROM f
+),
+r AS (
+  SELECT pos,
+         row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rnk
+  FROM scored
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS BIGINT) AS rank_sum,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - pos) AS BIGINT) AS n_neg
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST(rank_sum - n_pos * (n_pos + 1) / 2 AS BIGINT) AS u_stat,
+       CAST(rank_sum - n_pos * (n_pos + 1) / 2 AS DOUBLE) / (n_pos * n_neg)
+         AS auc
+FROM agg
+"""
+
+
+@register("ml_auc_exact", tags=("ml", "eval", "auc"), oracle=_auc_sql())
+def ml_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score as an English-detector, via
+    the Mann-Whitney rank-sum identity AUC = U / (n+ · n−): one global
+    rank over (score, doc_id) — the deterministic tiebreak makes the
+    statistic bit-reproducible; scores share the IEEE expression tree
+    with the oracle so every rank agrees. Integer rank sums, one final
+    division. (Scale note: the global sort is the same cost class as
+    any total-order ranking — at 100 TB use range-partitioned rank
+    with per-partition offsets, the corpus_pack_sequences two-phase
+    pattern.)
+    """
+    from stakehouse_etl_spark.operators.text import quality_features
+
+    scored = quality_features(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        "quality_score",
+    )
+    w = Window.orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    r = scored.withColumn("rnk", F.row_number().over(w))
+    agg = r.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0)).alias(
+            "rank_sum"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    u = F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        u.cast("long").alias("u_stat"),
+        (u.cast("double") / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule suite (integer-exact rule engine)
+# ---------------------------------------------------------------------------
+
+
+def _gopher_sql() -> str:
+    from stakehouse_etl_spark.operators.text import STOPWORDS_EN
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks, text FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_filter(toks, x -> x IN ({en}))) AS stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM t
+),
+flags AS (
+  SELECT doc_id,
+         CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS r_length,
+         CASE WHEN n_alpha < 3 * n_tok OR n_alpha > 10 * n_tok THEN 1 ELSE 0 END
+           AS r_word_len,
+         CASE WHEN punct * 10 > n_chars THEN 1 ELSE 0 END AS r_symbols,
+         CASE WHEN stop < 2 THEN 1 ELSE 0 END AS r_stopwords
+  FROM f
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'length' AS rule, sum(r_length) AS n_violations FROM flags
+  UNION ALL SELECT 'word_len', sum(r_word_len) FROM flags
+  UNION ALL SELECT 'symbols', sum(r_symbols) FROM flags
+  UNION ALL SELECT 'stopwords', sum(r_stopwords) FROM flags
+  UNION ALL SELECT 'all_pass',
+    sum(CASE WHEN r_length + r_word_len + r_symbols + r_stopwords = 0
+             THEN 1 ELSE 0 END) FROM flags
+)
+""".format(toks="regexp_split_to_array(lower(trim(text)), '\\s+')")
+
+
+@register("corpus_gopher_rules", tags=("corpus", "quality", "rules"), oracle=_gopher_sql())
+def corpus_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule suite as an integer-exact rule
+    engine: token-count bounds, mean-word-length bounds (compared
+    cross-multiplied — ``n_alpha < 3·n_tok`` instead of a float mean),
+    symbol ratio, and minimum stopword hits, each reported as a
+    violation count plus the all-rules-pass total. One scan, one tiny
+    aggregate; adding a rule adds a column, not a pass (same economics
+    as the DQ audit).
+    """
+    from stakehouse_etl_spark.operators.text import (
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop = stopword_count(F.col("text"))
+    punct = punct_count(F.col("text"))
+    f = docs.select(
+        ((n_tok < 50) | (n_tok > 100000)).cast("int").alias("r_length"),
+        ((n_alpha < 3 * n_tok) | (n_alpha > 10 * n_tok)).cast("int").alias(
+            "r_word_len"
+        ),
+        (punct * 10 > n_chars).cast("int").alias("r_symbols"),
+        (stop < 2).cast("int").alias("r_stopwords"),
+    )
+    agg = f.agg(
+        F.sum("r_length").alias("length"),
+        F.sum("r_word_len").alias("word_len"),
+        F.sum("r_symbols").alias("symbols"),
+        F.sum("r_stopwords").alias("stopwords"),
+        F.sum(
+            F.when(
+                F.col("r_length")
+                + F.col("r_word_len")
+                + F.col("r_symbols")
+                + F.col("r_stopwords")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("all_pass"),
+    )
+    return agg.unpivot([], agg.columns, "rule", "n_violations")
