@@ -104,6 +104,10 @@ try:  # LSH eval / exact AUC / gopher rules
     from stakehouse_etl_spark.queries import pipeline13  # noqa: F401,E402
 except ImportError:
     pass
+try:  # availableNow restart / decimal sums / null-safe join
+    from stakehouse_etl_spark.queries import pipeline14  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
