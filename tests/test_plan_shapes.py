@@ -157,3 +157,20 @@ def test_grouping_sets_single_expand(spark):
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
     # customer+nation+region scanned once each — no per-set rescan.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3, plan
+
+
+def test_null_safe_join_is_hash_not_bnlj(spark):
+    # <=> keys hash like values: must plan as a hash join, never a
+    # nested-loop over the NULL partition.
+    plan = plan_of(spark, "j17_null_safe_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_drill_across_no_fact_to_fact_join(spark):
+    # Both fact tables aggregate BEFORE the dimension merge: the plan
+    # joins aggregated (post-HashAggregate) sides only — a fact-to-fact
+    # row join would multiply measures.
+    plan = plan_of(spark, "j15_drill_across")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
