@@ -108,6 +108,10 @@ try:  # availableNow restart / decimal sums / null-safe join
     from stakehouse_etl_spark.queries import pipeline14  # noqa: F401,E402
 except ImportError:
     pass
+try:  # weighted averages / month-over-month growth
+    from stakehouse_etl_spark.queries import pipeline15  # noqa: F401,E402
+except ImportError:
+    pass
 
 
 def query_map():
