@@ -5,26 +5,47 @@ KEY UPDATE`` (upsert, SURVEY §2.1 K1) and ``INSERT IGNORE`` (keep-first,
 K2), both batched and idempotent so SQS redelivery is safe (T5).
 
 On a Parquet warehouse the equivalent durability contract is
-*deterministic recompute + atomic partition replace*:
+*deterministic recompute + atomic replace*:
 
 - ``write_upsert`` — union incoming rows with the existing table,
   keep the newest row per primary key (``row_number() == 1`` over a
   monotonically increasing ingest version), and atomically replace
-  the affected partitions (dynamic partition overwrite). This is the
+  the table (or just the touched partitions). This is the
   plain-Parquet rendering of Delta ``MERGE INTO``.
 - ``write_insert_ignore`` — same, but keep the *oldest* row per key.
 
+Publish protocol (no driver-side materialization — the merge result is
+never collect()ed):
+
+1. The merged DataFrame is written to a sibling ``<path>.__staging__``
+   directory. The write job reads the CURRENT table files while they
+   are still intact, so self-overwrite is safe without buffering rows
+   through the driver.
+2. Metadata-only renames (Hadoop ``FileSystem.rename``) move the staged
+   output into place: whole-directory swap for unpartitioned tables,
+   per-partition-directory swap for partitioned ones. Renames are
+   O(1) on HDFS and local filesystems; on object stores the same code
+   runs through the store's committer semantics. No data moves twice.
+
 Both writers shuffle once on the primary key; at 100 TB pass
 ``partition_cols`` (e.g. an epoch bucket) so only touched partitions
-rewrite — the whole-table path is for small dims/state only.
+are read, merged, and swapped — the whole-table path is for small
+dims/state only. The only ``collect()`` calls in this module are
+partition *metadata* (distinct partition values / file listings of
+touched partitions), never row data; ``tests/test_sinks_scale.py``
+asserts that contract.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 _VERSION_COL = "__ingest_version"
+_STAGING_SUFFIX = ".__staging__"
+_OLD_SUFFIX = ".__old__"
 
 
 def _merge(
@@ -55,15 +76,124 @@ def _merge(
     )
 
 
-def _write(df: DataFrame, path: str, partition_cols: list[str] | None) -> None:
-    writer = df.write.mode("overwrite")
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` plus the JVM Path constructor —
+    the same rename/delete primitives Spark's own commit protocol uses,
+    so the publish step works on any Hadoop-supported filesystem."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _swap_dir(spark: SparkSession, staging: str, path: str) -> None:
+    """Atomically replace directory ``path`` with ``staging``: rename
+    the old table aside, rename staging in, drop the old. Readers see
+    either the old or the new table, never a mix."""
+    fs, P = _fs(spark, path)
+    old = path.rstrip("/") + _OLD_SUFFIX
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    parent = P(path).getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if fs.exists(P(path)):
+        fs.rename(P(path), P(old))
+    fs.rename(P(staging), P(path))
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+
+
+def _staged_partition_dirs(fs, P, root: str, depth: int) -> list[str]:
+    """Relative ``col=value[/col=value…]`` leaf directories under a
+    staged partitioned write. Listing is partition-metadata-scale."""
+    out: list[str] = []
+
+    def walk(jp, d: int, rel: list[str]) -> None:
+        for st in fs.listStatus(jp):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue
+            r = rel + [name]
+            if d == 1:
+                out.append("/".join(r))
+            else:
+                walk(st.getPath(), d - 1, r)
+
+    walk(P(root), depth, [])
+    return out
+
+
+def _publish(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_cols: list[str] | None,
+    table_exists: bool,
+    drop_dirs: list[str] | None = None,
+) -> None:
+    """Stage ``merged`` next to ``path`` and rename into place.
+
+    Unpartitioned (or first write): whole-directory swap. Partitioned
+    incremental write: per-partition swap of exactly the staged leaf
+    directories, plus deletion of ``drop_dirs`` (partitions whose last
+    rows were deleted this batch and which therefore produced no staged
+    output — without this, dynamic-partition-overwrite-style writers
+    silently resurrect fully-deleted partitions)."""
+    staging = path.rstrip("/") + _STAGING_SUFFIX
+    fs, P = _fs(spark, path)
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    writer = merged.write.mode("overwrite")
     if partition_cols:
-        # Dynamic partition overwrite: only partitions present in `df`
-        # are replaced — the backfill/idempotency contract (SURVEY T4/T5).
-        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-            *partition_cols
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+
+    if not table_exists or not partition_cols:
+        _swap_dir(spark, staging, path)
+        return
+
+    staged = _staged_partition_dirs(fs, P, staging, len(partition_cols))
+    for rel in staged:
+        dst = P(path + "/" + rel)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        parent = dst.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        fs.rename(P(staging + "/" + rel), dst)
+    staged_set = set(staged)
+    for rel in drop_dirs or []:
+        if rel not in staged_set:
+            fs.delete(P(path + "/" + rel), True)
+    fs.delete(P(staging), True)
+
+
+def _partition_pred(partition_cols: list[str], rows: list[Row]) -> Column:
+    """OR-of-ANDs predicate selecting exactly the given partition-value
+    tuples — a deterministic predicate on partition columns only, so it
+    prunes at the scan (PartitionFilters)."""
+    if not rows:
+        return F.lit(False)
+    terms = [
+        reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_cols],
         )
-    writer.parquet(path)
+        for r in rows
+    ]
+    return reduce(lambda a, b: a | b, terms)
+
+
+def _partition_dir_of(file_path: str, n_cols: int) -> str:
+    """Relative partition directory (last ``n_cols`` ``col=value``
+    components) of a data-file path from ``input_file_name()`` — lets
+    us name published partition dirs without re-implementing Hive's
+    value-escaping rules."""
+    parts = file_path.rstrip("/").split("/")[:-1]
+    return "/".join(parts[-n_cols:])
 
 
 def write_cdc(
@@ -79,12 +209,20 @@ def write_cdc(
     """Apply one CDC batch (upserts + delete tombstones) to the table.
 
     Within the batch the LAST op per key (by ``seq_cols``) decides:
-    delete removes the key, anything else upserts the row. Same
-    single-shuffle merge shape as :func:`write_upsert`, plus one
-    anti-join for the tombstones — the plain-Parquet rendering of
-    Delta ``MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE``.
-    Batches must be applied in change order (the streaming foreachBatch
-    contract guarantees it).
+    delete removes the key, anything else (including a NULL op —
+    malformed change records upsert rather than silently vanishing)
+    upserts the row. Same single-shuffle merge shape as
+    :func:`write_upsert`, plus one anti-join for the tombstones — the
+    plain-Parquet rendering of Delta ``MERGE ... WHEN MATCHED AND
+    op = 'D' THEN DELETE``. Batches must be applied in change order
+    (the streaming foreachBatch contract guarantees it).
+
+    With ``partition_cols`` set, tombstones must carry the partition
+    values of the rows they delete (the standard contract for
+    partitioned CDC without a global index — cf. Hudi/Delta partition
+    path requirements): only the batch's touched partitions are read,
+    merged, and swapped, and partitions emptied by deletes are removed
+    rather than left stale.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
     compact = (
@@ -92,20 +230,74 @@ def write_cdc(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    ups = compact.filter(F.col(op_col) != delete_val).drop(op_col)
-    dels = compact.filter(F.col(op_col) == delete_val).select(*keys)
+    is_del = F.col(op_col).eqNullSafe(F.lit(delete_val))
+    ups = compact.filter(~is_del).drop(op_col)
+    dels = compact.filter(is_del)
     try:
         existing = spark.read.parquet(path)
     except Exception:
         existing = None
-    if existing is not None:
-        base = existing.join(dels, keys, "left_anti")
+
+    if existing is None:
+        _publish(spark, ups, path, partition_cols, table_exists=False)
+        return
+
+    if not partition_cols:
+        base = existing.join(dels.select(*keys), keys, "left_anti")
         merged = _merge(base, ups, keys, keep="incoming")
-        if not partition_cols:
-            merged = spark.createDataFrame(merged.collect(), merged.schema)
-    else:
-        merged = ups
-    _write(merged, path, partition_cols)
+        _publish(spark, merged, path, None, table_exists=True)
+        return
+
+    # Partition metadata only: distinct partition tuples in the batch.
+    touched = compact.select(*partition_cols).distinct().collect()
+    existing_t = existing.filter(_partition_pred(partition_cols, touched))
+    # Published directory names of delete-touched partitions, so a
+    # partition whose rows are all deleted can be dropped by name.
+    del_parts = dels.select(*partition_cols).distinct().collect()
+    drop_dirs: list[str] = []
+    if del_parts:
+        files = (
+            existing.filter(_partition_pred(partition_cols, del_parts))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        drop_dirs = sorted(
+            {_partition_dir_of(r["f"], len(partition_cols)) for r in files}
+        )
+    base = existing_t.join(dels.select(*keys), keys, "left_anti")
+    merged = _merge(base, ups, keys, keep="incoming")
+    _publish(
+        spark, merged, path, partition_cols, table_exists=True, drop_dirs=drop_dirs
+    )
+
+
+def _write_keyed(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    keep: str,
+    partition_cols: list[str] | None,
+) -> None:
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    if existing is not None and partition_cols:
+        # Steady-state incremental write: read/merge/swap ONLY the
+        # partitions present in the batch — bounded by batch span, not
+        # table history. The collect is partition metadata, not rows.
+        touched = incoming.select(*partition_cols).distinct().collect()
+        existing = existing.filter(_partition_pred(partition_cols, touched))
+    merged = _merge(existing, incoming, keys, keep=keep)
+    _publish(
+        spark,
+        merged,
+        path,
+        partition_cols,
+        table_exists=existing is not None,
+    )
 
 
 def write_upsert(
@@ -115,17 +307,20 @@ def write_upsert(
     keys: list[str],
     partition_cols: list[str] | None = None,
 ) -> None:
-    """K1: INSERT … ON DUPLICATE KEY UPDATE → newest-wins merge + atomic write."""
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
-        existing = None
-    merged = _merge(existing, incoming, keys, keep="incoming")
-    if existing is not None and not partition_cols:
-        # Full overwrite reads then rewrites the table; must materialize
-        # the merge before clobbering the input files.
-        merged = spark.createDataFrame(merged.collect(), merged.schema)
-    _write(merged, path, partition_cols)
+    """K1: INSERT … ON DUPLICATE KEY UPDATE → newest-wins merge +
+    staged write + atomic rename (no driver-side materialization)."""
+    _write_keyed(spark, incoming, path, keys, "incoming", partition_cols)
+
+
+def write_insert_ignore(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """K2: INSERT IGNORE → oldest-wins merge + staged write + atomic rename."""
+    _write_keyed(spark, incoming, path, keys, "existing", partition_cols)
 
 
 def with_epoch_bucket(
@@ -149,43 +344,12 @@ def write_time_partitioned(
     epochs_per_bucket: int = 225,
 ) -> None:
     """K1 upsert into an epoch-bucket-partitioned layout: only the
-    buckets present in ``incoming`` are merged and atomically replaced
-    (dynamic partition overwrite) — the steady-state incremental write
-    touches one or two day-partitions regardless of table history size,
-    and backfills (T4) rewrite exactly the repaired buckets."""
+    buckets present in ``incoming`` are merged and atomically swapped —
+    the steady-state incremental write touches one or two
+    day-partitions regardless of table history size, and backfills
+    (T4) rewrite exactly the repaired buckets."""
     bucketed = with_epoch_bucket(incoming, time_col, epochs_per_bucket)
-    try:
-        existing = spark.read.parquet(path)
-        touched = [
-            r[0] for r in bucketed.select("epoch_bucket").distinct().collect()
-        ]
-        existing = existing.filter(F.col("epoch_bucket").isin(touched))
-    except Exception:
-        existing = None
-    merged = _merge(existing, bucketed, keys, keep="incoming")
-    if existing is not None:
-        # Materialize before overwriting the files being read. Bounded:
-        # only the touched buckets' rows, not the table.
-        merged = spark.createDataFrame(merged.collect(), merged.schema)
-    _write(merged, path, ["epoch_bucket"])
-
-
-def write_insert_ignore(
-    spark: SparkSession,
-    incoming: DataFrame,
-    path: str,
-    keys: list[str],
-    partition_cols: list[str] | None = None,
-) -> None:
-    """K2: INSERT IGNORE → oldest-wins merge + atomic write."""
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
-        existing = None
-    merged = _merge(existing, incoming, keys, keep="existing")
-    if existing is not None and not partition_cols:
-        merged = spark.createDataFrame(merged.collect(), merged.schema)
-    _write(merged, path, partition_cols)
+    write_upsert(spark, bucketed, path, keys, partition_cols=["epoch_bucket"])
 
 
 def write_bucketed(

@@ -19,7 +19,7 @@ the sketches have real value-level oracles, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.operators.text import (
@@ -34,6 +34,18 @@ MINHASH_PERMS = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 MINHASH_PRIME = 1_000_000_007
+# Band-bucket size cap: a bucket with b members yields O(b²) candidate
+# pairs, so one hot band (boilerplate corpora, giant duplicate
+# clusters) can dominate the whole job. Standard MinHash-dedup practice
+# is to DROP over-full buckets — members of a b>cap bucket are near-
+# certain duplicates of each other along this band, and at 4 bands per
+# doc a genuinely similar pair usually still collides in a cooler band;
+# the exact-dedup tier (which runs first in pipeline_corpus_clean)
+# already removed identical-text clusters. The cap is mirrored in every
+# SQL oracle (QUALIFY on the band-group count) so capped results stay
+# value-exact cross-engine. ``lsh_bucket_stats`` is the observability
+# query for tuning it.
+LSH_MAX_BUCKET = 1000
 # Fixed affine coefficients (a_j, b_j), j < MINHASH_PERMS — generated
 # once from a fixed seed; literal so both engines share them.
 _MH_A = [
@@ -152,8 +164,8 @@ def minhash_signatures(
     return _signatures_from_shingles(doc_shingles(df, text_col, id_col, k), id_col)
 
 
-def _band_candidates(sh: DataFrame, id_col: str) -> DataFrame:
-    """LSH band-join candidate pairs from an exploded shingle table."""
+def _banded(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) rows — one per doc per band."""
     sig = _signatures_from_shingles(sh, id_col)
     band_structs = F.array(
         *[
@@ -172,11 +184,33 @@ def _band_candidates(sh: DataFrame, id_col: str) -> DataFrame:
             for bi in range(LSH_BANDS)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         id_col,
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
+
+
+def _band_candidates(
+    sh: DataFrame, id_col: str, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
+    """LSH band-join candidate pairs from an exploded shingle table.
+
+    Buckets larger than ``max_bucket`` are dropped BEFORE the
+    self-join, bounding per-bucket candidate output at max_bucket² —
+    without this, one hot band bucket is an O(n²) blowup at 100 TB.
+    The window count shuffles on exactly the join key, so the
+    subsequent self-join reuses the same partitioning (no extra
+    exchange on the filtered side).
+    """
+    banded = _banded(sh, id_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
@@ -188,11 +222,48 @@ def _band_candidates(sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Unverified LSH candidate pairs (for recall evaluation of the
     banding scheme against the exact join)."""
-    return _band_candidates(doc_shingles(df, text_col, id_col, k), id_col)
+    return _band_candidates(doc_shingles(df, text_col, id_col, k), id_col, max_bucket)
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Observability for the band-bucket cap: per band index, the
+    bucket count, max bucket size, number of over-cap (dropped)
+    buckets, and the candidate-pair mass those drops avoided
+    (Σ b·(b−1)/2 over dropped buckets). This is the number a 100 TB
+    dedup run monitors to tune bands×rows and the cap."""
+    banded = _banded(doc_shingles(df, text_col, id_col, k), id_col)
+    sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    over = F.col("bsz") > max_bucket
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bsz").alias("max_bucket_sz"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("n_dropped_buckets"),
+            F.sum(
+                F.when(over, F.col("bsz") * (F.col("bsz") - 1) / 2).otherwise(0)
+            )
+            .cast("long")
+            .alias("dropped_pair_mass"),
+        )
+        .orderBy("band_idx")
+    )
 
 
 def minhash_lsh_pairs(
@@ -201,6 +272,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold_pct: int = 20,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Tier 3: MinHash + LSH banding → candidate pairs → exact Jaccard
     verification of candidates only.
@@ -222,7 +294,7 @@ def minhash_lsh_pairs(
     sh = doc_shingles(df, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    candidates = _band_candidates(sh, id_col)
+    candidates = _band_candidates(sh, id_col, max_bucket)
     # Exact-verify CANDIDATES ONLY: route each candidate pair's two
     # shingle streams into one equi-joined intersection count. Work is
     # O(candidates × shingles/doc) — the corpus-wide all-pairs join of

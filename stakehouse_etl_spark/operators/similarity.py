@@ -25,6 +25,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1000
+# Bucket-size cap for the hyperplane-LSH pair join: a degenerate
+# bucket (near-parallel corpus, all-zero region of the embedding
+# space) produces O(b²) pairs. Over-cap buckets are excluded before
+# the self-join; mirrored in the SQL oracles (QUALIFY on the bucket
+# count) so capped output stays value-exact cross-engine.
+ANN_MAX_BUCKET = 1000
 
 # Fixed random hyperplanes (seed 42), quantized to integers — shared
 # verbatim with the SQL oracle generator.
@@ -272,16 +278,27 @@ def ann_lsh_pairs(
     min_cosine: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_bucket: int | None = ANN_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed: exact cosine computed
     only within buckets. Equi-join on the bucket key — at 100 TB this
     shuffles each vector once; no cross join ever materializes.
+    Buckets above ``max_bucket`` members are dropped before the join
+    (bounds per-bucket output at max_bucket²; the window count shuffles
+    on the join key itself, so no extra exchange).
 
     Recall is governed by N_PLANES (8 → ~|cos| high pairs collide with
     good probability); run multiple plane-sets and union for higher
     recall — same plan shape.
     """
     b = hyperplane_buckets(embeddings, id_col, emb_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col("q_emb").alias("emb_a"),

@@ -16,12 +16,14 @@ from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators import similarity as sim
 from stakehouse_etl_spark.operators.dedup import (
     LSH_BANDS,
+    LSH_MAX_BUCKET,
     LSH_ROWS,
     MINHASH_PRIME,
     _MH_A,
     _MH_B,
     exact_dedup,
     jaccard_pairs,
+    lsh_bucket_stats,
     minhash_lsh_pairs,
     minhash_signatures,
     simhash,
@@ -235,7 +237,9 @@ sig AS (
 )"""
 
 
-def _minhash_bands_sql() -> str:
+def _minhash_bands_sql(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """``bands`` CTE with the same over-cap bucket drop the Spark
+    operator applies (QUALIFY on the band-group count)."""
     selects = []
     for bi in range(LSH_BANDS):
         cols = " || ',' || ".join(
@@ -244,7 +248,15 @@ def _minhash_bands_sql() -> str:
         selects.append(
             f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
         )
-    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+    return (
+        "bands0 AS ("
+        + " UNION ALL ".join(selects)
+        + f"""),
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {max_bucket}
+)"""
+    )
 
 
 @register(
@@ -287,6 +299,35 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures themselves (exact cross-engine parity of the
     sketch, column by column)."""
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    tags=("dedup", "lsh", "observability"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+sizes AS (
+  SELECT band_idx, band_key, count(*) AS bsz FROM bands0 GROUP BY 1, 2
+)
+SELECT band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(bsz) AS BIGINT) AS max_bucket_sz,
+       CAST(sum(CASE WHEN bsz > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(sum(CASE WHEN bsz > {LSH_MAX_BUCKET}
+                     THEN bsz * (bsz - 1) / 2 ELSE 0 END) AS BIGINT)
+         AS dropped_pair_mass
+FROM sizes GROUP BY band_idx ORDER BY band_idx
+""",
+)
+def dedup_lsh_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket size distribution + what the over-cap drop rule
+    discards (bucket counts and avoided candidate-pair mass) — the
+    monitoring companion to the ``max_bucket`` cap on
+    ``dedup_minhash_lsh``. At 100 TB this is the dashboard number that
+    says whether the banding scheme (bands×rows, cap) fits the corpus's
+    duplicate-cluster structure."""
+    return lsh_bucket_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -398,11 +439,15 @@ def _planes_sql() -> str:
     tags=("similarity", "ann", "lsh"),
     oracle=f"""
 WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
-n AS (
+n0 AS (
   SELECT vec_id, qe,
          list_sum(list_transform(qe, x -> x * x)) AS nrm,
          CAST({_planes_sql()} AS BIGINT) AS bucket
   FROM e
+),
+n AS (
+  SELECT * FROM n0
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {sim.ANN_MAX_BUCKET}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
@@ -432,11 +477,15 @@ _COS = (
     tags=("dedup", "similarity", "lsh"),
     oracle=f"""
 WITH e AS (SELECT vec_id, {_QUANT_EMB} AS qe FROM embeddings),
-n AS (
+n0 AS (
   SELECT vec_id, qe,
          list_sum(list_transform(qe, x -> x * x)) AS nrm,
          CAST({_planes_sql()} AS BIGINT) AS bucket
   FROM e
+),
+n AS (
+  SELECT * FROM n0
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {sim.ANN_MAX_BUCKET}
 ),
 drops AS (
   SELECT DISTINCT b.vec_id

@@ -65,8 +65,12 @@ def dedup_lsh_eval_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.count()
     n_cand = cand.count()
     n_tp = exact.join(cand, ["id_a", "id_b"]).count()
+    # NULL (not a crash) on an empty pair set — mirrors the SQL
+    # oracle's NULL division semantics on sparse/small corpora.
+    precision = n_tp / n_cand if n_cand else None
+    recall = n_tp / n_exact if n_exact else None
     return spark.createDataFrame(
-        [(n_exact, n_cand, n_tp, n_tp / n_cand, n_tp / n_exact)],
+        [(n_exact, n_cand, n_tp, precision, recall)],
         "n_exact long, n_candidates long, n_tp long, precision double, recall double",
     )
 

@@ -1,0 +1,82 @@
+"""Hot-bucket bounding for the LSH families (VERDICT r1 'what's wrong' #2).
+
+A degenerate bucket — one band key shared by a huge duplicate cluster,
+or one hyperplane bucket holding half the corpus — must not produce
+O(n²) candidate pairs. The cap drops over-full buckets BEFORE the
+self-join; these tests build synthetic hot buckets and assert the
+candidate set is bounded (and that cool buckets are unaffected).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidates,
+    minhash_lsh_pairs,
+)
+from stakehouse_etl_spark.operators.similarity import ann_lsh_pairs
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    # 60 identical docs (one giant duplicate cluster → every band
+    # bucket has 60 members) + 2 similar-but-distinct docs (cool).
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(60)]
+    # Two identical cool docs: identical signatures → all four band
+    # buckets match deterministically (no banding-probability flake).
+    rows += [
+        (100, "completely different text about spark shuffle partitions"),
+        (101, "completely different text about spark shuffle partitions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_band_bucket_dropped(spark, hot_docs):
+    # Uncapped: the duplicate cluster alone yields C(60,2) = 1770 pairs.
+    uncapped = lsh_candidates(hot_docs, max_bucket=None).count()
+    assert uncapped >= 1770
+    # Capped at 10: the 60-member buckets are dropped entirely; only
+    # the cool pair(s) survive. Bound: every surviving bucket has ≤ 10
+    # members → ≤ 45 pairs per bucket.
+    capped = lsh_candidates(hot_docs, max_bucket=10)
+    n = capped.count()
+    assert n < 1770 and n <= 45
+    # The cool near-dup pair is still found (its buckets are size ≤ 2).
+    assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+
+def test_hot_bucket_verified_pairs_bounded(spark, hot_docs):
+    out = minhash_lsh_pairs(hot_docs, threshold_pct=20, max_bucket=10)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in pairs
+    # No pair from the dropped duplicate cluster survives.
+    assert all(a >= 100 for a, _ in pairs)
+
+
+def test_bucket_stats_reports_drops(spark, hot_docs):
+    stats = lsh_bucket_stats(hot_docs, max_bucket=10).collect()
+    assert len(stats) == 4  # one row per band
+    for r in stats:
+        assert r.max_bucket_sz == 60
+        assert r.n_dropped_buckets == 1
+        assert r.dropped_pair_mass == 60 * 59 // 2
+
+
+def test_ann_hot_bucket_dropped(spark):
+    # 50 copies of the same vector → one hot hyperplane bucket; plus
+    # two near-identical vectors elsewhere (negated → different bucket).
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [-1.0, 0.01] + [0.0] * (dim - 2)
+    near2 = [-1.0, 0.012] + [0.0] * (dim - 2)
+    rows = [(i, base) for i in range(50)] + [(100, near), (101, near2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = ann_lsh_pairs(emb, min_cosine=0.9, max_bucket=None).count()
+    assert uncapped >= 50 * 49 // 2
+    capped = ann_lsh_pairs(emb, min_cosine=0.9, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert len(got) <= 45  # bounded by cap²/2 per surviving bucket

@@ -1,0 +1,173 @@
+"""Scale contract for the sink family (SURVEY §2.1 K1/K2, §2.9 T5).
+
+The round-1 writers materialized the merged table through the driver
+(``createDataFrame(merged.collect(), …)``) to survive self-overwrite —
+a driver OOM at 100 TB. The rewritten publish path stages the merge
+next to the table and renames into place, so these tests assert the
+contract directly:
+
+- NO ``collect()`` of row data anywhere on the write path (the only
+  permitted collects are partition metadata: partition-value tuples or
+  file listings of delete-touched partitions);
+- partitions emptied by CDC deletes are dropped, not resurrected
+  (ADVICE r1: dynamic partition overwrite silently kept them);
+- NULL-op CDC rows upsert instead of vanishing (ADVICE r1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sinks import (
+    write_cdc,
+    write_insert_ignore,
+    write_time_partitioned,
+    write_upsert,
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="sink_scale_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _ban_collect(monkeypatch, allowed_cols=frozenset()):
+    """Patch DataFrame.collect: forbid row-data collects; optionally
+    allow metadata collects whose projection is within allowed_cols."""
+    real = DataFrame.collect
+
+    def guarded(self):
+        cols = set(self.columns)
+        if allowed_cols and cols <= allowed_cols:
+            return real(self)
+        raise AssertionError(
+            f"driver-side collect() of row data on the write path: {cols}"
+        )
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    return real
+
+
+def test_upsert_unpartitioned_never_collects(spark, workdir, monkeypatch):
+    path = os.path.join(workdir, "t")
+    df1 = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(500, 1500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    real = _ban_collect(monkeypatch)  # no collects allowed at all
+    write_upsert(spark, df1, path, keys=["k"])
+    write_upsert(spark, df2, path, keys=["k"])
+    got = {r.k: r.v for r in real(spark.read.parquet(path))}
+    assert len(got) == 1500
+    assert got[499] == 998  # untouched by batch 2
+    assert got[500] == 1500  # newest wins
+    assert got[1499] == 4497
+
+
+def test_insert_ignore_never_collects(spark, workdir, monkeypatch):
+    path = os.path.join(workdir, "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    real = _ban_collect(monkeypatch)
+    write_insert_ignore(spark, df1, path, keys=["k"])
+    write_insert_ignore(spark, df2, path, keys=["k"])
+    got = {r.k: r.v for r in real(spark.read.parquet(path))}
+    assert got == {1: "a", 2: "b", 3: "c"}  # oldest wins
+
+
+def test_time_partitioned_collects_metadata_only(spark, workdir, monkeypatch):
+    path = os.path.join(workdir, "t")
+    day0 = spark.createDataFrame(
+        [("a", 10, 1.0), ("b", 20, 2.0), ("a", 300, 3.0)],
+        "bls_key string, epoch long, earnings double",
+    )
+    day1 = spark.createDataFrame(
+        [("a", 10, 9.0), ("c", 460, 4.0)],
+        "bls_key string, epoch long, earnings double",
+    )
+    real = _ban_collect(monkeypatch, allowed_cols={"epoch_bucket"})
+    write_time_partitioned(spark, day0, path, keys=["bls_key", "epoch"])
+    write_time_partitioned(spark, day1, path, keys=["bls_key", "epoch"])
+    got = {(r.bls_key, r.epoch): r.earnings for r in real(spark.read.parquet(path))}
+    assert got == {
+        ("a", 10): 9.0,
+        ("b", 20): 2.0,
+        ("a", 300): 3.0,
+        ("c", 460): 4.0,
+    }
+
+
+def test_cdc_delete_empties_partition(spark, workdir, monkeypatch):
+    path = os.path.join(workdir, "t")
+    seed = spark.createDataFrame(
+        [(1, 1, "U", 0, 10), (2, 1, "U", 0, 20), (3, 1, "U", 1, 30)],
+        "k long, seq long, op string, pb long, v long",
+    )
+    write_cdc(spark, seed, path, keys=["k"], seq_cols=["seq"], partition_cols=["pb"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("pb=")) == [
+        "pb=0",
+        "pb=1",
+    ]
+    # Delete BOTH rows of partition 0; add nothing there.
+    batch = spark.createDataFrame(
+        [(1, 2, "D", 0, None), (2, 2, "D", 0, None), (4, 2, "U", 1, 40)],
+        "k long, seq long, op string, pb long, v long",
+    )
+    real = _ban_collect(monkeypatch, allowed_cols={"pb", "f"})
+    write_cdc(spark, batch, path, keys=["k"], seq_cols=["seq"], partition_cols=["pb"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("pb=")) == ["pb=1"]
+    got = {r.k: r.v for r in real(spark.read.parquet(path))}
+    assert got == {3: 30, 4: 40}
+
+
+def test_cdc_null_op_upserts(spark, workdir):
+    path = os.path.join(workdir, "t")
+    seed = spark.createDataFrame([(1, 1, "U", 10)], "k long, seq long, op string, v long")
+    write_cdc(spark, seed, path, keys=["k"], seq_cols=["seq"])
+    batch = spark.createDataFrame(
+        [(1, 2, None, 11), (2, 1, None, 20)], "k long, seq long, op string, v long"
+    )
+    write_cdc(spark, batch, path, keys=["k"], seq_cols=["seq"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11, 2: 20}  # NULL op = upsert, not silent drop
+
+
+def test_cdc_unpartitioned_never_collects(spark, workdir, monkeypatch):
+    path = os.path.join(workdir, "t")
+    seed = spark.createDataFrame(
+        [(1, 1, "U", 10), (2, 1, "U", 20)], "k long, seq long, op string, v long"
+    )
+    write_cdc(spark, seed, path, keys=["k"], seq_cols=["seq"])
+    batch = spark.createDataFrame(
+        [(1, 2, "D", None), (3, 1, "U", 30)], "k long, seq long, op string, v long"
+    )
+    real = _ban_collect(monkeypatch)
+    write_cdc(spark, batch, path, keys=["k"], seq_cols=["seq"])
+    got = {r.k: r.v for r in real(spark.read.parquet(path))}
+    assert got == {2: 20, 3: 30}
+
+
+def test_upsert_partitioned_untouched_partition_preserved(spark, workdir):
+    path = os.path.join(workdir, "t")
+    df1 = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "k long, pb long, v string"
+    )
+    write_upsert(spark, df1, path, keys=["k"], partition_cols=["pb"])
+    # Batch touches only pb=1; pb=0 files must not be rewritten.
+    before = set(os.listdir(os.path.join(path, "pb=0")))
+    df2 = spark.createDataFrame([(2, 1, "Y"), (3, 1, "z")], "k long, pb long, v string")
+    write_upsert(spark, df2, path, keys=["k"], partition_cols=["pb"])
+    after = set(os.listdir(os.path.join(path, "pb=0")))
+    assert before == after
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "x", 2: "Y", 3: "z"}
