@@ -55,6 +55,9 @@ def run() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release per-query persists (shingle tables etc.) so one
+        # query's cache doesn't distort the next query's timing.
+        spark.catalog.clearCache()
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total = round(sum(timings.values()), 3)

@@ -256,6 +256,89 @@ def slot_withdrawals_to_epoch(
     )
 
 
+PERFORMANCE_SCHEMA = StructType(
+    [
+        StructField("validator", LongType(), False),
+        StructField("performance_total", LongType(), False),
+    ]
+)
+
+
+def fetch_validator_performance(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    validator_indices: Iterable[int],
+) -> DataFrame:
+    """Independent-source rewards probe: the external cross-check the
+    reference's reconciliation script reads
+    (``scripts/check-sweeps.js:72-84`` — GET
+    ``/api/v1/validator/{indices}/performance``; indices batched
+    comma-joined into ONE request, ``check-sweeps.js:104-112``).
+    Feeds :mod:`operators.reconcile` as the source-of-truth side."""
+    idx_list = list(validator_indices)
+    if not idx_list:
+        return spark.createDataFrame([], PERFORMANCE_SCHEMA)
+    url = f"{base_url}/api/v1/validator/{','.join(map(str, idx_list))}/performance"
+    body = transport(url)
+    data = (body or {}).get("data", [])
+    if not data:
+        return spark.createDataFrame([], PERFORMANCE_SCHEMA)
+    raw = spark.createDataFrame([(json.dumps(r),) for r in data], "value string")
+    parsed = StructType(
+        [
+            StructField("validatorindex", StringType()),
+            StructField("performancetotal", StringType()),
+        ]
+    )
+    return raw.select(F.from_json("value", parsed).alias("p")).select(
+        F.col("p.validatorindex").cast("long").alias("validator"),
+        F.col("p.performancetotal").cast("long").alias("performance_total"),
+    )
+
+
+MEV_BLOCK_STATS_SCHEMA = StructType(
+    [
+        StructField("start_ts", LongType(), False),
+        StructField("end_ts", LongType(), False),
+        StructField("total_blocks", LongType(), True),
+        StructField("censored_blocks", LongType(), True),
+        StructField("censored_pct", StringType(), True),
+    ]
+)
+
+
+def fetch_mev_block_stats(
+    spark: SparkSession,
+    transport: Transport,
+    start_ts: int,
+    end_ts: int,
+    base_url: str = "https://www.mevwatch.info",
+) -> DataFrame:
+    """S6: mevwatch blockStats normalizer. The reference passes the
+    response through verbatim (``src/api_handler.py:533-550`` POSTs
+    ``{startTime, endTime}`` to ``/api/blockStats`` and returns the
+    raw text); here the payload lands as ONE typed row so it can join
+    warehouse tables. POST body travels in the URL fragment, same
+    injection convention as the subgraph transport."""
+    body = transport(
+        f"{base_url}/api/blockStats#"
+        + json.dumps({"startTime": int(start_ts), "endTime": int(end_ts)})
+    )
+    if body is None:
+        return spark.createDataFrame([], MEV_BLOCK_STATS_SCHEMA)
+    row = (
+        int(start_ts),
+        int(end_ts),
+        int(body["totalBlocks"]) if body.get("totalBlocks") is not None else None,
+        int(body["censoredBlocks"])
+        if body.get("censoredBlocks") is not None
+        else None,
+        str(body["censoredPct"]) if body.get("censoredPct") is not None else None,
+    )
+    return spark.createDataFrame([row], MEV_BLOCK_STATS_SCHEMA)
+
+
 def default_transport(url: str) -> dict:  # pragma: no cover - needs network
     """Real HTTP transport (deployments only; never used in tests)."""
     import urllib.request
@@ -278,10 +361,14 @@ __all__ = [
     "Transport",
     "BALANCE_SCHEMA",
     "SLOT_WITHDRAWAL_SCHEMA",
+    "PERFORMANCE_SCHEMA",
+    "MEV_BLOCK_STATS_SCHEMA",
     "fetch_validator_balances",
     "fetch_block_withdrawals",
     "fetch_finalized_epoch",
     "fetch_subgraph_entities",
+    "fetch_validator_performance",
+    "fetch_mev_block_stats",
     "slot_withdrawals_to_epoch",
     "default_transport",
     "epoch_end_slot",

@@ -15,6 +15,13 @@ Five tiers, cheapest-first — the standard large-corpus dedup ladder:
 Every hash here is the md5-hex-prefix integer from
 :mod:`operators.text`, so DuckDB reproduces all of this exactly —
 the sketches have real value-level oracles, not just row counts.
+
+Persist lifecycle: the pair operators persist the exploded shingle
+table (three consumers each). The cache's lifetime ends at the
+caller's action boundary — harnesses (tools/check.py, bench.py) call
+``spark.catalog.clearCache()`` after materializing each query; a
+long-lived pipeline should do the same or write the shingle table as
+a real intermediate dataset.
 """
 
 from __future__ import annotations

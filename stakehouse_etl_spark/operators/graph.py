@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -50,6 +51,11 @@ def connected_components(
     # changed" ⇔ "the global label sum is unchanged" — a one-row agg
     # over the just-checkpointed labels, much cheaper than the
     # join-old-vs-new convergence check (one fewer shuffle per pass).
+    # The sum identity only holds for NUMERIC node ids (F.sum over a
+    # string column is NULL, and None == None would "converge" after
+    # one pass, returning under-merged components); for any other id
+    # type fall back to the join-based changed-row count.
+    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
     prev_sum = None
     for _ in range(max_iter):
         neighbor = (
@@ -81,9 +87,29 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum is None and prev_sum is None:
+                # NULL aggregate on a numeric column means NULL node
+                # ids slipped in — fail loud rather than "converge".
+                if new_labels.limit(1).count() > 0:
+                    raise ValueError(
+                        "connected_components: NULL component sum over "
+                        "non-empty labels (NULL node ids in the edge list?)"
+                    )
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels

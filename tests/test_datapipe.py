@@ -135,4 +135,36 @@ def test_multimodal_byte_features_and_frames(spark):
     assert len(by_id[1]) == 2  # 128 bytes → two 64-byte frames
     assert len(by_id[2]) == 1
     with pytest.raises(NotImplementedError):
-        decode_media(media, "image")
+        decode_media(media, "audio")  # no audio codec in any env
+
+
+def test_byte_features_empty_and_mixed_payloads(spark):
+    # The reduceat offset path must survive empty payloads anywhere in
+    # the batch (zero-length segments are excluded from the offsets).
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, b""), (2, b"\x05\x01"), (3, b""), (4, b"\xff")],
+        "media_id long, payload binary",
+    ).repartition(1)
+    feats = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert (feats[1]["n_bytes"], feats[1]["byte_sum"]) == (0, 0)
+    assert (feats[2]["byte_sum"], feats[2]["byte_min"], feats[2]["byte_max"]) == (6, 1, 5)
+    assert (feats[3]["n_bytes"], feats[3]["byte_sum"]) == (0, 0)
+    assert (feats[4]["byte_min"], feats[4]["byte_max"]) == (255, 255)
+
+
+def test_decode_media_real_codec_when_available(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — real codec path
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), color=(10, 20, 30)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, payload binary"
+    )
+    row = decode_media(media, "image").collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (4, 2, 3)
+    assert row["pixel_mean"] == (10 + 20 + 30) // 3

@@ -142,3 +142,16 @@ def test_cc_duplicate_and_reversed_edges(spark):
     )
     out = connected_components(edges)
     assert rows(out, "node", "component") == [(1, 1), (2, 1)]
+
+
+def test_cc_string_ids_chain_converges(spark):
+    # ADVICE r1: sum-based convergence is NULL over string ids and
+    # "converged" after one pass. String ids must use the join-based
+    # changed-count check and still fully collapse a long chain.
+    names = [f"doc_{chr(ord('a') + i)}" for i in range(10)]
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(9)], "src string, dst string"
+    )
+    out = connected_components(edges)
+    got = rows(out, "node", "component")
+    assert got == sorted((n, "doc_a") for n in names)
