@@ -515,3 +515,206 @@ def s1_s2_connector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "balance",
         F.coalesce("values_withdrawals", F.lit(0)).alias("withdrawal_amount"),
     )
+
+
+@register(
+    "dq_reconcile_source",
+    tags=("dq", "S1", "S2", "reconcile"),
+    oracle="""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS idx,
+         '0x' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS bls_key
+  FROM customer WHERE c_custkey <= 50
+),
+wh AS (
+  SELECT bls_key,
+         CAST(idx * 13 + 102 * 7
+              + CASE WHEN idx % 5 = 0 THEN 3000 * idx + 303 ELSE 0 END
+              AS BIGINT) AS warehouse_total
+  FROM keys
+),
+src0 AS (
+  SELECT idx,
+         CAST(idx * 13 + 102 * 7
+              + CASE WHEN idx % 5 = 0 THEN 3000 * idx + 303 ELSE 0 END
+              + CASE WHEN idx % 7 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS source_total
+  FROM keys WHERE idx <> 44
+  UNION ALL
+  SELECT 999, CAST(12345 AS BIGINT)
+),
+src AS (
+  SELECT '0x' || lpad(CAST(idx AS VARCHAR), 8, '0') AS bls_key, source_total
+  FROM src0
+),
+j AS (
+  SELECT coalesce(w.bls_key, s.bls_key) AS bls_key,
+         w.warehouse_total, s.source_total
+  FROM wh w FULL OUTER JOIN src s ON w.bls_key = s.bls_key
+)
+SELECT bls_key, warehouse_total, source_total,
+       warehouse_total - source_total AS diff,
+       CASE WHEN source_total IS NULL THEN 'missing_in_source'
+            WHEN warehouse_total IS NULL THEN 'missing_in_warehouse'
+            WHEN abs(warehouse_total - source_total) <= 0 THEN 'match'
+            ELSE 'mismatch' END AS status
+FROM j
+""",
+)
+def dq_reconcile_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External reconciliation job — the repo analog of the reference's
+    ``scripts/check-sweeps.js:49-140``: per-key rewards recomputed from
+    the warehouse's own connectors (S1 balances delta + S2 withdrawal
+    sums) diffed against an INDEPENDENT source (the beaconcha.in-style
+    performance API, ``check-sweeps.js:72-84``) through a full-outer
+    reconciliation with per-key status. The fixture transport seeds
+    drift on idx%7 keys, omits one key from the source, and adds one
+    unknown source key, so every status arm is exercised and
+    oracle-checked."""
+    from stakehouse_etl_spark.io.connectors import (
+        fetch_block_withdrawals,
+        fetch_validator_balances,
+        fetch_validator_performance,
+    )
+    from stakehouse_etl_spark.operators.reconcile import reconcile_keyed
+
+    cust = load_table(spark, sf_dir, "customer")
+    idxs = sorted(
+        r[0]
+        for r in cust.filter(F.col("c_custkey") <= 50)
+        .select("c_custkey")
+        .distinct()
+        .collect()
+    )
+    keys = {i: "0x" + str(i).zfill(8) for i in idxs}
+    epochs = list(range(100, 103))
+
+    def transport(url: str) -> dict | None:
+        if "/states/" in url:  # S1 balances at slot = epoch*32 - 1
+            slot = int(url.split("/states/")[1].split("/")[0])
+            epoch = (slot + 1) // 32
+            return {
+                "data": [
+                    {
+                        "index": str(i),
+                        "balance": str(32_000_000_000 + i * 13 + epoch * 7),
+                        "validator": {"pubkey": keys[i], "activation_epoch": "0"},
+                    }
+                    for i in idxs
+                ]
+            }
+        if "/blocks/" in url:  # S2 withdrawals at epoch-end slots only
+            slot = int(url.rsplit("/", 1)[1])
+            if (slot + 1) % 32 != 0:
+                return None
+            epoch = (slot + 1) // 32
+            return {
+                "data": {
+                    "message": {
+                        "body": {
+                            "execution_payload": {
+                                "withdrawals": [
+                                    {
+                                        "index": str(epoch * 100 + i),
+                                        "validator_index": str(i),
+                                        "address": "0xrecipient",
+                                        "amount": str(i * 1000 + epoch),
+                                    }
+                                    for i in idxs
+                                    if i % 5 == 0
+                                ]
+                            }
+                        }
+                    }
+                }
+            }
+        if "/performance" in url:  # independent source, seeded drift
+            rows = [
+                {
+                    "validatorindex": str(i),
+                    "performancetotal": str(
+                        i * 13
+                        + 102 * 7
+                        + (3000 * i + 303 if i % 5 == 0 else 0)
+                        + (1 if i % 7 == 0 else 0)
+                    ),
+                }
+                for i in idxs
+                if i != 44  # seeded: one key missing from the source
+            ]
+            rows.append({"validatorindex": "999", "performancetotal": "12345"})
+            return {"data": rows}
+        return None
+
+    balances = fetch_validator_balances(
+        spark, transport, "http://node", epochs, list(keys.values())
+    )
+    end_bal = (
+        balances.filter(F.col("epoch") == 102)
+        .select("bls_key", (F.col("balance") - 32_000_000_000).alias("bal_delta"))
+    )
+    slot_wd = fetch_block_withdrawals(
+        spark, transport, "http://node", [e * 32 - 1 for e in epochs]
+    )
+    key_index = spark.createDataFrame(
+        [(i, k) for i, k in keys.items()], "validator long, bls_key string"
+    )
+    wd_tot = (
+        slot_wd.join(F.broadcast(key_index), "validator")
+        .groupBy("bls_key")
+        .agg(F.sum("amount").alias("wd_total"))
+    )
+    warehouse = end_bal.join(wd_tot, "bls_key", "left").select(
+        "bls_key",
+        (F.col("bal_delta") + F.coalesce("wd_total", F.lit(0))).alias(
+            "warehouse_total"
+        ),
+    )
+    perf = fetch_validator_performance(spark, transport, "http://source", idxs)
+    source = perf.select(
+        F.concat(
+            F.lit("0x"), F.lpad(F.col("validator").cast("string"), 8, "0")
+        ).alias("bls_key"),
+        F.col("performance_total").alias("source_total"),
+    )
+    return reconcile_keyed(
+        warehouse, source, ["bls_key"], "warehouse_total", "source_total"
+    )
+
+
+@register(
+    "s6_mev_block_stats",
+    tags=("S6", "source"),
+    oracle="""
+SELECT CAST(1700000000 AS BIGINT) AS start_ts,
+       CAST(1700086400 AS BIGINT) AS end_ts,
+       CAST(7197 AS BIGINT) AS total_blocks,
+       CAST(2878 AS BIGINT) AS censored_blocks,
+       '40.0' AS censored_pct
+""",
+)
+def s6_mev_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: mevwatch blockStats through the REAL normalizer with an
+    injected deterministic transport (the reference passes the payload
+    through verbatim, ``src/api_handler.py:533-550``; here it becomes
+    one typed row). Completes the §2.1 connector family."""
+    from stakehouse_etl_spark.io.connectors import fetch_mev_block_stats
+
+    def transport(url: str) -> dict | None:
+        if "/api/blockStats" in url:
+            import json as _json
+
+            body = _json.loads(url.split("#", 1)[1])
+            span = body["endTime"] - body["startTime"]
+            total = span // 12 - 3  # deterministic from the window
+            censored = total * 2 // 5
+            return {
+                "totalBlocks": total,
+                "censoredBlocks": censored,
+                "censoredPct": f"{censored * 100.0 / total:.1f}",
+            }
+        return None
+
+    return fetch_mev_block_stats(
+        spark, transport, start_ts=1_700_000_000, end_ts=1_700_086_400
+    )

@@ -96,3 +96,69 @@ def test_subgraph_pagination_past_reference_cap(spark):
     assert df.count() == 25
     assert len(calls) == 3  # 10 + 10 + 5
     assert df.agg({"n": "sum"}).collect()[0][0] == sum(range(25))
+
+
+def test_validator_performance_batched_single_request(spark):
+    """check-sweeps.js:104-112 comma-joins all indices into ONE
+    performance request; the normalizer must do the same."""
+    from stakehouse_etl_spark.io.connectors import fetch_validator_performance
+
+    calls = []
+
+    def transport(url):
+        calls.append(url)
+        return {
+            "data": [
+                {"validatorindex": "7", "performancetotal": "111"},
+                {"validatorindex": "9", "performancetotal": "222"},
+            ]
+        }
+
+    df = fetch_validator_performance(spark, transport, "http://b", [7, 9])
+    assert len(calls) == 1 and "/validator/7,9/performance" in calls[0]
+    got = {r.validator: r.performance_total for r in df.collect()}
+    assert got == {7: 111, 9: 222}
+    # empty index list → no request, empty typed frame
+    empty = fetch_validator_performance(spark, transport, "http://b", [])
+    assert empty.count() == 0 and len(calls) == 1
+
+
+def test_mev_block_stats_normalizer(spark):
+    from stakehouse_etl_spark.io.connectors import fetch_mev_block_stats
+
+    def transport(url):
+        body = json.loads(url.split("#", 1)[1])
+        assert body == {"startTime": 10, "endTime": 20}
+        return {"totalBlocks": 5, "censoredBlocks": 2, "censoredPct": "40.0"}
+
+    row = fetch_mev_block_stats(spark, transport, 10, 20).collect()[0]
+    assert (row.total_blocks, row.censored_blocks, row.censored_pct) == (5, 2, "40.0")
+    # transport failure → empty typed frame, not a crash
+    assert fetch_mev_block_stats(spark, lambda u: None, 10, 20).count() == 0
+
+
+def test_reconcile_keyed_all_statuses(spark):
+    from stakehouse_etl_spark.operators.reconcile import (
+        reconcile_keyed,
+        reconcile_summary,
+    )
+
+    wh = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "k string, wv long"
+    )
+    src = spark.createDataFrame(
+        [("a", 10), ("b", 25), ("d", 5)], "k string, sv long"
+    )
+    rep = reconcile_keyed(wh, src, ["k"], "wv", "sv")
+    got = {r.k: (r.diff, r.status) for r in rep.collect()}
+    assert got == {
+        "a": (0, "match"),
+        "b": (-5, "mismatch"),
+        "c": (None, "missing_in_source"),
+        "d": (None, "missing_in_warehouse"),
+    }
+    s = reconcile_summary(rep).collect()[0]
+    assert (s.n_keys, s.n_match, s.n_mismatch, s.n_missing) == (4, 1, 1, 2)
+    # tolerance turns the near-miss into a match
+    rep2 = reconcile_keyed(wh, src, ["k"], "wv", "sv", tol=5)
+    assert {r.k: r.status for r in rep2.collect()}["b"] == "match"
