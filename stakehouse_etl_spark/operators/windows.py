@@ -319,3 +319,73 @@ def trailing_delta(
             F.col("__n").alias("n_rows"),
         )
     )
+
+
+def skew_resistant_cumsum(
+    df: DataFrame,
+    key: str,
+    time: str,
+    value: str,
+    out: str = "cum_value",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Running total per key that survives a HOT KEY (one key holding a
+    large share of all rows).
+
+    A plain ``Window.partitionBy(key)`` running sum puts every row of a
+    key into ONE task — with a 20%-of-corpus key, one executor core
+    processes 20% of the data while the rest idle (and AQE does not
+    split skewed *window* partitions, only joins/aggs). This operator
+    decomposes the running total:
+
+    1. chunk each key's time range into ``n_chunks`` contiguous slices
+       (per-key min/max agg — map-side combinable);
+    2. within-chunk running sums: window over ``(key, chunk)`` —
+       parallelism is keys x chunks, so the hot key spreads over
+       ``n_chunks`` tasks;
+    3. per-chunk totals (small) -> exclusive prefix sum over chunks
+       (window over the tiny per-key chunk-total table);
+    4. broadcast-join the offsets back and add.
+
+    Exact for integer values (longs), identical to the plain window's
+    result under any chunking. Cost: one extra small agg + join versus
+    the plain window; worth it only when key skew is real — measure
+    with ``bench_skew`` before adopting (PLANS.md records both paths).
+    """
+    stats = df.groupBy(key).agg(
+        F.min(time).alias("__t_min"), F.max(time).alias("__t_max")
+    )
+    chunked = (
+        df.join(stats, key)
+        .withColumn(
+            "__chunk",
+            F.when(
+                F.col("__t_max") == F.col("__t_min"), F.lit(0)
+            ).otherwise(
+                (
+                    (F.col(time) - F.col("__t_min"))
+                    * n_chunks
+                    / (F.col("__t_max") - F.col("__t_min") + 1)
+                ).cast("int")
+            ),
+        )
+        .drop("__t_min", "__t_max")
+    )
+    within = Window.partitionBy(key, "__chunk").orderBy(time).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = chunked.withColumn("__within", F.sum(value).over(within))
+    totals = chunked.groupBy(key, "__chunk").agg(
+        F.sum(value).alias("__chunk_total")
+    )
+    prefix = Window.partitionBy(key).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__chunk_total").over(prefix), F.lit(0))
+    ).select(key, "__chunk", "__offset")
+    return (
+        chunked.join(offsets, [key, "__chunk"])
+        .withColumn(out, F.col("__within") + F.col("__offset"))
+        .drop("__chunk", "__within", "__offset")
+    )

@@ -1,0 +1,132 @@
+"""Data-pipeline queries, wave 16: scale-hardening evidence.
+
+Round-2 verdict items made runnable: the W1 window's hot-key ceiling
+(a 20%-of-corpus key) exercised through the skew-resistant chunked
+cumulative sum, and end-to-end partition pruning over an
+epoch-bucketed warehouse copy at bench scale (not just unit tests).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.queries.registry import register
+
+
+@register(
+    "w1_skew_hotkey",
+    tags=("W1", "skew", "window"),
+    bench=True,
+    oracle="""
+WITH e AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN CAST(-1 AS BIGINT) ELSE user_id END AS k,
+         event_id AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT k, t, cents,
+         CAST(sum(cents) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS cum
+  FROM e
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max_by(cum, t) AS BIGINT) AS final_cum,
+       CAST(max(cum) AS BIGINT) AS peak_cum
+FROM c GROUP BY k
+""",
+)
+def w1_skew_hotkey_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's documented hot-key ceiling, made measurable: every fifth
+    user collapses onto ONE key (~20% of all events), then the running
+    cents total runs through ``skew_resistant_cumsum`` — within-chunk
+    windows over (key, chunk) spread the hot key across 32 tasks, a
+    tiny per-chunk prefix table seeds the offsets (two-phase running
+    total). The oracle is the PLAIN window cumsum: the decomposition
+    must be value-identical, and the bench entry times it at sf0.1
+    against the fixed headline set."""
+    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.col("event_id").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cum = skew_resistant_cumsum(ev, key="k", time="t", value="cents", out="cum")
+    return cum.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max_by("cum", "t").alias("final_cum"),
+        F.max("cum").alias("peak_cum"),
+    )
+
+
+@register(
+    "w1_income_partitioned_prune",
+    tags=("W1", "layout", "pruning"),
+    bench=True,
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS epoch,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT user_id, epoch, sum(cents) AS cents
+  FROM e GROUP BY user_id, epoch
+),
+merged AS (
+  SELECT user_id, epoch, CAST(cents AS BIGINT) AS cents,
+         epoch // 24 AS epoch_bucket
+  FROM agg
+)
+SELECT user_id,
+       CAST(sum(cents) AS BIGINT) AS cents_in_range,
+       CAST(count(*) AS BIGINT) AS n_epochs
+FROM merged
+WHERE epoch_bucket BETWEEN (SELECT min(epoch) // 24 FROM e)
+                       AND (SELECT min(epoch) // 24 FROM e) + 1
+GROUP BY user_id
+""",
+)
+def w1_income_partitioned_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PartitionFilters pruning at bench scale: hourly
+    per-user income lands in an epoch-bucket-partitioned warehouse
+    copy via ``write_time_partitioned`` (24 epochs = one bucket), then
+    the steady-state read — a two-bucket range — must scan ONLY those
+    bucket directories (the plan shows PartitionFilters on
+    epoch_bucket; asserted in tests/test_layout.py, timed here). The
+    write happens once per sf_dir into a content-stable location;
+    repeat runs time the pruned READ path."""
+    from stakehouse_etl_spark.io.sinks import write_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / 3_600_000_000).cast("long").alias("epoch"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("user_id", "epoch").agg(F.sum("cents").alias("cents"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_wh_{tag}", "hourly_income"
+    )
+    if not os.path.exists(path):
+        write_time_partitioned(
+            spark, hourly, path, keys=["user_id", "epoch"], epochs_per_bucket=24
+        )
+    lo = ev.agg(F.min("epoch")).collect()[0][0] // 24
+    wh = spark.read.parquet(path)
+    return (
+        wh.filter(F.col("epoch_bucket").between(lo, lo + 1))
+        .groupBy("user_id")
+        .agg(
+            F.sum("cents").alias("cents_in_range"),
+            F.count(F.lit(1)).alias("n_epochs"),
+        )
+    )

@@ -120,3 +120,50 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_left_b")
         spark.sql("DROP TABLE IF EXISTS t_right_b")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_skew_resistant_cumsum_equals_plain_window(spark):
+    """Two-phase chunked running total must be value-identical to the
+    plain per-key window — including a hot key with 60% of all rows,
+    duplicate-free ordering, and negative values."""
+    import random
+
+    from pyspark.sql import Window
+
+    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+
+    rng = random.Random(7)
+    rows = []
+    t = 0
+    for _ in range(3000):  # hot key: 3000 of ~5000 rows
+        t += rng.randint(1, 3)
+        rows.append(("hot", t, rng.randint(-50, 100)))
+    for k in range(20):
+        t = 0
+        for _ in range(100):
+            t += rng.randint(1, 5)
+            rows.append((f"k{k}", t, rng.randint(-50, 100)))
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+
+    got = skew_resistant_cumsum(df, key="k", time="t", value="v", out="cum")
+    plain = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.partitionBy("k").orderBy("t").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    a = {(r.k, r.t): r.cum for r in got.collect()}
+    b = {(r.k, r.t): r.cum for r in plain.collect()}
+    assert a == b
+
+
+def test_skew_resistant_cumsum_single_timestamp_key(spark):
+    """Degenerate key whose rows all share one timestamp value must not
+    divide by zero in the chunk formula."""
+    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+
+    df = spark.createDataFrame([("a", 5, 1), ("b", 5, 2)], "k string, t long, v long")
+    got = {r.k: r.cum for r in skew_resistant_cumsum(df, "k", "t", "v", "cum").collect()}
+    assert got == {"a": 1, "b": 2}
