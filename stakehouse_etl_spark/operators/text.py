@@ -177,3 +177,74 @@ def shingles(text: Column, k: int = 3) -> Column:
             F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), make)
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup key)
+# ---------------------------------------------------------------------------
+# Tracking parameters stripped during canonicalization — the standard
+# web-crawl dedup preprocessing (a URL's identity must not depend on
+# the ad-campaign token that referred the crawler to it).
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref",
+)
+
+
+def _is_tracking_param(p: Column) -> Column:
+    out = F.lit(False)
+    for pref in TRACKING_PARAM_PREFIXES:
+        if pref.endswith("_"):
+            out = out | p.startswith(pref)
+        else:
+            out = out | (p == pref) | p.startswith(pref + "=")
+    return out
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, default ports stripped,
+    ``www.`` stripped, fragment dropped, tracking query params removed,
+    surviving params sorted, trailing slash trimmed. Pure column
+    expressions (regexp + array ops) — whole-stage codegen, and the
+    identical regex/list pipeline is expressible in DuckDB, so the
+    kernel has an exact value oracle."""
+    no_frag = F.try_element_at(F.split(url, "#", 2), F.lit(1))
+    base = F.try_element_at(F.split(no_frag, "\\?", 2), F.lit(1))
+    # try_element_at: NULL (not an ANSI error) when there is no query part
+    query = F.try_element_at(F.split(no_frag, "\\?", 2), F.lit(2))
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
+        r"/$",
+        "",
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(query, F.lit("")), "&"),
+                lambda p: (p != "") & ~_is_tracking_param(p),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-host key for domain-level stats/blocklists:
+    lowercase host, default port and ``www.`` stripped."""
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    )

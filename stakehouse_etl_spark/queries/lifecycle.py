@@ -718,3 +718,56 @@ def s6_mev_block_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_mev_block_stats(
         spark, transport, start_ts=1_700_000_000, end_ts=1_700_086_400
     )
+
+
+@register(
+    "s4_subgraph_scan",
+    tags=("S4", "source"),
+    oracle="""
+SELECT '0x' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS id,
+       CAST(3 + n_nationkey % 2 AS VARCHAR) AS lifecycle_status,
+       '0xd' || CAST(n_nationkey AS VARCHAR) AS depositor,
+       n_nationkey % 3 = 0 AS is_part_of_index
+FROM nation
+""",
+)
+def s4_subgraph_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end through the REAL paginated GraphQL connector with
+    an injected transport: a 25-entity stakehouseAccounts-style scan
+    (reference: ``src/utils/subgraph.py`` / the ``getAllValidators``
+    query in ``scripts/check-sweeps.js:15-46``) pulled in three
+    id_gt-cursor pages of 10 (the reference hard-caps at first:1000
+    unpaginated; this connector removes that ceiling) and normalized
+    to a typed dimension DataFrame. Flips the last unit-only connector
+    row to oracle-exact."""
+    from stakehouse_etl_spark.io.connectors import fetch_subgraph_entities
+
+    nat = load_table(spark, sf_dir, "nation")
+    nkeys = sorted(r[0] for r in nat.select("n_nationkey").distinct().collect())
+    entities = [
+        {
+            "id": "0x" + str(k).zfill(4),
+            "lifecycle_status": str(3 + k % 2),
+            "depositor": "0xd" + str(k),
+            "is_part_of_index": k % 3 == 0,
+        }
+        for k in nkeys
+    ]
+
+    def transport(url: str) -> dict | None:
+        import json as _json
+
+        q = _json.loads(url.split("#", 1)[1])["query"]
+        cursor = q.split('id_gt:"', 1)[1].split('"', 1)[0]
+        page = [e for e in entities if e["id"] > cursor][:10]
+        return {"data": {"stakehouseAccounts": page}}
+
+    return fetch_subgraph_entities(
+        spark,
+        transport,
+        "http://subgraph",
+        'query { stakehouseAccounts(first:$first, where:{id_gt:"$cursor"}) }',
+        "stakehouseAccounts",
+        "id string, lifecycle_status string, depositor string, is_part_of_index boolean",
+        page_size=10,
+    )

@@ -130,3 +130,94 @@ def w1_income_partitioned_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_epochs"),
         )
     )
+
+
+_URL_TRACKING_SQL = (
+    "starts_with(p, 'utm_') OR p = 'fbclid' OR starts_with(p, 'fbclid=') "
+    "OR p = 'gclid' OR starts_with(p, 'gclid=') "
+    "OR p = 'msclkid' OR starts_with(p, 'msclkid=') "
+    "OR p = 'mc_cid' OR starts_with(p, 'mc_cid=') "
+    "OR p = 'mc_eid' OR starts_with(p, 'mc_eid=') "
+    "OR p = 'ref' OR starts_with(p, 'ref=')"
+)
+
+
+@register(
+    "text_url_normalize",
+    tags=("text", "url", "dedup"),
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Docs/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE doc_id % 3
+                WHEN 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+                WHEN 1 THEN '?gclid=xyz&q=' || lang
+                ELSE '/' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         split_part(url, '#', 1) AS no_frag
+  FROM u
+),
+pieces AS (
+  SELECT doc_id,
+         split_part(no_frag, '?', 1) AS base,
+         nullif(split_part(no_frag, '?', 2), '') AS query
+  FROM parts
+),
+norm AS (
+  SELECT doc_id,
+         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),
+           ':(443|80)$', ''), '^www\\.', '') AS host,
+         regexp_replace(
+           regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1),
+           '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(coalesce(query, ''), '&'),
+           p -> p <> '' AND NOT ({_URL_TRACKING_SQL}))), '&') AS params
+  FROM pieces
+)
+SELECT doc_id,
+       scheme || '://' || host || path
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS url_norm,
+       host AS domain,
+       host IN ('site0.com', 'site5.com') AS blocked
+FROM norm
+""",
+)
+def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the dedup key of every web-corpus
+    pipeline: mixed-case scheme/host, default port, www prefix,
+    fragments, and tracking params (utm_*/gclid/fbclid/...) all
+    collapse to one canonical form; surviving query params sort; the
+    registrable domain feeds domain-level stats and a blocklist flag.
+    Pure codegen'd column expressions (regex + array ops), exact
+    DuckDB parity on the whole kernel. URLs are synthesized
+    deterministically from doc_id (documents carries no URL column)."""
+    from stakehouse_etl_spark.operators.text import url_domain, url_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?gclid=xyz&q="), F.col("lang")),
+        )
+        .otherwise(F.lit("/")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    domain = url_domain(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        domain.alias("domain"),
+        domain.isin("site0.com", "site5.com").alias("blocked"),
+    )

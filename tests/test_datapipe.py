@@ -168,3 +168,29 @@ def test_decode_media_real_codec_when_available(spark):
     row = decode_media(media, "image").collect()[0]
     assert (row["width"], row["height"], row["n_channels"]) == (4, 2, 3)
     assert row["pixel_mean"] == (10 + 20 + 30) // 3
+
+
+def test_url_normalize_kernel(spark):
+    from stakehouse_etl_spark.operators.text import url_domain, url_normalize
+
+    cases = [
+        # tracking params dropped, rest sorted, fragment dropped,
+        # www + default port + case collapse, trailing slash trimmed
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/A/b?a=1&b=2", "ex.com"),
+        ("http://ex.com:80/", "http://ex.com", "ex.com"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p", "ex.com:8080"),
+        ("https://sub.ex.com/p?ref=abc&gclid=1", "https://sub.ex.com/p", "sub.ex.com"),
+        ("https://ex.com", "https://ex.com", "ex.com"),
+        # 'referrer=' must NOT be treated as the 'ref' tracking param
+        ("https://ex.com/p?referrer=x", "https://ex.com/p?referrer=x", "ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    out = df.select(
+        "url",
+        url_normalize(F.col("url")).alias("norm"),
+        url_domain(F.col("url")).alias("dom"),
+    ).collect()
+    got = {r.url: (r.norm, r.dom) for r in out}
+    for u, want_norm, want_dom in cases:
+        assert got[u] == (want_norm, want_dom), (u, got[u])
