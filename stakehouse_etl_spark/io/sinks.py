@@ -172,11 +172,21 @@ def _publish(
 
 
 def _partition_pred(partition_cols: list[str], rows: list[Row]) -> Column:
-    """OR-of-ANDs predicate selecting exactly the given partition-value
-    tuples — a deterministic predicate on partition columns only, so it
-    prunes at the scan (PartitionFilters)."""
+    """Predicate selecting exactly the given partition-value tuples —
+    deterministic on partition columns only, so it prunes at the scan
+    (PartitionFilters). Single column uses a compact ``isin`` (a
+    backfill can touch thousands of buckets; an OR-chain would bloat
+    the plan); multi-column falls back to OR-of-ANDs."""
     if not rows:
         return F.lit(False)
+    if len(partition_cols) == 1:
+        c = partition_cols[0]
+        vals = [r[c] for r in rows]
+        non_null = [v for v in vals if v is not None]
+        pred = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(vals):
+            pred = pred | F.col(c).isNull()
+        return pred
     terms = [
         reduce(
             lambda a, b: a & b,

@@ -248,3 +248,53 @@ def url_domain(url: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep stage
+    of RAG / pretraining pipelines: whitespace tokens sliced into
+    ``chunk_tokens``-sized windows advancing by ``chunk_tokens −
+    overlap``, each chunk carrying provenance (doc id, chunk index,
+    token offset). One generate-explode per doc, all column
+    expressions (sequence → transform → slice), no UDF; chunk count
+    per doc is ceil((n − overlap) / stride) so every token is covered
+    and consecutive chunks share ``overlap`` tokens.
+
+    Case-preserving tokenization (provenance text must round-trip);
+    empty/whitespace-only docs produce one empty chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride) - 1) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("long").alias("token_start"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("chunk_toks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.token_start").alias("token_start"),
+            F.size("c.chunk_toks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("c.chunk_toks", " ").alias("chunk_text"),
+        )
+    )

@@ -221,3 +221,49 @@ def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain.alias("domain"),
         domain.isin("site0.com", "site5.com").alias("blocked"),
     )
+
+
+@register(
+    "corpus_chunk_documents",
+    tags=("corpus", "chunking", "text"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         greatest(1, CAST(floor((len(toks) - 16 + 47) / 48.0) AS INTEGER))
+           AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, g.i AS chunk_idx,
+         CAST(g.i * 48 AS BIGINT) AS token_start,
+         toks[g.i * 48 + 1 : g.i * 48 + 64] AS chunk_toks
+  FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) g
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, token_start,
+       CAST(len(chunk_toks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk_toks, ' ')) AS chunk_fp
+FROM c
+""",
+)
+def corpus_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of the corpus (64-token windows, 16
+    overlap): the context-window prep stage every RAG / pretraining
+    pipeline runs before embedding or packing. Returns provenance
+    (doc_id, chunk_idx, token offset) + the chunk fingerprint (md5) so
+    the oracle value-checks the exact chunk contents without hauling
+    chunk text through the compare."""
+    from stakehouse_etl_spark.operators.text import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_docs(docs, chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "token_start",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )

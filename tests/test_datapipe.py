@@ -194,3 +194,31 @@ def test_url_normalize_kernel(spark):
     got = {r.url: (r.norm, r.dom) for r in out}
     for u, want_norm, want_dom in cases:
         assert got[u] == (want_norm, want_dom), (u, got[u])
+
+
+def test_chunk_docs_overlap_and_coverage(spark):
+    from stakehouse_etl_spark.operators.text import chunk_docs
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = docs_df(spark, [(1, words), (2, "a b"), (3, "")])
+    out = chunk_docs(df, chunk_tokens=10, overlap=4)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.token_start, r.n_chunk_tokens, r.chunk_text)
+         for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # stride 6: ceil((100-4)/6) = 16 chunks; starts 0,6,12,...,90
+    assert len(d1) == 16
+    assert [r[2] for r in d1] == list(range(0, 96, 6))
+    assert d1[0][4].split() == [f"w{i}" for i in range(10)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1[0][4].split()[-4:] == d1[1][4].split()[:4]
+    # final chunk truncated at doc end, every token covered
+    assert d1[-1][3] == 10 and d1[-1][4].split()[-1] == "w99"
+    covered = set()
+    for _, _, start, n, _ in d1:
+        covered.update(range(start, start + n))
+    assert covered == set(range(100))
+    # short doc → one chunk; empty doc → one empty-ish chunk row
+    assert [(r[1], r[3]) for r in rows if r[0] == 2] == [(0, 2)]
+    assert len([r for r in rows if r[0] == 3]) == 1
