@@ -112,7 +112,16 @@ def w1_income_partitioned_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     hourly = ev.groupBy("user_id", "epoch").agg(F.sum("cents").alias("cents"))
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # Cache key includes the source file's identity (mtime+size): the
+    # driver REGENERATES /root/testdata between rounds, and a warehouse
+    # copy built from the previous generation would silently diverge
+    # from the oracle.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{int(st.st_mtime)}_{st.st_size}"
+    )
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_wh_{tag}", "hourly_income"
     )
