@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 _VERSION_COL = "__ingest_version"
 _STAGING_SUFFIX = ".__staging__"
 _OLD_SUFFIX = ".__old__"
+_UNDO_SUFFIX = ".__undo__"
 
 
 def _merge(
@@ -86,10 +87,51 @@ def _fs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
+def _checked_rename(fs, P, src: str, dst: str) -> None:
+    """Hadoop ``FileSystem.rename`` signals most failures by returning
+    FALSE, not raising — ignoring the result can end in deleting the
+    only copy of a table. Fail loud instead."""
+    if not fs.rename(P(src), P(dst)):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")
+
+
+def _recover(spark: SparkSession, path: str, partition_depth: int = 0) -> None:
+    """Roll back the leftovers of a writer that died mid-publish.
+
+    Whole-table swap: if ``path`` is missing but ``<path>.__old__``
+    exists, the crash happened between the two renames — restore the
+    old table (the interrupted batch re-applies idempotently on
+    retry). If both exist, the publish completed; drop the stale old.
+
+    Per-partition swap: any partition parked under ``<path>.__undo__``
+    whose destination is missing is restored; completed leftovers are
+    dropped. Runs at the start of every write so a crashed writer
+    never strands the table."""
+    fs, P = _fs(spark, path)
+    old = path.rstrip("/") + _OLD_SUFFIX
+    if fs.exists(P(old)):
+        if not fs.exists(P(path)):
+            _checked_rename(fs, P, old, path)
+        else:
+            fs.delete(P(old), True)
+    undo_root = path.rstrip("/") + _UNDO_SUFFIX
+    if partition_depth and fs.exists(P(undo_root)):
+        for rel in _staged_partition_dirs(fs, P, undo_root, partition_depth):
+            dst = P(path + "/" + rel)
+            if not fs.exists(dst):
+                parent = dst.getParent()
+                if not fs.exists(parent):
+                    fs.mkdirs(parent)
+                _checked_rename(fs, P, undo_root + "/" + rel, path + "/" + rel)
+        fs.delete(P(undo_root), True)
+
+
 def _swap_dir(spark: SparkSession, staging: str, path: str) -> None:
-    """Atomically replace directory ``path`` with ``staging``: rename
-    the old table aside, rename staging in, drop the old. Readers see
-    either the old or the new table, never a mix."""
+    """Replace directory ``path`` with ``staging`` via two metadata
+    renames (old table parked at ``<path>.__old__`` until the new one
+    is in place — never deleted first). A crash between the renames
+    leaves the table briefly absent; :func:`_recover` restores it on
+    the next write. Every rename result is checked."""
     fs, P = _fs(spark, path)
     old = path.rstrip("/") + _OLD_SUFFIX
     if fs.exists(P(old)):
@@ -98,8 +140,8 @@ def _swap_dir(spark: SparkSession, staging: str, path: str) -> None:
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
     if fs.exists(P(path)):
-        fs.rename(P(path), P(old))
-    fs.rename(P(staging), P(path))
+        _checked_rename(fs, P, path, old)
+    _checked_rename(fs, P, staging, path)
     if fs.exists(P(old)):
         fs.delete(P(old), True)
 
@@ -155,20 +197,33 @@ def _publish(
         _swap_dir(spark, staging, path)
         return
 
+    # Per-partition swap: the live partition is PARKED under
+    # <path>.__undo__ (never deleted first), the staged one renamed in,
+    # and the undo dirs dropped only after every partition landed. A
+    # crash mid-loop leaves either the old or the new dir reachable;
+    # _recover() restores parked partitions on the next write.
+    undo_root = path.rstrip("/") + _UNDO_SUFFIX
+    if fs.exists(P(undo_root)):
+        fs.delete(P(undo_root), True)
     staged = _staged_partition_dirs(fs, P, staging, len(partition_cols))
     for rel in staged:
         dst = P(path + "/" + rel)
         if fs.exists(dst):
-            fs.delete(dst, True)
+            undo = P(undo_root + "/" + rel)
+            uparent = undo.getParent()
+            if not fs.exists(uparent):
+                fs.mkdirs(uparent)
+            _checked_rename(fs, P, path + "/" + rel, undo_root + "/" + rel)
         parent = dst.getParent()
         if not fs.exists(parent):
             fs.mkdirs(parent)
-        fs.rename(P(staging + "/" + rel), dst)
+        _checked_rename(fs, P, staging + "/" + rel, path + "/" + rel)
     staged_set = set(staged)
     for rel in drop_dirs or []:
         if rel not in staged_set:
             fs.delete(P(path + "/" + rel), True)
     fs.delete(P(staging), True)
+    fs.delete(P(undo_root), True)
 
 
 def _partition_pred(partition_cols: list[str], rows: list[Row]) -> Column:
@@ -201,9 +256,14 @@ def _partition_dir_of(file_path: str, n_cols: int) -> str:
     """Relative partition directory (last ``n_cols`` ``col=value``
     components) of a data-file path from ``input_file_name()`` — lets
     us name published partition dirs without re-implementing Hive's
-    value-escaping rules."""
+    value-escaping rules. ``input_file_name()`` returns a URI, so each
+    component is URL-decoded once to recover the on-disk name (a space
+    arrives as ``%20``; a Hive-escaped ``%3A`` arrives double-encoded
+    as ``%253A`` and decodes back to ``%3A``)."""
+    from urllib.parse import unquote
+
     parts = file_path.rstrip("/").split("/")[:-1]
-    return "/".join(parts[-n_cols:])
+    return "/".join(unquote(p) for p in parts[-n_cols:])
 
 
 def write_cdc(
@@ -234,6 +294,7 @@ def write_cdc(
     merged, and swapped, and partitions emptied by deletes are removed
     rather than left stale.
     """
+    _recover(spark, path, len(partition_cols or []))
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
     compact = (
         batch.withColumn("__rn", F.row_number().over(w))
@@ -290,6 +351,7 @@ def _write_keyed(
     keep: str,
     partition_cols: list[str] | None,
 ) -> None:
+    _recover(spark, path, len(partition_cols or []))
     try:
         existing = spark.read.parquet(path)
     except Exception:
@@ -318,7 +380,15 @@ def write_upsert(
     partition_cols: list[str] | None = None,
 ) -> None:
     """K1: INSERT … ON DUPLICATE KEY UPDATE → newest-wins merge +
-    staged write + atomic rename (no driver-side materialization)."""
+    staged write + atomic rename (no driver-side materialization).
+
+    CONTRACT with ``partition_cols``: partition values must be
+    functionally determined by the key (e.g. the epoch bucket of an
+    entity-time key) — only the batch's partitions are read and
+    merged, so a key "moving" between partitions would leave its old
+    row in the unread partition (the same partition-path contract as
+    Hudi/Delta without a global index). Keys here always embed the
+    time column, so the bucket is stable by construction."""
     _write_keyed(spark, incoming, path, keys, "incoming", partition_cols)
 
 
@@ -329,7 +399,10 @@ def write_insert_ignore(
     keys: list[str],
     partition_cols: list[str] | None = None,
 ) -> None:
-    """K2: INSERT IGNORE → oldest-wins merge + staged write + atomic rename."""
+    """K2: INSERT IGNORE → oldest-wins merge + staged write + atomic
+    rename. Same partition-stability contract as :func:`write_upsert`:
+    with ``partition_cols``, the dedup-by-key only sees the batch's
+    own partitions, so keys must determine their partition."""
     _write_keyed(spark, incoming, path, keys, "existing", partition_cols)
 
 

@@ -210,14 +210,11 @@ def _band_candidates(
     subsequent self-join reuses the same partitioning (no extra
     exchange on the filtered side).
     """
-    banded = _banded(sh, id_col)
-    if max_bucket is not None:
-        wb = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
+
+    banded = drop_oversize_buckets(
+        _banded(sh, id_col), ["band_idx", "band_key"], max_bucket
+    )
     ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (

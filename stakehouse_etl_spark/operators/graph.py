@@ -56,6 +56,14 @@ def connected_components(
     # one pass, returning under-merged components); for any other id
     # type fall back to the join-based changed-row count.
     numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
+    if not numeric_ids:
+        # The numeric path detects NULL ids via the NULL aggregate; the
+        # join-based path would silently drop NULL-keyed comparisons
+        # (NULL != NULL filters out) and "converge" — check upfront.
+        if labels.filter(F.col("node").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "connected_components: NULL node ids in the edge list"
+            )
     prev_sum = None
     for _ in range(max_iter):
         neighbor = (

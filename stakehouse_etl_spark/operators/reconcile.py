@@ -40,13 +40,19 @@ def reconcile_keyed(
     Returns ``keys + (warehouse_col, source_col, diff, status)``;
     ``diff`` is NULL when either side is missing.
     """
-    j = warehouse.join(source, keys, "full_outer")
+    # Presence is a pre-join flag, NOT value nullity: a key present on
+    # both sides with a NULL value is a value mismatch to investigate,
+    # not a missing key (the two conditions mean different things in an
+    # audit report).
+    j = warehouse.withColumn("__w_present", F.lit(True)).join(
+        source.withColumn("__s_present", F.lit(True)), keys, "full_outer"
+    )
     w, s = F.col(warehouse_col), F.col(source_col)
     diff = w - s
     status = (
-        F.when(s.isNull(), F.lit("missing_in_source"))
-        .when(w.isNull(), F.lit("missing_in_warehouse"))
-        .when(F.abs(diff) <= tol, F.lit("match"))
+        F.when(F.col("__s_present").isNull(), F.lit("missing_in_source"))
+        .when(F.col("__w_present").isNull(), F.lit("missing_in_warehouse"))
+        .when(w.eqNullSafe(s) | (F.abs(diff) <= tol), F.lit("match"))
         .otherwise(F.lit("mismatch"))
     )
     return j.select(

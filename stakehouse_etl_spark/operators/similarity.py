@@ -291,14 +291,11 @@ def ann_lsh_pairs(
     good probability); run multiple plane-sets and union for higher
     recall — same plan shape.
     """
-    b = hyperplane_buckets(embeddings, id_col, emb_col)
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket")
-        b = (
-            b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
+
+    b = drop_oversize_buckets(
+        hyperplane_buckets(embeddings, id_col, emb_col), ["bucket"], max_bucket
+    )
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col("q_emb").alias("emb_a"),

@@ -213,9 +213,14 @@ def url_normalize(url: Column) -> Column:
     query = F.try_element_at(F.split(no_frag, "\\?", 2), F.lit(2))
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    # A port is default only FOR ITS SCHEME: http://ex.com:443 is a
+    # distinct resource and must not collapse into https://ex.com.
+    deported = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
     )
+    host = F.regexp_replace(deported, r"^www\.", "")
     path = F.regexp_replace(
         F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
         r"/$",
@@ -241,13 +246,17 @@ def url_normalize(url: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     """Registrable-host key for domain-level stats/blocklists:
-    lowercase host, default port and ``www.`` stripped."""
+    lowercase host, scheme-default port and ``www.`` stripped."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
-    return F.regexp_replace(
-        F.regexp_replace(hostport, r":(443|80)$", ""), r"^www\.", ""
+    deported = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
     )
+    return F.regexp_replace(deported, r"^www\.", "")
 
 
 def chunk_docs(

@@ -141,14 +141,21 @@ def w1_income_partitioned_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_URL_TRACKING_SQL = (
-    "starts_with(p, 'utm_') OR p = 'fbclid' OR starts_with(p, 'fbclid=') "
-    "OR p = 'gclid' OR starts_with(p, 'gclid=') "
-    "OR p = 'msclkid' OR starts_with(p, 'msclkid=') "
-    "OR p = 'mc_cid' OR starts_with(p, 'mc_cid=') "
-    "OR p = 'mc_eid' OR starts_with(p, 'mc_eid=') "
-    "OR p = 'ref' OR starts_with(p, 'ref=')"
-)
+def _url_tracking_sql() -> str:
+    """Generated from the SAME tuple the operator uses — the two
+    engines cannot drift when a prefix is added."""
+    from stakehouse_etl_spark.operators.text import TRACKING_PARAM_PREFIXES
+
+    terms = []
+    for pref in TRACKING_PARAM_PREFIXES:
+        if pref.endswith("_"):
+            terms.append(f"starts_with(p, '{pref}')")
+        else:
+            terms.append(f"p = '{pref}' OR starts_with(p, '{pref}=')")
+    return " OR ".join(terms)
+
+
+_URL_TRACKING_SQL = _url_tracking_sql()
 
 
 @register(
@@ -176,19 +183,27 @@ pieces AS (
          nullif(split_part(no_frag, '?', 2), '') AS query
   FROM parts
 ),
-norm AS (
-  SELECT doc_id,
+hp AS (
+  SELECT doc_id, base, query,
          lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         regexp_replace(regexp_replace(
-           lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),
-           ':(443|80)$', ''), '^www\\.', '') AS host,
+         lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1))
+           AS hostport
+  FROM pieces
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host,
          regexp_replace(
            regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1),
            '/$', '') AS path,
          array_to_string(list_sort(list_filter(
            string_split(coalesce(query, ''), '&'),
            p -> p <> '' AND NOT ({_URL_TRACKING_SQL}))), '&') AS params
-  FROM pieces
+  FROM hp
 )
 SELECT doc_id,
        scheme || '://' || host || path

@@ -184,6 +184,10 @@ def test_url_normalize_kernel(spark):
         ("https://ex.com", "https://ex.com", "ex.com"),
         # 'referrer=' must NOT be treated as the 'ref' tracking param
         ("https://ex.com/p?referrer=x", "https://ex.com/p?referrer=x", "ex.com"),
+        # ports are default only FOR THEIR scheme — :443 on http is a
+        # real distinct resource and must survive canonicalization
+        ("http://ex.com:443/p", "http://ex.com:443/p", "ex.com:443"),
+        ("https://ex.com:80/p", "https://ex.com:80/p", "ex.com:80"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
     out = df.select(

@@ -171,3 +171,50 @@ def test_upsert_partitioned_untouched_partition_preserved(spark, workdir):
     assert before == after
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "x", 2: "Y", 3: "z"}
+
+
+def test_recover_restores_table_after_crash_between_renames(spark, workdir):
+    """Crash window of the whole-dir swap: the table was renamed aside
+    but the staging never renamed in. The next write must restore the
+    old table and apply its batch on top — no data loss."""
+    path = os.path.join(workdir, "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_upsert(spark, df1, path, keys=["k"])
+    # Simulate the crash: park the live table at <path>.__old__.
+    os.rename(path, path + ".__old__")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    write_upsert(spark, df2, path, keys=["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # old rows survived the crash
+
+
+def test_recover_restores_parked_partition(spark, workdir):
+    """Crash window of the per-partition swap: a partition parked under
+    <path>.__undo__ whose replacement never landed is restored."""
+    path = os.path.join(workdir, "t")
+    df1 = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "k long, pb long, v string"
+    )
+    write_upsert(spark, df1, path, keys=["k"], partition_cols=["pb"])
+    # Simulate: pb=0 was parked for replacement, then the writer died.
+    os.makedirs(path + ".__undo__", exist_ok=True)
+    os.rename(os.path.join(path, "pb=0"), path + ".__undo__/pb=0")
+    df2 = spark.createDataFrame([(3, 1, "z")], "k long, pb long, v string")
+    write_upsert(spark, df2, path, keys=["k"], partition_cols=["pb"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "x", 2: "y", 3: "z"}  # parked pb=0 restored
+    assert not os.path.exists(path + ".__undo__")
+
+
+def test_reconcile_null_value_is_mismatch_not_missing(spark):
+    from stakehouse_etl_spark.operators.reconcile import reconcile_keyed
+
+    wh = spark.createDataFrame([(1, 10), (2, None)], "k long, wv long")
+    src = spark.createDataFrame([(1, None), (2, None)], "k long, sv long")
+    got = {
+        r.k: r.status
+        for r in reconcile_keyed(wh, src, ["k"], "wv", "sv").collect()
+    }
+    # key 1: both present, values differ (10 vs NULL) → mismatch
+    # key 2: both present, both NULL → equal → match
+    assert got == {1: "mismatch", 2: "match"}
