@@ -544,3 +544,88 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 20,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental dedup — the PRODUCTION shape of corpus maintenance:
+    a new crawl ``batch`` deduped against the already-kept ``corpus``
+    (and against itself), without ever joining corpus x corpus.
+
+    Candidates are (batch doc, partner) band collisions where the
+    partner is any corpus doc or a LOWER-id batch doc (greedy
+    keep-lowest-batch-id within the batch; the corpus always wins).
+    Exact Jaccard verifies candidates only; batch docs with a verified
+    >= threshold partner are dropped. Returns the KEPT batch ids.
+
+    At 100 TB the corpus side is a precomputed band-signature index
+    (store ``_banded``'s output as a table keyed by (band_idx,
+    band_key)); each nightly batch then shuffles only its own bands
+    plus the collided corpus buckets. Bucket cap applies to the
+    UNION's buckets — mirrored by the oracle's global QUALIFY.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
+
+    sh_c = doc_shingles(corpus, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_b = doc_shingles(batch, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded_c = _banded(sh_c, id_col).withColumn("__side", F.lit("c"))
+    banded_b = _banded(sh_b, id_col).withColumn("__side", F.lit("b"))
+    allb = drop_oversize_buckets(
+        banded_c.unionByName(banded_b), ["band_idx", "band_key"], max_bucket
+    )
+    new = allb.filter(F.col("__side") == "b").select(
+        F.col(id_col).alias("id_new"), "band_idx", "band_key"
+    )
+    partner = allb.select(
+        F.col(id_col).alias("id_old"),
+        F.col("__side").alias("side_old"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        new.join(partner, ["band_idx", "band_key"])
+        .filter(
+            (F.col("side_old") == "c")
+            | ((F.col("side_old") == "b") & (F.col("id_old") < F.col("id_new")))
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sh_all = sh_c.unionByName(sh_b)
+    counts = sh_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_all.select(F.col(id_col).alias("id_old"), "shingle")
+    b = sh_all.select(F.col(id_col).alias("id_new"), "shingle")
+    inter = (
+        cand.join(a, "id_old")
+        .join(b, ["id_new", "shingle"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nn = counts.select(F.col(id_col).alias("id_new"), F.col("n_sh").alias("n_new"))
+    no = counts.select(F.col(id_col).alias("id_old"), F.col("n_sh").alias("n_old"))
+    drops = (
+        inter.join(nn, "id_new")
+        .join(no, "id_old")
+        .withColumn("union_sz", F.col("n_new") + F.col("n_old") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
+        .select("id_new")
+        .distinct()
+    )
+    return (
+        batch.select(id_col)
+        .distinct()
+        .join(drops.withColumnRenamed("id_new", id_col), id_col, "left_anti")
+    )

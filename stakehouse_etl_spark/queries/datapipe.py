@@ -563,3 +563,43 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline in SQL — approximation and all."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, query_ids=list(range(10)), k=10, n_cells=8, n_probe=2)
+
+
+@register(
+    "dedup_incremental_batch",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE},
+p AS (
+  SELECT j.id_a, j.id_b
+  FROM j JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+  WHERE inter * 100 >= union_sz * 20
+),
+drops AS (
+  SELECT id_b AS doc_id FROM p WHERE id_b % 2 = 1
+  UNION
+  SELECT id_a FROM p WHERE id_a % 2 = 1 AND id_b % 2 = 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM drops)
+""",
+)
+def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, the nightly-crawl shape: odd-id documents are
+    the NEW batch, even-id documents the already-kept corpus. The batch
+    dedups against the corpus index and against its own lower ids via
+    the band join (never corpus x corpus), exact-verifying candidates
+    only; returns the kept batch ids. The oracle derives the identical
+    keep set from the global verified-pair relation."""
+    from stakehouse_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_minhash_dedup(corpus, batch, threshold_pct=20)

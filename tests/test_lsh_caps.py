@@ -80,3 +80,27 @@ def test_ann_hot_bucket_dropped(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got
     assert len(got) <= 45  # bounded by cap²/2 per surviving bucket
+
+
+def test_incremental_dedup_corpus_wins_and_batch_greedy(spark):
+    from stakehouse_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "totally different corpus text about join reordering")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),          # dup of corpus doc 0 (higher OR lower id — corpus wins)
+            (3, "fresh unique text on adaptive query execution in spark"),
+            (5, "fresh unique text on adaptive query execution in spark"),  # dup of 3
+            (7, "another singleton about shuffle partition coalescing"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_minhash_dedup(corpus, batch).collect()
+    )
+    # 1 drops (corpus dup), 5 drops (batch dup of lower id 3), 3 and 7 keep
+    assert kept == [3, 7]
