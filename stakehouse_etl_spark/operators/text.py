@@ -307,3 +307,16 @@ def chunk_docs(
             F.array_join("c.chunk_toks", " ").alias("chunk_text"),
         )
     )
+
+
+# BPE-style pre-tokenizer: maximal runs of letters / digits / other
+# non-space (the lookahead-free core of the GPT-2 pre-token regex,
+# portable across Java regex and RE2 so both engines count the same).
+BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens over lowercased text — the unit a
+    subword tokenizer's merges operate within; counting these is the
+    standard cheap proxy for model token counts."""
+    return F.regexp_extract_all(F.lower(F.trim(text)), F.lit(BPE_PRETOKEN_RE), 0)

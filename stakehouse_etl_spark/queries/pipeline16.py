@@ -291,3 +291,52 @@ def corpus_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5(F.col("chunk_text")).alias("chunk_fp"),
     )
+
+
+@register(
+    "text_bpe_pretoken_stats",
+    tags=("text", "tokenize", "bpe"),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]+')
+           AS pts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pts) AS BIGINT) AS n_pretokens,
+       CAST(len(list_filter(pts, p -> regexp_matches(p, '^[a-z]'))) AS BIGINT)
+         AS n_alpha,
+       CAST(len(list_filter(pts, p -> regexp_matches(p, '^[0-9]'))) AS BIGINT)
+         AS n_digit,
+       CAST(len(list_filter(pts, p -> NOT regexp_matches(p, '^[a-z0-9]')))
+            AS BIGINT) AS n_punct,
+       CAST(list_sum(list_transform(pts, p -> length(p))) AS BIGINT)
+         AS pretoken_chars
+FROM t
+""",
+)
+def text_bpe_pretoken_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the brief's 'whitespace + a BPE-ish
+    regex'): maximal letter/digit/punct runs — the pre-token unit a
+    subword tokenizer merges within, and the standard cheap proxy for
+    model token counts when budgeting a training mix. Pure codegen'd
+    regexp_extract_all; exact cross-engine counts."""
+    from stakehouse_etl_spark.operators.text import bpe_pretokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(pts).cast("long").alias("n_pretokens"),
+        F.size(F.filter(pts, lambda p: p.rlike("^[a-z]"))).cast("long").alias("n_alpha"),
+        F.size(F.filter(pts, lambda p: p.rlike("^[0-9]"))).cast("long").alias("n_digit"),
+        F.size(F.filter(pts, lambda p: ~p.rlike("^[a-z0-9]")))
+        .cast("long")
+        .alias("n_punct"),
+        F.aggregate(
+            F.transform(pts, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pretoken_chars"),
+    )
