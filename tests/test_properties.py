@@ -243,3 +243,111 @@ def test_asof_join_matches_naive(spark, panel, direction):
                 cand = [(rt, v) for rt, v in rs.items() if rt >= t]
                 want[(k, i)] = min(cand)[1] if cand else None
     assert got == want
+
+
+# --- round-2 operator properties -----------------------------------------
+
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~/?&=#: %",
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTPS", "ftp"]),
+            st.sampled_from(["Ex.com", "WWW.ex.com", "ex.com:443", "ex.com:8080"]),
+            _url_chars,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_url_normalize_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u) — canonical forms are
+    fixed points (the property that makes the output a join key)."""
+    from stakehouse_etl_spark.operators.text import url_normalize
+
+    rows = [(f"{s}://{h}/{t}",) for s, h, t in urls]
+    df = spark.createDataFrame(rows, "url string")
+    once = df.select(url_normalize(F.col("url")).alias("u1"))
+    twice = once.select("u1", url_normalize(F.col("u1")).alias("u2"))
+    for r in twice.collect():
+        assert r.u2 == r.u1, (r.u1, r.u2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=4),       # key
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1000),   # t (deduped below)
+                st.integers(min_value=-100, max_value=100),  # v
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=2, max_value=8),  # n_chunks
+)
+def test_skew_cumsum_matches_python(spark, panel, n_chunks):
+    """Chunked running total == naive per-key Python prefix sum for any
+    chunk count (including chunks larger than the data)."""
+    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+
+    rows = []
+    for k, pts in panel.items():
+        seen = {}
+        for t, v in pts:
+            seen[t] = v  # unique t per key
+        rows.extend((str(k), t, v) for t, v in seen.items())
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        (r.k, r.t): r.cum
+        for r in skew_resistant_cumsum(
+            df, "k", "t", "v", "cum", n_chunks=n_chunks
+        ).collect()
+    }
+    for k, pts in panel.items():
+        seen = dict(pts)
+        acc = 0
+        for t in sorted(seen):
+            acc += seen[t]
+            assert got[(str(k), t)] == acc
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=120),
+    st.integers(min_value=2, max_value=12),   # chunk_tokens
+    st.integers(min_value=0, max_value=6),    # overlap (< chunk_tokens enforced)
+)
+def test_chunk_docs_invariants(spark, lens, chunk_tokens, overlap):
+    """Every token covered exactly once per its positions; consecutive
+    chunks overlap by exactly `overlap`; reassembling non-overlap
+    spans reconstructs the document."""
+    from stakehouse_etl_spark.operators.text import chunk_docs
+
+    overlap = min(overlap, chunk_tokens - 1)
+    n = len(lens)
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r.chunk_idx, r.token_start, r.chunk_text.split() if r.chunk_text else [])
+        for r in chunk_docs(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    )
+    toks = text.split()
+    stride = chunk_tokens - overlap
+    for idx, start, body in chunks:
+        assert start == idx * stride
+        assert body == toks[start : start + chunk_tokens]
+    covered = set()
+    for _, start, body in chunks:
+        covered.update(range(start, start + len(body)))
+    assert covered == set(range(len(toks)))
