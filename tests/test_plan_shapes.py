@@ -174,3 +174,38 @@ def test_drill_across_no_fact_to_fact_join(spark):
     plan = plan_of(spark, "j15_drill_across")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_url_normalize_scan_only_no_shuffle(spark):
+    # Pure column kernel: zero exchanges, single scan (higher-order
+    # array lambdas keep the outer Project off codegen; the plan is
+    # still scan→project with no data movement).
+    plan = plan_of(spark, "text_url_normalize")
+    assert count_exchanges(plan) == 0, plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_bpe_pretokens_scan_only_no_shuffle(spark):
+    plan = plan_of(spark, "text_bpe_pretoken_stats")
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_chunking_scan_only_generate(spark):
+    # Explode over per-row chunk arrays: no shuffle, one Generate.
+    plan = plan_of(spark, "corpus_chunk_documents")
+    assert count_exchanges(plan) == 0, plan
+    assert "Generate" in plan
+
+
+def test_skew_cumsum_no_cartesian_and_bounded_shuffles(spark):
+    plan = plan_of(spark, "w1_skew_hotkey")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # stats agg + chunked window + chunk totals + offsets join + final agg:
+    # the decomposition costs extra exchanges by design — bound them so a
+    # refactor doesn't quietly add more.
+    assert count_exchanges(plan) <= 6, plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_incremental_batch")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
