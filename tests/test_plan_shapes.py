@@ -182,7 +182,7 @@ def test_url_normalize_scan_only_no_shuffle(spark):
     # still scan→project with no data movement).
     plan = plan_of(spark, "text_url_normalize")
     assert count_exchanges(plan) == 0, plan
-    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_bpe_pretokens_scan_only_no_shuffle(spark):
