@@ -47,6 +47,18 @@ def run() -> None:
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # OS page-cache warmup: one cheap pass over each input table so the
+    # first query touching a file isn't charged for cold reads the later
+    # ones don't pay (BASELINE.md r1 recorded a 9 s warm-vs-cold gap on
+    # the same suite). count() reads footers + pages without shuffling.
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(p).count()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.bench:
