@@ -603,3 +603,132 @@ def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_minhash_dedup(corpus, batch, threshold_pct=20)
+
+
+@register(
+    "stream_incremental_dedup",
+    tags=("dedup", "streaming", "incremental", "T6"),
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE},
+p AS (
+  SELECT j.id_a, j.id_b
+  FROM j JOIN cand ON cand.id_a = j.id_a AND cand.id_b = j.id_b
+  WHERE inter * 100 >= union_sz * 20
+),
+lim AS (SELECT max(doc_id) AS mx FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id <= (SELECT mx // 3 FROM lim) THEN 1
+              WHEN doc_id <= (SELECT 2 * mx // 3 FROM lim) THEN 2
+              ELSE 3 END AS bno
+  FROM documents
+),
+k1 AS (
+  SELECT doc_id FROM b WHERE bno = 1 AND doc_id NOT IN (
+    SELECT p.id_b FROM p
+    JOIN b ba ON ba.doc_id = p.id_a AND ba.bno = 1
+    JOIN b bb ON bb.doc_id = p.id_b AND bb.bno = 1)
+),
+k2 AS (
+  SELECT doc_id FROM b WHERE bno = 2 AND doc_id NOT IN (
+    SELECT p.id_b FROM p
+    JOIN b ba ON ba.doc_id = p.id_a AND ba.bno = 2
+    JOIN b bb ON bb.doc_id = p.id_b AND bb.bno = 2
+    UNION
+    SELECT p.id_b FROM p JOIN k1 ON k1.doc_id = p.id_a
+    UNION
+    SELECT p.id_a FROM p JOIN k1 ON k1.doc_id = p.id_b
+    JOIN b bx ON bx.doc_id = p.id_a AND bx.bno = 2)
+),
+k12 AS (SELECT doc_id FROM k1 UNION SELECT doc_id FROM k2),
+k3 AS (
+  SELECT doc_id FROM b WHERE bno = 3 AND doc_id NOT IN (
+    SELECT p.id_b FROM p
+    JOIN b ba ON ba.doc_id = p.id_a AND ba.bno = 3
+    JOIN b bb ON bb.doc_id = p.id_b AND bb.bno = 3
+    UNION
+    SELECT p.id_b FROM p JOIN k12 ON k12.doc_id = p.id_a
+    UNION
+    SELECT p.id_a FROM p JOIN k12 ON k12.doc_id = p.id_b
+    JOIN b bx ON bx.doc_id = p.id_a AND bx.bno = 3)
+)
+SELECT doc_id, 1 AS batch_no FROM k1
+UNION ALL SELECT doc_id, 2 FROM k2
+UNION ALL SELECT doc_id, 3 FROM k3
+""",
+)
+def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus maintenance as a STREAM: three doc_id-tercile micro-
+    batches arrive in order through the file source; ``foreachBatch``
+    dedups each against the kept-so-far corpus table via
+    ``incremental_minhash_dedup`` and appends the survivors — the
+    steady-state crawl-ingest loop (stream side of
+    ``dedup_incremental_batch``). The oracle unrolls the three-stage
+    greedy process over the global verified-pair relation; the final
+    kept table must match it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from stakehouse_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx // 3, 2 * mx // 3
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(workdir, "src")
+        kept_dir = os.path.join(workdir, "kept")
+        os.makedirs(src)
+        bounds = [(None, t1, 1), (t1, t2, 2), (t2, None, 3)]
+        for lo, hi, i in bounds:
+            chunk = docs
+            if lo is not None:
+                chunk = chunk.filter(F.col("doc_id") > lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("doc_id") <= hi)
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        batch_no = {"n": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            batch_no["n"] += 1
+            try:
+                corpus = s.read.parquet(kept_dir).select("doc_id", "text")
+            except Exception:
+                corpus = s.createDataFrame([], "doc_id long, text string")
+            kept_ids = incremental_minhash_dedup(corpus, batch_df)
+            kept_rows = batch_df.join(kept_ids, "doc_id", "semi").select(
+                "doc_id", "text", F.lit(batch_no["n"]).alias("batch_no")
+            )
+            kept_rows.write.mode("append").parquet(kept_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(kept_dir).select("doc_id", "batch_no")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
