@@ -340,3 +340,47 @@ def text_bpe_pretoken_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("pretoken_chars"),
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    tags=("text", "fingerprint", "dedup"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+  FROM g
+),
+wmin AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(1, len(hs) - 4 + 1) + 1),
+           i -> list_min(hs[i : i + 3]))) AS fps
+  FROM h WHERE len(hs) > 0
+)
+SELECT doc_id, unnest(fps) AS fp FROM wmin
+""",
+)
+def text_winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, the brief's
+    named scheme): min-of-window over the positional 3-gram hash
+    stream, window 4 — every shared run of >= 6 tokens between two
+    docs shares a fingerprint, at ~2/(w+1) storage. Exploded
+    (doc_id, fp) rows; exact cross-engine hash parity."""
+    from stakehouse_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)

@@ -226,3 +226,27 @@ def test_chunk_docs_overlap_and_coverage(spark):
     # short doc → one chunk; empty doc → one empty-ish chunk row
     assert [(r[1], r[3]) for r in rows if r[0] == 2] == [(0, 2)]
     assert len([r for r in rows if r[0] == 3]) == 1
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    from stakehouse_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = docs_df(
+        spark,
+        [
+            (1, "left context words " + shared),
+            (2, shared + " totally different tail here"),
+            (3, "nothing in common with those two documents at all"),
+        ],
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # The winnowing guarantee: a shared run of >= w+k-1 tokens yields
+    # at least one common fingerprint.
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+    # short doc (< k tokens) emits nothing
+    short = docs_df(spark, [(9, "one two")])
+    assert winnow_fingerprints(short).count() == 0
