@@ -371,3 +371,24 @@ def winnow_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): token counts
+    folded into ``n_buckets`` hash buckets — the fixed-width sparse
+    vectorizer for training linear/cheap models over unbounded vocab
+    at corpus scale (no vocabulary build, no second pass, merge-safe).
+    Output is sparse (id, bucket, cnt) rows; explode + one groupBy."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(id_col, (hash32(F.col("tok")) % n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -384,3 +384,31 @@ def text_winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=3, w=4)
+
+
+@register(
+    "text_feature_hashing",
+    tags=("text", "ml", "featurize"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+       count(*) AS cnt
+FROM t WHERE tok <> ''
+GROUP BY 1, 2
+""",
+)
+def text_feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: token counts folded into 64 hash
+    buckets per document — fixed-width sparse features with no
+    vocabulary pass (the standard cheap vectorizer for quality
+    classifiers over an unbounded corpus vocab). One explode + one
+    groupBy; exact cross-engine bucket parity via the md5-prefix hash."""
+    from stakehouse_etl_spark.operators.text import feature_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash(docs, n_buckets=64)
