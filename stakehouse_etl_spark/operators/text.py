@@ -223,7 +223,7 @@ def url_normalize(url: Column) -> Column:
     host = F.regexp_replace(deported, r"^www\.", "")
     path = F.regexp_replace(
         F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
-        r"/$",
+        r"/+$",  # the whole run: //  ->  "" (idempotence)
         "",
     )
     params = F.array_join(

@@ -199,7 +199,7 @@ norm AS (
            '^www\\.', '') AS host,
          regexp_replace(
            regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1),
-           '/$', '') AS path,
+           '/+$', '') AS path,
          array_to_string(list_sort(list_filter(
            string_split(coalesce(query, ''), '&'),
            p -> p <> '' AND NOT ({_URL_TRACKING_SQL}))), '&') AS params
