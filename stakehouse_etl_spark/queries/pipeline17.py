@@ -1,0 +1,412 @@
+"""Data-pipeline queries, wave 17: corpus curation end-game.
+
+The decisions a pretraining pipeline makes AFTER detection: which
+passages are inter-document boilerplate (RefinedWeb-style passage
+dedup), which document survives each duplicate cluster (canonical
+selection), how documents bucket into padded batches, a linear
+quality-classifier inference pass over hashed features, and
+multimodal near-dup detection over payload-derived bit signatures.
+
+Same exactness contract as every other wave: integer counts / bit
+arithmetic / cross-multiplied thresholds only, so each query carries
+a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
+from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.graph import connected_components
+from stakehouse_etl_spark.operators.text import chunk_docs, feature_hash
+from stakehouse_etl_spark.queries.datapipe import (
+    _JACCARD_CTE,
+    _SHINGLES_CTE,
+    _TOKS,
+)
+from stakehouse_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Passage-level inter-document dedup (RefinedWeb / MassiveText practice)
+# ---------------------------------------------------------------------------
+_PASSAGE_TOKENS = 32
+_PASSAGE_DUP_PCT = 30  # drop docs with >30% inter-doc duplicated passages
+
+
+@register(
+    "corpus_passage_dedup",
+    tags=("corpus", "dedup", "passage"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(floor((len(toks) + {_PASSAGE_TOKENS} - 1)
+                                / {_PASSAGE_TOKENS}.0) AS INTEGER)) AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           toks[g.i * {_PASSAGE_TOKENS} + 1 : (g.i + 1) * {_PASSAGE_TOKENS}],
+           ' ')) AS fp
+  FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) g
+),
+d AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM c GROUP BY fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 100
+         < count(*) * {_PASSAGE_DUP_PCT} AS keep
+FROM c JOIN d USING (fp)
+GROUP BY doc_id
+""",
+)
+def corpus_passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level inter-document dedup: fixed 32-token passages
+    (non-overlapping chunker pass), passage fingerprints counted by
+    DISTINCT containing doc (a passage repeated *within* one doc is
+    repetition, not boilerplate — the intra-doc case is
+    ``text_repetition_metrics``), and a per-doc keep decision by
+    integer cross-multiplied duplicate fraction. This is the
+    RefinedWeb/MassiveText curation step that doc-level dedup misses:
+    navigation chrome and license boilerplate shared across otherwise
+    distinct pages.
+
+    Scale: one explode + two hash shuffles, both keyed on the passage
+    fingerprint / doc id (high cardinality, even); the fp join reuses
+    the groupBy partitioning. No self-join, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_docs(docs, chunk_tokens=_PASSAGE_TOKENS, overlap=0)
+    fps = ch.select("doc_id", F.md5(F.col("chunk_text")).alias("fp"))
+    by_fp = fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    is_dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        fps.join(by_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(is_dup).cast("long").alias("n_dup_passages"),
+            (F.sum(is_dup) * 100 < F.count(F.lit(1)) * _PASSAGE_DUP_PCT).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection per duplicate cluster
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_canonical_docs",
+    tags=("corpus", "dedup", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+),
+lab AS (
+  SELECT d.doc_id, coalesce(cm.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp cm USING (doc_id)
+)
+SELECT doc_id, component, n_chars,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM lab
+""",
+)
+def corpus_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision* output: near-dup pairs → connected
+    components → one canonical survivor per cluster (longest document,
+    doc_id tiebreak — the usual "keep the most complete copy" rule),
+    singletons canonical by construction. Downstream consumers filter
+    ``keep`` and retain full cluster provenance (which duplicate
+    collapsed into which canonical).
+
+    Scale: pointer-jumping CC (log-diameter rounds) over the pruned
+    pair list, then one window over ``component`` — cluster sizes are
+    bounded by the dedup threshold, so the canonical window never sees
+    a mega-partition. Oracle is a recursive-CTE transitive closure
+    right-joined back to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    cc = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch planning (padding-waste accounting)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_length_bucket_stats",
+    tags=("corpus", "batching", "tokens"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(power(2, length(bin(n_tok - 1))) AS BIGINT)
+         END AS bucket
+  FROM t
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(count(*) * bucket - sum(n_tok) AS BIGINT) AS wasted_tokens
+FROM b GROUP BY bucket
+""",
+)
+def corpus_length_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing — the batch-shape planning pass
+    before padded training/inference batching: each doc lands in the
+    smallest 2^k ≥ its token count, and the per-bucket padded-vs-real
+    token gap quantifies the padding waste that motivates packing
+    (``corpus_pack_sequences`` is the zero-waste alternative; this
+    query prices the naive strategy). The bucket edge is computed with
+    integer bit-length (``length(bin(n-1))``), not float log2 — a
+    power-of-two input must not straddle buckets over a 1-ulp log.
+
+    Scale: one narrow projection + one tiny groupBy (≤ ~20 buckets);
+    entirely codegen'd column expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    bucket = (
+        F.when(n_tok <= 1, F.lit(1).cast("long"))
+        .otherwise(F.pow(F.lit(2), F.length(F.bin(n_tok - 1))).cast("long"))
+        .alias("bucket")
+    )
+    return (
+        docs.select(n_tok.alias("n_tok"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket")).alias("padded_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket") - F.sum("n_tok")).alias(
+                "wasted_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier inference over hashed features
+# ---------------------------------------------------------------------------
+_N_BUCKETS = 64
+# Deterministic synthetic weight table: w(b) = (b·K) mod 1001 − 500,
+# a stand-in for trained integer-quantized classifier weights.
+_W_MULT = 2654435761
+_W_MOD = 1001
+_W_SHIFT = 500
+
+
+@register(
+    "ml_logit_hashed_score",
+    tags=("ml", "inference", "featurize"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+fh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_N_BUCKETS}
+           AS bucket,
+         count(*) AS cnt
+  FROM t WHERE tok <> ''
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(cnt * ((bucket * {_W_MULT}) % {_W_MOD} - {_W_SHIFT}))
+            AS BIGINT) AS logit,
+       sum(cnt * ((bucket * {_W_MULT}) % {_W_MOD} - {_W_SHIFT})) > 0 AS pred
+FROM fh GROUP BY doc_id
+""",
+)
+def ml_logit_hashed_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference at corpus scale: the hashing-trick
+    features (``text_feature_hashing``) dotted with an
+    integer-quantized weight vector — exactly how a fastText-style
+    linear filter scores 100 TB (sparse feature rows × broadcast-sized
+    weight table; here the weights are a deterministic function of the
+    bucket id so the oracle needs no side table). The logit stays an
+    exact BIGINT; the sign is the keep/drop prediction. Sigmoid is
+    monotone, so thresholding the logit IS thresholding the
+    probability — no float ever enters the decision.
+
+    Scale: explode + two groupBys keyed on (doc, bucket) then doc;
+    weight lookup is a pure column expression (no join at all).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fh = feature_hash(docs, n_buckets=_N_BUCKETS)
+    w = (F.col("bucket") * _W_MULT) % _W_MOD - _W_SHIFT
+    contrib = F.col("cnt") * w
+    return fh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum(contrib).cast("long").alias("logit"),
+        (F.sum(contrib) > 0).alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup: banded Hamming join over payload bit-signatures
+# ---------------------------------------------------------------------------
+_SIG_BITS = 48
+_BAND_BITS = 12
+_N_BANDS = _SIG_BITS // _BAND_BITS
+_MM_BUCKET_CAP = 200
+_HAMMING_MAX = 5
+
+
+@register(
+    "mm_hamming_dedup",
+    tags=("multimodal", "dedup", "lsh"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id AS media_id, text, length(text) AS L FROM documents
+),
+s AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, {_SIG_BITS}), i ->
+           CASE WHEN ascii(substr(text, CAST((i * 7) % L AS INTEGER) + 1, 1)) >
+                     ascii(substr(text, CAST((i * 7 + 3) % L AS INTEGER) + 1, 1))
+                THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+  FROM b
+),
+bands AS (
+  SELECT media_id, sig, g.k AS band_idx,
+         (sig >> (g.k * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS band_val
+  FROM s, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS k) g
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {_MM_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM capped a
+  JOIN capped b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.media_id < b.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= {_HAMMING_MAX}
+""",
+)
+def mm_hamming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection — the perceptual-hash dedup flow
+    over opaque payload bytes: a 48-bit dHash-style signature
+    (pairwise byte comparisons at strided offsets — deployment swaps
+    in a real pHash over decoded pixels without touching the plan),
+    banded 4×12 bits into LSH buckets, capped bucket self-join
+    (``operators.buckets.drop_oversize_buckets`` — same hot-bucket
+    O(n²) bound as the MinHash path), then exact Hamming verification
+    via ``bit_count(xor)`` on candidates only.
+
+    Scale: signatures are pure column expressions over the payload
+    string (no UDF); the candidate join is bucketed equi-join, never
+    all-pairs; verification touches candidates only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    L = F.length("text")
+
+    def byte_at(pos):
+        return F.ascii(F.element_at(chars, (pos % L + 1).cast("int")))
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(_SIG_BITS - 1)),
+        lambda i: F.when(
+            byte_at(i * 7) > byte_at(i * 7 + 3),
+            F.pow(F.lit(2), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sigs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                (
+                    F.shiftright(F.col("sig"), k * _BAND_BITS)
+                    % (1 << _BAND_BITS)
+                ).alias("band_val"),
+            )
+            for k in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "media_id", "sig", F.explode(band_arr).alias("b")
+    ).select("media_id", "sig", "b.band_idx", "b.band_val")
+    capped = drop_oversize_buckets(
+        bands, ["band_idx", "band_val"], _MM_BUCKET_CAP
+    )
+    left = capped.select(
+        F.col("media_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = capped.select(
+        F.col("media_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _HAMMING_MAX)
