@@ -1,0 +1,87 @@
+"""Wave-17 invariants: passage dedup, canonical selection, length
+buckets, logit inference, multimodal hamming dedup."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.queries.catalog import QUERIES
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_passage_dedup_invariants(spark, sf_dir):
+    rows = QUERIES["corpus_passage_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_passages <= r.n_passages
+        assert r.keep == (r.n_dup_passages * 100 < r.n_passages * 30)
+
+
+def test_passage_dedup_counts_cover_corpus(spark, sf_dir):
+    out = QUERIES["corpus_passage_dedup"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+
+
+def test_canonical_one_survivor_per_component(spark, sf_dir):
+    out = QUERIES["corpus_canonical_docs"].fn(spark, sf_dir)
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    bad = per_comp.filter(F.col("n_keep") != 1).count()
+    assert bad == 0
+    # Canonical is the longest member (doc_id tiebreak).
+    kept = out.filter("keep").select("component", "n_chars")
+    max_len = out.groupBy("component").agg(F.max("n_chars").alias("mx"))
+    mism = (
+        kept.join(max_len, "component")
+        .filter(F.col("n_chars") != F.col("mx"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_length_buckets_are_powers_of_two(spark, sf_dir):
+    rows = QUERIES["corpus_length_bucket_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0, r
+        assert r.wasted_tokens == r.padded_tokens - r.sum_tokens
+        # no doc exceeds its bucket: waste < n_docs * bucket/2 would be
+        # too strong (bucket 1), but padded >= real always holds
+        assert r.padded_tokens >= r.sum_tokens
+
+
+def test_logit_pred_matches_sign(spark, sf_dir):
+    rows = QUERIES["ml_logit_hashed_score"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pred == (r.logit > 0)
+
+
+def test_mm_hamming_pairs_bounded_and_ordered(spark, sf_dir):
+    rows = QUERIES["mm_hamming_dedup"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 5
+
+
+def test_mm_hamming_plan_no_cartesian_and_capped(spark, sf_dir):
+    plan = plan_of(spark, "mm_hamming_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    # the bucket cap window filter is present (count over band bucket)
+    assert re.search(r"__bsz", plan), plan
+
+
+def test_passage_dedup_plan_no_self_join(spark, sf_dir):
+    # fp-count join is an equi-join on fp, never a cartesian.
+    plan = plan_of(spark, "corpus_passage_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
