@@ -410,3 +410,62 @@ def mm_hamming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= _HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer training, iteration one)
+# ---------------------------------------------------------------------------
+_BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_merge_pairs",
+    tags=("text", "tokenize", "bpe"),
+    oracle=rf"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]+')
+           AS pts
+  FROM documents
+),
+w AS (SELECT unnest(pts) AS pt FROM t),
+p AS (
+  SELECT unnest(list_transform(range(1, length(pt)),
+                               i -> substr(pt, CAST(i AS INTEGER), 2)))
+           AS pair
+  FROM w WHERE length(pt) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOP_K}
+""",
+)
+def text_bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training at corpus scale:
+    count adjacent symbol pairs inside every pre-token occurrence
+    (symbols start as characters) and take the top merge candidates.
+    A full trainer loops this — count pairs → merge the argmax →
+    recount — with the count step (this query) being the only part
+    that touches the 100 TB corpus; each iteration is one explode +
+    one map-side-combinable groupBy + TakeOrdered. Ties broken
+    lexicographically so the top-k cut is deterministic cross-engine.
+    """
+    from stakehouse_etl_spark.operators.text import bpe_pretokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pt = F.col("pt")
+    pairs = F.when(
+        F.length(pt) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(pt) - 1),
+            lambda i: pt.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bpe_pretokens(F.col("text"))).alias("pt"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP_K)
+    )

@@ -85,3 +85,18 @@ def test_passage_dedup_plan_no_self_join(spark, sf_dir):
     # fp-count join is an equi-join on fp, never a cartesian.
     plan = plan_of(spark, "corpus_passage_dedup", sf_dir)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_merge_pairs_topk_plan(spark, sf_dir):
+    # top-k cut must be TakeOrderedAndProject, not a global sort.
+    plan = plan_of(spark, "text_bpe_merge_pairs", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_merge_pairs_deterministic(spark, sf_dir):
+    a = QUERIES["text_bpe_merge_pairs"].fn(spark, sf_dir).collect()
+    b = QUERIES["text_bpe_merge_pairs"].fn(spark, sf_dir).collect()
+    assert [(r.pair, r.cnt) for r in a] == [(r.pair, r.cnt) for r in b]
+    # counts non-increasing, ties lexicographic
+    for x, y in zip(a, a[1:]):
+        assert x.cnt > y.cnt or (x.cnt == y.cnt and x.pair < y.pair)
