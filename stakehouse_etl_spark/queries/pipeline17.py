@@ -469,3 +469,144 @@ def text_bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drop ledger: per-doc provenance for the cleaning pipeline
+# ---------------------------------------------------------------------------
+def _drop_ledger_sql() -> str:
+    from stakehouse_etl_spark.queries.corpus import _QUALITY_KEEP
+    from stakehouse_etl_spark.queries.datapipe import _EN
+
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok, length(text) AS n_chars,
+         len(list_filter(toks, x -> x IN ({_EN}))) AS stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM t
+), qflag AS (
+  SELECT doc_id, text, toks, ({_QUALITY_KEEP}) AS q_ok FROM f
+), q AS (SELECT doc_id, text, toks FROM qflag WHERE q_ok),
+fpt AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM q
+),
+cm AS (SELECT fp, min(doc_id) AS canon FROM fpt GROUP BY fp),
+ex AS (SELECT doc_id, canon FROM fpt JOIN cm USING (fp)),
+surv AS (
+  SELECT q.doc_id, q.toks FROM q JOIN ex USING (doc_id)
+  WHERE ex.canon = q.doc_id
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM surv
+), s2 AS (SELECT * FROM s WHERE shingle <> ''),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id),
+i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM s2 a JOIN s2 b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), j AS (
+  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
+  FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
+), sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT qf.doc_id,
+       CASE WHEN NOT qf.q_ok THEN 'quality'
+            WHEN ex.canon <> qf.doc_id THEN 'exact_dup'
+            WHEN cp.component IS NOT NULL AND cp.component < qf.doc_id
+              THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN NOT qf.q_ok THEN NULL
+            WHEN ex.canon <> qf.doc_id THEN ex.canon
+            WHEN cp.component IS NOT NULL AND cp.component < qf.doc_id
+              THEN cp.component
+            ELSE qf.doc_id END AS canonical_id
+FROM qflag qf
+LEFT JOIN ex ON ex.doc_id = qf.doc_id
+LEFT JOIN comp cp ON cp.doc_id = qf.doc_id
+"""
+
+
+@register(
+    "corpus_drop_ledger",
+    tags=("corpus", "dedup", "audit", "graph"),
+    oracle=_drop_ledger_sql(),
+)
+def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit/provenance view of ``pipeline_corpus_clean``: every
+    input document with its fate — ``kept``, dropped by the
+    ``quality`` gate, collapsed as an ``exact_dup``, or collapsed as
+    a ``near_dup`` — plus the canonical doc it collapsed into. The
+    cleaning pipeline's keep-list answers "what survived"; a 100 TB
+    curation run also has to answer "where did the other 40% go"
+    (compliance, debugging a corpus-size regression, per-source drop
+    dashboards — ``corpus_dedup_rate_by_source`` aggregates this same
+    ledger shape).
+
+    Stage order and expressions are shared verbatim with
+    ``pipeline_corpus_clean`` (same quality score, same fingerprint,
+    same Jaccard-CC collapse), so ledger ``status='kept'`` is
+    definitionally that pipeline's output set.
+    """
+    from stakehouse_etl_spark.operators.text import (
+        normalized_fingerprint,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features(docs).select(
+        "doc_id", "text", (F.col("quality_score") >= 0.5).alias("q_ok")
+    )
+    q = qf.filter("q_ok")
+    fpt = q.select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
+    )
+    cm = fpt.groupBy("fp").agg(F.min("doc_id").alias("canon"))
+    ex = fpt.join(cm, "fp").select("doc_id", "canon")
+    surv = q.join(
+        ex.filter(F.col("canon") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    led = qf.select("doc_id", "q_ok").join(ex, "doc_id", "left").join(
+        comp, "doc_id", "left"
+    )
+    is_near = F.col("component").isNotNull() & (
+        F.col("component") < F.col("doc_id")
+    )
+    status = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(F.col("canon") != F.col("doc_id"), F.lit("exact_dup"))
+        .when(is_near, F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    canonical = (
+        F.when(~F.col("q_ok"), F.lit(None).cast("long"))
+        .when(F.col("canon") != F.col("doc_id"), F.col("canon"))
+        .when(is_near, F.col("component"))
+        .otherwise(F.col("doc_id"))
+    )
+    return led.select(
+        "doc_id", status.alias("status"), canonical.alias("canonical_id")
+    )

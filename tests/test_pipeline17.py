@@ -100,3 +100,30 @@ def test_bpe_merge_pairs_deterministic(spark, sf_dir):
     # counts non-increasing, ties lexicographic
     for x, y in zip(a, a[1:]):
         assert x.cnt > y.cnt or (x.cnt == y.cnt and x.pair < y.pair)
+
+
+def test_drop_ledger_kept_equals_clean_pipeline(spark, sf_dir):
+    led = QUERIES["corpus_drop_ledger"].fn(spark, sf_dir)
+    kept = {r.doc_id for r in led.filter("status = 'kept'").collect()}
+    clean = {
+        r.doc_id for r in QUERIES["pipeline_corpus_clean"].fn(spark, sf_dir).collect()
+    }
+    assert kept == clean
+
+
+def test_drop_ledger_canonical_semantics(spark, sf_dir):
+    rows = QUERIES["corpus_drop_ledger"].fn(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == len(by_id)
+    for r in rows:
+        if r.status == "quality":
+            assert r.canonical_id is None
+        elif r.status == "kept":
+            assert r.canonical_id == r.doc_id
+        elif r.status == "near_dup":
+            # the component minimum always survives the near-dup collapse
+            assert r.canonical_id < r.doc_id
+            assert by_id[r.canonical_id].status == "kept"
+        else:  # exact_dup: its canonical may itself be near-dup-collapsed later
+            assert r.canonical_id < r.doc_id
+            assert by_id[r.canonical_id].status in ("kept", "near_dup")
