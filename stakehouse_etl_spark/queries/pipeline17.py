@@ -610,3 +610,118 @@ def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return led.select(
         "doc_id", status.alias("status"), canonical.alias("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer loop: 3 merge iterations over the corpus
+# ---------------------------------------------------------------------------
+_BPE_RE_SQL = r"'[a-z]+|[0-9]+|[^a-z0-9\s]+'"
+
+
+def _bpe_train_sql(n_iters: int = 3) -> str:
+    """Unrolled n-iteration BPE trainer in SQL, sharing the exact
+    replace-twice merge application with the Spark side."""
+    parts = [
+        f"""
+w0 AS (
+  SELECT '|' || array_to_string(string_split(pt, ''), '|') || '|' AS s
+  FROM (SELECT unnest(regexp_extract_all(lower(trim(text)), {_BPE_RE_SQL}))
+          AS pt FROM documents)
+  WHERE length(pt) >= 2
+)"""
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"w{it - 1}"
+        parts.append(
+            f"""
+p{it} AS (
+  SELECT arr[i] AS lhs, arr[i + 1] AS rhs, count(*) AS cnt
+  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS arr
+        FROM {prev}),
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) g
+  GROUP BY 1, 2
+),
+m{it} AS (SELECT lhs, rhs, cnt FROM p{it} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        if it < n_iters:
+            parts.append(
+                f"""
+w{it} AS (
+  SELECT replace(replace(s,
+           '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|'),
+           '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|')
+         AS s
+  FROM {prev} w, m{it} m
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({it} AS BIGINT) AS rank, lhs, rhs, cnt FROM m{it}"
+        for it in range(1, n_iters + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + selects
+
+
+@register(
+    "ml_bpe_train_merges",
+    tags=("ml", "tokenize", "bpe", "iterative"),
+    oracle=_bpe_train_sql(3),
+)
+def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three iterations of actual BPE *training* over the corpus:
+    count adjacent symbol pairs → take the argmax merge (count-desc,
+    lexicographic tiebreak) → apply it corpus-wide → repeat. Symbols
+    live in a sentinel-delimited string (``|c|h|a|t|``) so a merge is
+    a literal string replace; the replace is applied twice per merge
+    in BOTH engines (a single left-to-right non-overlapping scan can
+    miss alternating runs like ``a b a b`` — the second pass picks
+    them up identically cross-engine).
+
+    The pattern to note for 100 TB: each iteration's heavy step (pair
+    counting) is a map-side-combinable aggregation over the corpus;
+    only the 1-row argmax crosses to the driver — same
+    bounded-scalar-per-round shape as k-means (``ml_kmeans_update``)
+    and connected components. A real trainer runs more iterations and
+    checkpoints the re-encoded corpus every few merges instead of
+    recomputing the replace chain.
+    """
+    from stakehouse_etl_spark.operators.text import bpe_pretokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.explode(bpe_pretokens(F.col("text"))).alias("pt")
+    ).filter(F.length("pt") >= 2)
+    cur = base.select(
+        F.concat(
+            F.lit("|"), F.array_join(F.split(F.col("pt"), ""), "|"), F.lit("|")
+        ).alias("s")
+    )
+    merges = []
+    for rank in range(1, 4):
+        arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("lhs"),
+                    F.element_at(arr, (i + 1).cast("int")).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        top = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rank, top.lhs, top.rhs, top.cnt))
+        pat = F.lit(f"|{top.lhs}|{top.rhs}|")
+        rep = F.lit(f"|{top.lhs}{top.rhs}|")
+        cur = cur.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+        )
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, cnt long"
+    )

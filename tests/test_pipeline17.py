@@ -102,6 +102,15 @@ def test_bpe_merge_pairs_deterministic(spark, sf_dir):
         assert x.cnt > y.cnt or (x.cnt == y.cnt and x.pair < y.pair)
 
 
+def test_bpe_train_merges_invariants(spark, sf_dir):
+    rows = QUERIES["ml_bpe_train_merges"].fn(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert all(r.cnt > 0 for r in rows)
+    # a merge consumes its pair corpus-wide; the same (lhs, rhs) can't
+    # be the argmax twice
+    assert len({(r.lhs, r.rhs) for r in rows}) == 3
+
+
 def test_drop_ledger_kept_equals_clean_pipeline(spark, sf_dir):
     led = QUERIES["corpus_drop_ledger"].fn(spark, sf_dir)
     kept = {r.doc_id for r in led.filter("status = 'kept'").collect()}
