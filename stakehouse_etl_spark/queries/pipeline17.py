@@ -725,3 +725,71 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, cnt long"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF recall against the exact top-k
+# ---------------------------------------------------------------------------
+def _ivf_recall_sql() -> str:
+    """Both sides of the comparison ARE the registered oracles of
+    ``sim_cosine_topk`` / ``sim_ivf_topk`` (verbatim, as nested CTEs)
+    — the eval cannot drift from what those queries actually compute."""
+    from stakehouse_etl_spark.queries.registry import QUERIES as _Q
+
+    exact = _Q["sim_cosine_topk"].oracle
+    approx = _Q["sim_ivf_topk"].oracle
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, count(a.cand_id) AS n_overlap
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+)
+SELECT query_id, CAST(10 AS BIGINT) AS n_exact,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / 10.0 AS recall_at_10
+FROM hit
+"""
+
+
+@register(
+    "sim_ivf_recall_eval",
+    tags=("similarity", "ann", "eval"),
+    oracle=_ivf_recall_sql(),
+)
+def sim_ivf_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against the brute-force exact top-10,
+    per query — the observability number an ANN deployment tunes
+    n_cells/n_probe against (the LSH analog is ``dedup_lsh_eval_pr``).
+    Both sides run the same operators the production queries use; the
+    oracle nests the two registered oracle texts verbatim so the eval
+    is definitionally consistent with them.
+
+    Scale: the exact side is the expensive one (full scan per query) —
+    run it on a sampled query set exactly as here; the IVF side scores
+    probed lists only.
+    """
+    from stakehouse_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, query_ids=list(range(10)), k=10).select(
+        "query_id", "cand_id"
+    )
+    approx = sim.ivf_topk(
+        emb, query_ids=list(range(10)), k=10, n_cells=8, n_probe=2
+    ).select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.lit(10).cast("long").alias("n_exact"),
+        F.count("ac").alias("n_overlap"),
+        (F.count("ac") / 10.0).alias("recall_at_10"),
+    )
