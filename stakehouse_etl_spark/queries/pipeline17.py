@@ -793,3 +793,130 @@ def sim_ivf_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ac").alias("n_overlap"),
         (F.count("ac") / 10.0).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply/encode: compression accounting under the trained merges
+# ---------------------------------------------------------------------------
+def _bpe_apply_sql(n_iters: int = 3) -> str:
+    """Unrolled train-then-encode: merges are learned exactly as in
+    ``_bpe_train_sql`` (single-symbol pre-tokens contribute no pairs,
+    so including them changes nothing), then the final re-encoded
+    state is aggregated per document."""
+    parts = [
+        f"""
+w0 AS (
+  SELECT doc_id, pt,
+         '|' || array_to_string(string_split(pt, ''), '|') || '|' AS s
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(trim(text)), {_BPE_RE_SQL}))
+                 AS pt
+        FROM documents)
+)"""
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"w{it - 1}"
+        parts.append(
+            f"""
+p{it} AS (
+  SELECT arr[i] AS lhs, arr[i + 1] AS rhs, count(*) AS cnt
+  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS arr
+        FROM {prev}),
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) g
+  GROUP BY 1, 2
+),
+m{it} AS (SELECT lhs, rhs, cnt FROM p{it} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+w{it} AS (
+  SELECT doc_id, pt,
+         replace(replace(s,
+           '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|'),
+           '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|')
+         AS s
+  FROM {prev} w, m{it} m
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(sum(length(pt)) AS BIGINT) AS n_base_symbols,
+       CAST(sum(len(list_filter(string_split(s, '|'), x -> x <> '')))
+            AS BIGINT) AS n_encoded_symbols,
+       CAST(sum(length(pt))
+            - sum(len(list_filter(string_split(s, '|'), x -> x <> '')))
+            AS BIGINT) AS n_merges_applied
+FROM w{n_iters} GROUP BY doc_id
+"""
+    )
+
+
+@register(
+    "ml_bpe_apply_encode",
+    tags=("ml", "tokenize", "bpe", "iterative"),
+    oracle=_bpe_apply_sql(3),
+)
+def ml_bpe_apply_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of tokenizer training: learn the 3 merges
+    (identical loop to ``ml_bpe_train_merges``), re-encode every
+    pre-token occurrence under them, and account the compression per
+    document — base symbols (characters), encoded symbols, merges
+    applied. ``n_base_symbols − n_encoded_symbols`` summed over the
+    corpus is the token-count saving the trained vocab buys, the
+    number a tokenizer-budget decision actually consumes.
+
+    A deployment learns merges once and persists them; this query
+    re-derives them inline (two corpus passes per merge) so the whole
+    train→apply→measure loop is a single reproducible plan.
+    """
+    from stakehouse_etl_spark.operators.text import bpe_pretokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", F.explode(bpe_pretokens(F.col("text"))).alias("pt")
+    ).select(
+        "doc_id",
+        "pt",
+        F.concat(
+            F.lit("|"), F.array_join(F.split(F.col("pt"), ""), "|"), F.lit("|")
+        ).alias("s"),
+    )
+    for _ in range(3):
+        arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("lhs"),
+                    F.element_at(arr, (i + 1).cast("int")).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        top = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()[0]
+        )
+        pat = F.lit(f"|{top.lhs}|{top.rhs}|")
+        rep = F.lit(f"|{top.lhs}{top.rhs}|")
+        cur = cur.select(
+            "doc_id",
+            "pt",
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+        )
+    n_enc = F.size(F.filter(F.split(F.col("s"), r"\|"), lambda x: x != ""))
+    return (
+        cur.select("doc_id", F.length("pt").alias("n_base"), n_enc.alias("n_enc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_base").alias("n_base_symbols"),
+            F.sum("n_enc").alias("n_encoded_symbols"),
+            (F.sum("n_base") - F.sum("n_enc")).alias("n_merges_applied"),
+        )
+    )

@@ -111,6 +111,18 @@ def test_bpe_train_merges_invariants(spark, sf_dir):
     assert len({(r.lhs, r.rhs) for r in rows}) == 3
 
 
+def test_bpe_apply_encode_compression(spark, sf_dir):
+    rows = QUERIES["ml_bpe_apply_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    total_saved = 0
+    for r in rows:
+        assert 0 < r.n_encoded_symbols <= r.n_base_symbols
+        assert r.n_merges_applied == r.n_base_symbols - r.n_encoded_symbols
+        total_saved += r.n_merges_applied
+    # three corpus-wide merges must actually compress something
+    assert total_saved > 0
+
+
 def test_drop_ledger_kept_equals_clean_pipeline(spark, sf_dir):
     led = QUERIES["corpus_drop_ledger"].fn(spark, sf_dir)
     kept = {r.doc_id for r in led.filter("status = 'kept'").collect()}
