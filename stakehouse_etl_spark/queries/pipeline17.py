@@ -920,3 +920,63 @@ def ml_bpe_apply_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_base") - F.sum("n_enc")).alias("n_merges_applied"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+@register(
+    "inc_join_view_delta",
+    tags=("incremental", "ivm", "join"),
+    oracle="""
+SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def inc_join_view_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the companion to
+    ``inc_agg_merge``'s aggregate IVM): with base tables A (orders)
+    and B (customers) each receiving a delta batch, the view over the
+    new state is maintained as
+
+        V' = A⋈B  ∪  A⋈ΔB  ∪  ΔA⋈B  ∪  ΔA⋈ΔB
+
+    — three small delta joins instead of re-joining history against
+    history. Here orders/customers are split by key hash into
+    base + delta to simulate the batch arrival; the oracle is the
+    full-recompute join, so equality IS the delta-algebra correctness
+    statement. At 100 TB the A⋈ΔB / ΔA⋈B terms broadcast the delta
+    side; only the bounded ΔA⋈ΔB term joins two new batches.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a, da = o.filter("o_orderkey % 3 != 0"), o.filter("o_orderkey % 3 = 0")
+    b, db = c.filter("c_custkey % 5 != 0"), c.filter("c_custkey % 5 = 0")
+    join = lambda lo, lc: lo.join(  # noqa: E731
+        F.broadcast(lc) if lc is db else lc,
+        lo["o_custkey"] == lc["c_custkey"],
+    ).select(lc["c_mktsegment"], lo["o_orderpriority"], lo["cents"])
+    v = (
+        join(a, b)
+        .unionByName(join(a, db))
+        .unionByName(join(da, b))
+        .unionByName(join(da, db))
+    )
+    return v.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
