@@ -459,3 +459,67 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (plain-parquet time travel)
+# ---------------------------------------------------------------------------
+_SNAP_STAGING = ".__snap_staging__"
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions under ``path`` (ascending). A
+    version counts as committed iff its directory carries Spark's
+    ``_SUCCESS`` marker — a writer that died mid-copy leaves either a
+    staging dir (ignored) or a marker-less dir (ignored), so readers
+    never observe a torn snapshot."""
+    fs, P = _fs(spark, path)
+    if not fs.exists(P(path)):
+        return []
+    out = []
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if name.startswith("v=") and fs.exists(P(f"{path}/{name}/_SUCCESS")):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def write_snapshot(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Append-only snapshot publish: write the full state to a staging
+    directory, then one atomic rename to ``<path>/v=<n+1>``. Readers
+    resolve "current" as the max committed version, so there is no
+    pointer file to update non-atomically and old versions stay
+    readable forever (time travel / reproducible training runs — pin
+    the snapshot version in the job config instead of racing a table
+    that retrains mid-read). Returns the published version.
+
+    Scale: the only listing is one directory of version names
+    (metadata); row data moves once, through executors.
+    """
+    fs, P = _fs(spark, path)
+    vs = snapshot_versions(spark, path)
+    nxt = (vs[-1] + 1) if vs else 1
+    staging = f"{path}/{_SNAP_STAGING}"
+    fs.delete(P(staging), True)
+    df.write.mode("overwrite").parquet(staging)
+    dst = f"{path}/v={nxt}"
+    if fs.exists(P(dst)):
+        raise IOError(
+            f"snapshot version collision at {dst} (concurrent writer?)"
+        )
+    _checked_rename(fs, P, staging, dst)
+    return nxt
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot — latest by default, or the pinned
+    ``version`` (time travel)."""
+    vs = snapshot_versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"snapshot v={v} not committed under {path}")
+    return spark.read.parquet(f"{path}/v={v}")

@@ -980,3 +980,84 @@ def inc_join_view_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-snapshot time travel (K-family sink capability)
+# ---------------------------------------------------------------------------
+@register(
+    "k5_snapshot_time_travel",
+    tags=("K1", "sink", "time-travel"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS seq_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cut AS (SELECT min(seq_us) + (max(seq_us) - min(seq_us)) // 2 AS c FROM e),
+v1 AS (
+  SELECT user_id, sum(cents) AS cents FROM e, cut WHERE seq_us <= c
+  GROUP BY user_id
+),
+v2 AS (SELECT user_id, sum(cents) AS cents FROM e GROUP BY user_id)
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM v2
+""",
+)
+def k5_snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-parquet time travel through the versioned-snapshot sink:
+    two publishes of a per-user balance table (first over the older
+    half of the stream, then over all of it), then BOTH versions read
+    back AS-OF and summarized. Training-data reproducibility is
+    exactly this: a job pins ``read_snapshot(path, v)`` instead of
+    racing a table that a nightly run republished mid-read. Commit
+    protocol: staging write + single atomic directory rename; current
+    = max committed version (``_SUCCESS``-marked), so no pointer file
+    exists to update non-atomically (``io/sinks.py:write_snapshot``).
+    """
+    import shutil
+    import tempfile
+
+    from stakehouse_etl_spark.io.sinks import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mn, mx = e.agg(F.min("seq_us"), F.max("seq_us")).collect()[0]
+    cut = mn + (mx - mn) // 2
+    root = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    try:
+        path = f"{root}/balances"
+        write_snapshot(
+            spark,
+            e.filter(F.col("seq_us") <= cut)
+            .groupBy("user_id")
+            .agg(F.sum("cents").alias("cents")),
+            path,
+        )
+        write_snapshot(
+            spark, e.groupBy("user_id").agg(F.sum("cents").alias("cents")), path
+        )
+        rows = []
+        for v in snapshot_versions(spark, path):
+            s = read_snapshot(spark, path, v).agg(
+                F.count(F.lit(1)), F.sum("cents")
+            ).collect()[0]
+            rows.append((v, s[0], s[1]))
+        return spark.createDataFrame(
+            rows, "version long, n_users long, total_cents long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
