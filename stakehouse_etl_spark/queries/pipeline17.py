@@ -1061,3 +1061,101 @@ def k5_snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch shuffle order (reproducible training runs)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_epoch_shuffle",
+    tags=("corpus", "shuffle", "sampling"),
+    oracle="""
+WITH k AS (
+  SELECT doc_id, e.epoch,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+           AS skey
+  FROM documents, (SELECT unnest(range(0, 3)) AS epoch) e
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id)
+            AS BIGINT) AS position
+FROM k
+""",
+)
+def corpus_epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle order: position = rank of
+    ``md5(doc_id:epoch)`` — every training epoch sees a different but
+    fully reproducible permutation, and a resumed run recomputes the
+    identical order from (doc_id, epoch) alone, no RNG state to
+    checkpoint. This is how a 100 TB loader shuffles: a rank over a
+    salted hash (one window shuffle per epoch partition), never a
+    driver-side permutation array.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").alias("epoch"))
+    k = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"))
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("epoch").orderBy("skey", "doc_id")
+    return k.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard assignment (LPT round-robin)
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_assign",
+    tags=("corpus", "sharding", "batching"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % {_N_SHARDS}
+           AS shard
+  FROM t
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+FROM r GROUP BY shard
+""",
+)
+def corpus_shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for data-loader workers:
+    round-robin over the token-count-descending order (the classic
+    LPT approximation — each of the k largest docs lands on a
+    different shard, so no worker gets all the long documents).
+    Returns per-shard doc/token totals; the max-min token spread is
+    the loader-imbalance number. One global sort rank (range-
+    partitioned TakeOrdered-style exchange) + a tiny groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    t = docs.select("doc_id", n_tok.alias("n_tok"))
+    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    r = t.select(
+        "doc_id",
+        "n_tok",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).alias("shard"),
+    )
+    return r.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+        F.max("n_tok").alias("max_doc_tokens"),
+    )
