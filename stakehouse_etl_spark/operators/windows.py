@@ -389,3 +389,73 @@ def skew_resistant_cumsum(
         .withColumn(out, F.col("__within") + F.col("__offset"))
         .drop("__chunk", "__within", "__offset")
     )
+
+
+def skew_resistant_rank(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    out: str = "rank",
+    descending: bool = True,
+    chunk_width: int = 64,
+) -> DataFrame:
+    """Global row_number by ``(value [DESC], id)`` with NO
+    single-partition window.
+
+    ``Window.orderBy(...)`` without a partition funnels every row
+    through one task ("No Partition Defined" — the global-sort analog
+    of the hot-key problem, but it ALWAYS bites, not just on skew).
+    Decomposition::
+
+        rank(r) = #rows with strictly better value            (A)
+                + #rows with same value in lower id-chunks     (B)
+                + row_number within (value, id-chunk) by id    (C)
+
+    A: per-value counts → exclusive prefix over the DISTINCT-value
+    table (a window over #distinct-values rows — metadata-sized).
+    B: per-(value, chunk) counts → exclusive prefix per value over the
+    chunk table (≤ #chunks rows per value).
+    C: a window over ``(value, chunk)`` partitions, each bounded by
+    ``chunk_width`` ids — no partition ever exceeds the chunk width
+    regardless of how many rows share one value.
+
+    Exact row_number semantics (``id_col`` must be unique); integer
+    arithmetic throughout.
+    """
+    vdir = F.desc(value) if descending else F.asc(value)
+    chunk = F.expr(f"{id_col} div {chunk_width}")
+    t = df.withColumn("__chunk", chunk)
+
+    # (A) exclusive prefix of counts over distinct values, best first
+    vcounts = t.groupBy(value).agg(F.count(F.lit(1)).alias("__vc"))
+    wv = Window.orderBy(vdir).rowsBetween(Window.unboundedPreceding, -1)
+    voff = vcounts.withColumn(
+        "__voff", F.coalesce(F.sum("__vc").over(wv), F.lit(0))
+    ).select(value, "__voff")
+
+    # (B) exclusive prefix of counts over chunks, within each value
+    ccounts = t.groupBy(value, "__chunk").agg(F.count(F.lit(1)).alias("__cc"))
+    wc = Window.partitionBy(value).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    coff = ccounts.withColumn(
+        "__coff", F.coalesce(F.sum("__cc").over(wc), F.lit(0))
+    ).select(value, "__chunk", "__coff")
+
+    # (C) bounded within-(value, chunk) rank
+    win = Window.partitionBy(value, "__chunk").orderBy(id_col)
+    ranked = t.withColumn("__within", F.row_number().over(win))
+
+    # coff is ~n/chunk_width rows — joined on exactly the window
+    # partitioning key (partitioning reuse, no broadcast: at scale it
+    # does not fit an executor). voff is #distinct-values rows —
+    # broadcast-sized.
+    return (
+        ranked.join(coff, [value, "__chunk"])
+        .join(F.broadcast(voff), [value])
+        .withColumn(
+            out,
+            (F.col("__voff") + F.col("__coff") + F.col("__within")).cast("long"),
+        )
+        .drop("__chunk", "__within", "__voff", "__coff")
+    )

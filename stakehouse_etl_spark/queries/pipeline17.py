@@ -1142,18 +1142,19 @@ def corpus_shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPT approximation — each of the k largest docs lands on a
     different shard, so no worker gets all the long documents).
     Returns per-shard doc/token totals; the max-min token spread is
-    the loader-imbalance number. One global sort rank (range-
-    partitioned TakeOrdered-style exchange) + a tiny groupBy.
+    the loader-imbalance number. The global rank is the two-phase
+    ``skew_resistant_rank`` decomposition — NO single-partition
+    window anywhere in the plan (asserted in tests/test_pipeline17.py
+    against the naive global window's values).
     """
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
     t = docs.select("doc_id", n_tok.alias("n_tok"))
-    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    r = t.select(
-        "doc_id",
-        "n_tok",
-        ((F.row_number().over(w) - 1) % _N_SHARDS).alias("shard"),
-    )
+    r = skew_resistant_rank(
+        t, value="n_tok", id_col="doc_id", out="rnk", descending=True
+    ).withColumn("shard", (F.col("rnk") - 1) % _N_SHARDS)
     return r.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("shard_tokens"),

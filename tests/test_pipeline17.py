@@ -111,6 +111,40 @@ def test_bpe_train_merges_invariants(spark, sf_dir):
     assert len({(r.lhs, r.rhs) for r in rows}) == 3
 
 
+def test_skew_resistant_rank_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
+
+    # heavy value-ties (all rows share 3 values) — the case that makes
+    # the naive per-value window a hot partition
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("v")
+    )
+    fast = {
+        (r.doc_id, r.rank)
+        for r in skew_resistant_rank(
+            df, value="v", id_col="doc_id", out="rank"
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("doc_id"))
+    naive = {
+        (r.doc_id, r.rank)
+        for r in df.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rank")
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_shard_assign_plan_no_unpartitioned_bigdata_window(spark, sf_dir):
+    # every Window over row data must carry a partition spec; the only
+    # unpartitioned window runs over the distinct-value table
+    plan = plan_of(spark, "corpus_shard_assign", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bpe_apply_encode_compression(spark, sf_dir):
     rows = QUERIES["ml_bpe_apply_encode"].fn(spark, sf_dir).collect()
     assert rows
