@@ -459,3 +459,39 @@ def skew_resistant_rank(
         )
         .drop("__chunk", "__within", "__voff", "__coff")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    out: str = "cum",
+    inclusive: bool = True,
+    chunk_width: int = 64,
+) -> DataFrame:
+    """Ordered-by-id running total with NO single-partition window —
+    the two-phase parallel-prefix shape: within-chunk running sums
+    over ``id div chunk_width`` partitions, then an exclusive prefix
+    over the tiny chunk-total table (metadata-sized global window),
+    broadcast back. Value-identical to
+    ``sum(value) OVER (ORDER BY id)`` for integer values.
+    """
+    chunk = F.expr(f"{id_col} div {chunk_width}")
+    t = df.withColumn("__chunk", chunk)
+    hi = 0 if inclusive else -1
+    w_in = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, hi
+    )
+    local = t.withColumn(
+        "__local", F.coalesce(F.sum(value).over(w_in), F.lit(0))
+    )
+    totals = t.groupBy("__chunk").agg(F.sum(value).alias("__tot"))
+    w_c = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_c), F.lit(0))
+    ).select("__chunk", "__off")
+    return (
+        local.join(F.broadcast(offs), "__chunk")
+        .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__chunk", "__local", "__off")
+    )

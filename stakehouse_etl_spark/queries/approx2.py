@@ -11,7 +11,7 @@ a 100 TB pipeline actually relies on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
@@ -91,17 +91,44 @@ def a_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-WIDTH (a_histogram_fixed_width) answers distribution shape
     instead. Boundaries stay integer cents.
 
-    At 100 TB the global ntile sort is the scale hazard; the
-    production path replaces it with approx_percentile boundaries
-    (see a_approx_quantile_bounded for the sketch's error contract) —
-    this exact version is the ground truth that contract is checked
-    against, and the oracle pins it bit-for-bit."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    s = o.select(
+    The global rank runs through the two-phase
+    ``skew_resistant_rank`` decomposition (no single-partition window
+    over row data) and ntile's first-buckets-get-the-remainder split
+    is reproduced in closed form from the rank — bit-identical to the
+    oracle's native ntile. The production path at 100 TB can still
+    trade this exact version for approx_percentile boundaries (see
+    a_approx_quantile_bounded for the sketch's error contract); this
+    is the ground truth that contract is checked against."""
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.ntile(N_DEPTH_BUCKETS).over(w).cast("long").alias("bucket"),
     )
+    ranked = skew_resistant_rank(
+        o, value="o_totalprice", id_col="o_orderkey", out="rnk",
+        descending=False,
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    r = ranked.crossJoin(F.broadcast(total))
+    # ntile(K): first n%K buckets hold ceil(n/K) rows, the rest floor.
+    q = F.expr("n_total div " + str(N_DEPTH_BUCKETS))
+    rem = F.col("n_total") % N_DEPTH_BUCKETS
+    big = rem * (q + 1)  # rows covered by the ceil-sized buckets
+    K = N_DEPTH_BUCKETS
+    bucket = F.when(
+        F.col("rnk") <= big,
+        F.expr(f"(rnk - 1) div (n_total div {K} + 1) + 1"),
+    ).otherwise(
+        rem
+        + F.expr(
+            f"(rnk - (n_total % {K}) * (n_total div {K} + 1) - 1)"
+            f" div (n_total div {K})"
+        )
+        + 1
+    )
+    s = r.select("cents", bucket.cast("long").alias("bucket"))
     return s.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("cents").cast("long").alias("lo_cents"),

@@ -9,7 +9,7 @@ the Gopher-style per-rule violation counts a corpus refresh reports.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
@@ -126,20 +126,26 @@ def ml_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank over (score, doc_id) — the deterministic tiebreak makes the
     statistic bit-reproducible; scores share the IEEE expression tree
     with the oracle so every rank agrees. Integer rank sums, one final
-    division. (Scale note: the global sort is the same cost class as
-    any total-order ranking — at 100 TB use range-partitioned rank
-    with per-partition offsets, the corpus_pack_sequences two-phase
-    pattern.)
+    division. The rank runs through the two-phase
+    ``skew_resistant_rank`` decomposition, so no single-partition
+    window ever sees row data (the global window touches only the
+    distinct-score table).
     """
     from stakehouse_etl_spark.operators.text import quality_features
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
 
     scored = quality_features(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         "quality_score",
     )
-    w = Window.orderBy(F.asc("quality_score"), F.asc("doc_id"))
-    r = scored.withColumn("rnk", F.row_number().over(w))
+    r = skew_resistant_rank(
+        scored,
+        value="quality_score",
+        id_col="doc_id",
+        out="rnk",
+        descending=False,
+    )
     agg = r.agg(
         F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0)).alias(
             "rank_sum"

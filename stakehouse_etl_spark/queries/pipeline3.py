@@ -242,21 +242,20 @@ def corpus_sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight interval crosses a stride boundary, tested with pure
     integer floor-division (``cum*K // total``). The classic
     PPS-sampling primitive for building eval slices / mixing audits.
-    Scale note: the ordered cumulative sum is a prefix-sum; at 100 TB
-    run it as the two-phase per-partition prefix sum used by
-    corpus_pack_sequences rather than one global ordered window.
+    The cumulative sum runs through the two-phase parallel-prefix
+    decomposition (``operators.windows.global_prefix_sum``) — no
+    single-partition window touches row data; the corpus total is a
+    plain aggregate broadcast back via a 1-row cross join.
     """
+    from stakehouse_etl_spark.operators.windows import global_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    cum_w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    tot_w = Window.partitionBy()
-    w = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.sum("n_chars").over(cum_w).alias("cum"),
-        F.sum("n_chars").over(tot_w).alias("total"),
+    cum = global_prefix_sum(docs, id_col="doc_id", value="n_chars", out="cum")
+    total = docs.agg(F.sum("n_chars").cast("long").alias("total"))
+    w = cum.crossJoin(F.broadcast(total)).select(
+        "doc_id", "source", "n_chars", "cum", "total"
     )
     # Integer division in BOTH engines (Spark `div`, DuckDB `//`) —
     # float division + floor could disagree at exact-multiple
