@@ -523,3 +523,32 @@ def read_snapshot(
     if v not in vs:
         raise FileNotFoundError(f"snapshot v={v} not committed under {path}")
     return spark.read.parquet(f"{path}/v={v}")
+
+
+def vacuum_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> list[int]:
+    """Retention for the snapshot table: delete all but the newest
+    ``keep_last`` committed versions (plus any torn/uncommitted
+    leftovers, which no reader can see). Returns the deleted version
+    numbers. The deletes are per-version directory removals — a
+    reader pinned to a retained version is unaffected; one pinned to
+    a vacuumed version fails loudly on its next read rather than
+    silently seeing other data."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, P = _fs(spark, path)
+    vs = snapshot_versions(spark, path)
+    drop = vs[:-keep_last] if len(vs) > keep_last else []
+    for v in drop:
+        fs.delete(P(f"{path}/v={v}"), True)
+    # torn leftovers: staging dir and marker-less version dirs
+    if fs.exists(P(path)):
+        for st in fs.listStatus(P(path)):
+            name = st.getPath().getName()
+            if name == _SNAP_STAGING or (
+                name.startswith("v=")
+                and not fs.exists(P(f"{path}/{name}/_SUCCESS"))
+            ):
+                fs.delete(st.getPath(), True)
+    return drop

@@ -54,3 +54,21 @@ def test_uncommitted_dirs_invisible(spark, root):
 def test_missing_table_raises(spark, root):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, f"{root}/absent")
+
+
+def test_vacuum_keeps_newest_and_clears_torn(spark, root):
+    import os
+
+    from stakehouse_etl_spark.io.sinks import vacuum_snapshots
+
+    path = f"{root}/t"
+    for n in (2, 4, 6, 8):
+        write_snapshot(spark, spark.range(n).toDF("x"), path)
+    os.makedirs(f"{path}/v=99")  # torn, never committed
+    deleted = vacuum_snapshots(spark, path, keep_last=2)
+    assert deleted == [1, 2]
+    assert snapshot_versions(spark, path) == [3, 4]
+    assert not os.path.exists(f"{path}/v=99")
+    assert read_snapshot(spark, path).count() == 8
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 1)
