@@ -1,0 +1,59 @@
+"""Property tests: the two-phase global-window decompositions equal
+their naive single-window definitions on arbitrary data (ids unique,
+values arbitrary with heavy ties), across chunk widths."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stakehouse_etl_spark.operators.windows import (
+    global_prefix_sum,
+    skew_resistant_rank,
+)
+
+# (id, value) rows with few distinct values → heavy ties, the hard case
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=5000),
+        st.integers(min_value=-3, max_value=3),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+widths = st.sampled_from([1, 2, 7, 64])
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_strategy, width=widths, desc=st.booleans())
+def test_skew_resistant_rank_equals_naive(spark, rows, width, desc):
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.rank
+        for r in skew_resistant_rank(
+            df, value="v", id_col="id", out="rank",
+            descending=desc, chunk_width=width,
+        ).collect()
+    }
+    key = (lambda t: (-t[1], t[0])) if desc else (lambda t: (t[1], t[0]))
+    want = {t[0]: i + 1 for i, t in enumerate(sorted(rows, key=key))}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_strategy, width=widths, inclusive=st.booleans())
+def test_global_prefix_sum_equals_naive(spark, rows, width, inclusive):
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.cum
+        for r in global_prefix_sum(
+            df, id_col="id", value="v", out="cum",
+            inclusive=inclusive, chunk_width=width,
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        want[i] = acc + v if inclusive else acc
+        acc += v
+    assert got == want
