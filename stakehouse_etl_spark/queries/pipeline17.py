@@ -39,6 +39,7 @@ _PASSAGE_DUP_PCT = 30  # drop docs with >30% inter-doc duplicated passages
 @register(
     "corpus_passage_dedup",
     tags=("corpus", "dedup", "passage"),
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -1116,6 +1117,7 @@ _N_SHARDS = 8
 @register(
     "corpus_shard_assign",
     tags=("corpus", "sharding", "batching"),
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
