@@ -1162,3 +1162,118 @@ def corpus_shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("shard_tokens"),
         F.max("n_tok").alias("max_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming snapshot publication (foreachBatch -> merge -> time travel)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_snapshot_publish",
+    tags=("streaming", "sink", "time-travel", "T5", "T6"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+""",
+)
+def stream_snapshot_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + time travel composed: each micro-batch merges its
+    partial aggregate into the previous snapshot (the distributive
+    IVM merge of ``inc_agg_merge``) and publishes the result as a NEW
+    immutable version — so every micro-batch commit is a pinnable
+    corpus state, and a training job launched mid-stream reads a
+    consistent version instead of a table mutating under it. The
+    final (latest) snapshot must equal the full batch aggregate —
+    that equality is the oracle.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from stakehouse_etl_spark.io.sinks import read_snapshot, write_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [hi // 3, 2 * hi // 3]
+    workdir = tempfile.mkdtemp(prefix="stream_snap_")
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        ranges = [
+            (-(1 << 62), cuts[0]),
+            (cuts[0], cuts[1]),
+            (cuts[1], 1 << 62),
+        ]
+        for i, (lo, hb) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hb)
+            ).select("user_id", "cents")
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        table = os.path.join(workdir, "warehouse", "user_totals")
+
+        def publish(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            agg = batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("total_cents"),
+            )
+            try:
+                prev = read_snapshot(s, table)
+            except FileNotFoundError:
+                prev = None
+            if prev is not None:
+                merged = (
+                    prev.select(
+                        "user_id",
+                        F.col("n_events").alias("p_n"),
+                        F.col("total_cents").alias("p_c"),
+                    )
+                    .join(agg, "user_id", "full_outer")
+                    .select(
+                        "user_id",
+                        (
+                            F.coalesce(F.col("p_n"), F.lit(0))
+                            + F.coalesce(F.col("n_events"), F.lit(0))
+                        ).alias("n_events"),
+                        (
+                            F.coalesce(F.col("p_c"), F.lit(0))
+                            + F.coalesce(F.col("total_cents"), F.lit(0))
+                        ).alias("total_cents"),
+                    )
+                )
+            else:
+                merged = agg
+            write_snapshot(s, merged, table)
+
+        stream = (
+            spark.readStream.schema("user_id long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = read_snapshot(spark, table).select(
+            "user_id", "n_events", "total_cents"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
