@@ -72,3 +72,52 @@ def test_similarity_on_degenerate_inputs(spark):
 
     nothing = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk(nothing, query_ids=[1], k=5).count() == 0
+
+
+def test_text_kernels_on_degenerate_docs(spark):
+    from pyspark.sql import functions as F
+
+    from stakehouse_etl_spark.operators.text import (
+        bpe_pretokens,
+        chunk_docs,
+        feature_hash,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, "   "), (4, "a b"), (5, "!!! ??")],
+        "doc_id long, text string",
+    )
+    # chunker: every doc yields at least one chunk, offsets start at 0
+    ch = chunk_docs(docs, chunk_tokens=4, overlap=1).collect()
+    assert {r.doc_id for r in ch} == {1, 2, 3, 4, 5}
+    assert all(r.token_start == 0 for r in ch if r.chunk_idx == 0)
+    # pre-tokens: empty/whitespace-only docs yield zero pre-tokens
+    pts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(bpe_pretokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert pts[1] == 0 and pts[3] == 0 and pts[2] == 1
+    # winnowing: sub-k-gram docs produce no fingerprints, no crash
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert {r.doc_id for r in fps} <= {5}  # only multi-token docs can
+    # feature hashing: no empty-token buckets
+    fh = feature_hash(docs).collect()
+    assert all(r.cnt > 0 for r in fh)
+    assert not [r for r in fh if r.doc_id in (1, 3)]
+
+
+def test_rank_kernels_on_singleton_and_empty(spark):
+    from stakehouse_etl_spark.operators.windows import (
+        global_prefix_sum,
+        skew_resistant_rank,
+    )
+
+    one = spark.createDataFrame([(7, 42)], "id long, v long")
+    assert skew_resistant_rank(one, "v", "id").collect()[0].rank == 1
+    assert global_prefix_sum(one, "id", "v").collect()[0].cum == 42
+    empty = one.filter("id < 0")
+    assert skew_resistant_rank(empty, "v", "id").count() == 0
+    assert global_prefix_sum(empty, "id", "v").count() == 0
