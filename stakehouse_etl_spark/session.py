@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "stakehouse-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -44,6 +45,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
