@@ -1277,3 +1277,84 @@ def stream_snapshot_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (ingestion-time data profiling)
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "dq_column_profile",
+    tags=("dq", "profile"),
+    oracle="""
+SELECT 'o_custkey' AS col,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_val,
+       CAST(max(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+       CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+""",
+)
+def dq_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of an ingested table — null counts, distinct
+    cardinality, min/max per column (floats min/maxed in integer
+    cents, everything rendered as strings so one result schema covers
+    mixed column types). This is the pre-ingestion profiling pass a
+    pipeline runs to decide partition keys, detect schema rot, and
+    seed DQ thresholds; all four columns profile in ONE scan (Spark
+    computes the grouped aggregates together; the per-column rows are
+    a literal unpivot of one aggregate row).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in _PROFILE_COLS
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+                (
+                    F.round(F.min(c) * 100).cast("long").cast("string")
+                    if c == "o_totalprice"
+                    else F.min(c).cast("string")
+                ).alias(f"mn_{c}"),
+                (
+                    F.round(F.max(c) * 100).cast("long").cast("string")
+                    if c == "o_totalprice"
+                    else F.max(c).cast("string")
+                ).alias(f"mx_{c}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
