@@ -1358,3 +1358,83 @@ def dq_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (alpha = 0.5)
+# ---------------------------------------------------------------------------
+_TEMP_BUDGET = 1_000_000
+
+
+@register(
+    "corpus_mix_temperature",
+    tags=("corpus", "mixing", "sampling"),
+    oracle=f"""
+WITH t AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_tok,
+         CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000) AS BIGINT) AS w_int
+  FROM t
+),
+g AS (
+  SELECT source, n_tok, w_int,
+         CAST(({_TEMP_BUDGET} * w_int) // sum(w_int) OVER () AS BIGINT)
+           AS base_alloc,
+         CAST(({_TEMP_BUDGET} * w_int) % sum(w_int) OVER () AS BIGINT) AS rem
+  FROM w
+),
+r AS (
+  SELECT *, CAST({_TEMP_BUDGET} - sum(base_alloc) OVER () AS BIGINT)
+              AS leftover,
+         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rnk
+  FROM g
+)
+SELECT source, n_tok, w_int,
+       CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS final_alloc,
+       CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+            AS DOUBLE) / n_tok AS oversample_factor
+FROM r
+""",
+)
+def corpus_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (α = 0.5): sampling weights
+    ∝ n_tok^α flatten the source distribution — the standard
+    upweighting of low-resource sources in multilingual/multi-domain
+    training mixes. α = 1/2 keeps the arithmetic cross-engine exact:
+    IEEE ``sqrt`` is correctly rounded, so ``floor(sqrt(n)·1000)`` is
+    bit-identical in both engines, and the largest-remainder
+    apportionment over those integer weights sums EXACTLY to the
+    budget. ``oversample_factor`` (alloc/n_tok > 1 means the source
+    repeats) is the number a mixture review reads.
+
+    One corpus groupBy; everything after runs on the #sources-row
+    table where global windows are metadata-sized.
+    """
+    from stakehouse_etl_spark.operators.alloc import largest_remainder_alloc
+    from stakehouse_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = t.select(
+        "source",
+        "n_tok",
+        F.floor(F.sqrt(F.col("n_tok").cast("double")) * 1000)
+        .cast("long")
+        .alias("w_int"),
+    )
+    alloc = largest_remainder_alloc(w, "source", "w_int", _TEMP_BUDGET)
+    return alloc.join(w.select("source", "n_tok"), alloc.key == F.col("source")).select(
+        "source",
+        "n_tok",
+        F.col("weight").alias("w_int"),
+        "final_alloc",
+        (F.col("final_alloc").cast("double") / F.col("n_tok")).alias(
+            "oversample_factor"
+        ),
+    )
