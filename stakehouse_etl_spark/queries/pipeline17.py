@@ -1438,3 +1438,90 @@ def corpus_mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oversample_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension ablation (Matryoshka-style prefix truncation)
+# ---------------------------------------------------------------------------
+_ABL_DIMS = 16
+
+
+def _dim_ablation_sql() -> str:
+    q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    qt = (
+        f"list_transform(embedding[1:{_ABL_DIMS}], "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+
+    def topk(emb_expr: str, name: str) -> str:
+        return f"""
+{name}_e AS (SELECT vec_id, {emb_expr} AS qe FROM embeddings),
+{name}_n AS (SELECT vec_id, qe,
+                    list_sum(list_transform(qe, x -> x * x)) AS nrm
+             FROM {name}_e),
+{name}_q AS (SELECT vec_id AS query_id, qe AS q_emb, nrm AS q_norm
+             FROM {name}_n WHERE vec_id < 10),
+{name}_p AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(list_dot_product(q.q_emb, c.qe) AS DOUBLE)
+           / (sqrt(CAST(q.q_norm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+           AS cos_sim
+  FROM {name}_n c CROSS JOIN {name}_q q
+  WHERE c.vec_id <> q.query_id
+),
+{name}_t AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM {name}_p
+  ) WHERE rank <= 10
+)"""
+
+    return f"""
+WITH {topk(q, "full")},
+{topk(qt, "trunc")}
+SELECT f.query_id,
+       CAST(count(t.cand_id) AS BIGINT) AS n_overlap,
+       count(t.cand_id) / 10.0 AS recall_at_10
+FROM full_t f
+LEFT JOIN trunc_t t
+  ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+GROUP BY f.query_id
+"""
+
+
+@register(
+    "sim_dim_ablation",
+    tags=("similarity", "eval", "matryoshka"),
+    oracle=_dim_ablation_sql(),
+)
+def sim_dim_ablation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension ablation: how much of the exact top-10 does
+    a 16-of-64-dim PREFIX ranking retain (the Matryoshka-truncation
+    question — can the ANN index store a quarter of the vector)?
+    Per-query overlap between the full-dim and truncated-dim cosine
+    rankings, both through the same ``cosine_topk`` operator; at scale
+    you run the cheap prefix ranking corpus-wide and rescore only its
+    shortlist with full vectors.
+    """
+    from stakehouse_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = sim.cosine_topk(emb, query_ids=list(range(10)), k=10).select(
+        "query_id", "cand_id"
+    )
+    emb16 = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _ABL_DIMS).alias("embedding")
+    )
+    trunc = sim.cosine_topk(emb16, query_ids=list(range(10)), k=10).select(
+        F.col("query_id").alias("tq"), F.col("cand_id").alias("tc")
+    )
+    hit = full.join(
+        trunc,
+        (F.col("query_id") == F.col("tq")) & (F.col("cand_id") == F.col("tc")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("tc").alias("n_overlap"),
+        (F.count("tc") / 10.0).alias("recall_at_10"),
+    )
