@@ -1525,3 +1525,88 @@ def sim_dim_ablation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tc").alias("n_overlap"),
         (F.count("tc") / 10.0).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality / referential-integrity report
+# ---------------------------------------------------------------------------
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _join_card_sql() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{child}.{ck}' AS relation,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS child_rows,
+       CAST((SELECT count(DISTINCT {ck}) FROM {child}) AS BIGINT)
+         AS distinct_child_keys,
+       CAST((SELECT count(*) FROM {parent}) AS BIGINT) AS parent_rows,
+       CAST((SELECT count(*) FROM (
+          SELECT DISTINCT {ck} FROM {child}
+          WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) ) AS BIGINT)
+         AS orphan_keys,
+       CAST((SELECT max(cnt) FROM (
+          SELECT count(*) AS cnt FROM {child} GROUP BY {ck})) AS BIGINT)
+         AS max_fanout""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_join_cardinality_report",
+    tags=("dq", "stats", "join"),
+    oracle=_join_card_sql(),
+)
+def dq_join_cardinality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key statistics for every FK relation in the warehouse:
+    child/parent row counts, distinct child keys, orphan keys
+    (referential-integrity violations — nonzero means an upstream
+    extract raced a parent delete), and max fanout (the skew number a
+    join planner reads: max children per parent key bounds the
+    largest shuffle partition of the join). This is the ANALYZE-table
+    pass that seeds broadcast-vs-shuffle and salting decisions.
+
+    Per relation: two grouped aggregates and one anti-join, all keyed
+    on the join key itself — the stats cost a fraction of the join
+    they inform.
+    """
+    rows = []
+    for child, ck, parent, pk in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        fan = c.groupBy(ck).agg(F.count(F.lit(1)).alias("cnt"))
+        orphans = (
+            c.select(ck).distinct().join(
+                p.select(F.col(pk).alias(ck)), ck, "left_anti"
+            )
+        )
+        stats = (
+            c.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.count_distinct(F.col(ck)).alias("distinct_child_keys"),
+            )
+            .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("parent_rows"))))
+            .crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("orphan_keys")))
+            )
+            .crossJoin(
+                F.broadcast(fan.agg(F.max("cnt").alias("max_fanout")))
+            )
+            .select(
+                F.lit(f"{child}.{ck}").alias("relation"),
+                "child_rows",
+                "distinct_child_keys",
+                "parent_rows",
+                "orphan_keys",
+                "max_fanout",
+            )
+        )
+        rows.append(stats)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
