@@ -1610,3 +1610,106 @@ def dq_join_cardinality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy: matched permutations vs exact Jaccard
+# ---------------------------------------------------------------------------
+def _minhash_estimate_sql() -> str:
+    from stakehouse_etl_spark.operators.dedup import MINHASH_PERMS
+    from stakehouse_etl_spark.queries.datapipe import (
+        _minhash_bands_sql,
+        _minhash_sig_sql,
+    )
+
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE},
+m AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST({matches} AS BIGINT) AS n_perm_match
+  FROM cand
+  JOIN sig a ON a.doc_id = cand.id_a
+  JOIN sig b ON b.doc_id = cand.id_b
+)
+SELECT m.id_a, m.id_b, m.n_perm_match,
+       CAST(j.inter AS BIGINT) AS inter,
+       CAST(j.union_sz AS BIGINT) AS union_sz
+FROM m JOIN j ON j.id_a = m.id_a AND j.id_b = m.id_b
+"""
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    tags=("dedup", "minhash", "eval"),
+    oracle=_minhash_estimate_sql(),
+)
+def dedup_minhash_estimate_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy observability for MinHash itself: for every LSH
+    candidate pair, the matched-permutation count (the sketch's
+    Jaccard estimate, n/16) next to the exact shingle intersection and
+    union — the calibration a 100 TB dedup reviews when deciding how
+    many permutations the signature needs (16 here; estimator stderr
+    ~ sqrt(J(1-J)/16)). Complements ``dedup_lsh_eval_pr``, which
+    scores the BANDING; this scores the ESTIMATOR. All-integer
+    output.
+    """
+    from stakehouse_etl_spark.operators.dedup import (
+        MINHASH_PERMS,
+        _signatures_from_shingles,
+        doc_shingles,
+        lsh_candidates,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidates(docs)
+    sig = _signatures_from_shingles(sh, "doc_id")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_PERMS)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(MINHASH_PERMS)
+    ).cast("long")
+    m = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", n_match.alias("n_perm_match")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        m.join(inter, ["id_a", "id_b"])
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_perm_match",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            .cast("long")
+            .alias("union_sz"),
+        )
+    )
