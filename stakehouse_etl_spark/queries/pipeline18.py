@@ -1,0 +1,97 @@
+"""Wave 18: the portable-SQL surface — ONE SQL text, TWO engines.
+
+Every query here is a single ANSI-SQL string that Spark executes
+verbatim via ``spark.sql`` over the registered table views AND the
+DuckDB oracle executes verbatim over the same parquet — the oracle
+field *is* the query text. This is the strongest form of the
+compatibility claim: a reference user's SQL runs unchanged on this
+engine (SURVEY §3.3's serving path is SQL-shaped; the reference's
+pandas relational ops all reduce to these constructs).
+
+Portability rules (what keeps one text valid + value-identical in
+both dialects): ANSI joins/CTEs/set-ops/window functions, ``CAST(..
+AS BIGINT)`` on every count/rank (Spark's INT vs DuckDB's BIGINT
+would hash-mismatch), integer cents via ``round(x * 100)``, ``||``
+for string concat, no dialect-specific functions (no ``div``/``//``,
+no ``epoch_us``/``unix_micros``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stakehouse_etl_spark.io.sources import register_views
+from stakehouse_etl_spark.queries.registry import register
+
+_PORTABLE: dict[str, str] = {
+    # join + rollup: the nation x priority revenue cube every serving
+    # endpoint variant reduces to
+    "sql_portable_join_agg": """
+SELECT n_name, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+""",
+    # window: top-3 orders per priority through a ranked subquery
+    "sql_portable_window_topn": """
+SELECT o_orderpriority, o_orderkey, cents, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""",
+    # set ops: segments' customers with vs without open orders
+    "sql_portable_setops": """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    # CTE + CASE + string ops over the union of two derived tables
+    "sql_portable_cte_case": """
+WITH big AS (
+  SELECT o_custkey AS k, 'big' AS tier
+  FROM orders WHERE o_totalprice > 200000
+),
+small AS (
+  SELECT o_custkey AS k, 'small' AS tier
+  FROM orders WHERE o_totalprice < 2000
+),
+u AS (SELECT * FROM big UNION ALL SELECT * FROM small)
+SELECT upper(tier) || ':' || CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1
+""",
+    # correlated EXISTS — the reference's "has activity" predicates
+    "sql_portable_exists": """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_active_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+GROUP BY c_mktsegment
+""",
+}
+
+
+def _mk(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+for _name, _sql in _PORTABLE.items():
+    register(_name, oracle=_sql, tags=("sql", "portable"))(_mk(_sql))
