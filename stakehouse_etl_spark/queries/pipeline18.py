@@ -82,6 +82,57 @@ WHERE EXISTS (
 )
 GROUP BY c_mktsegment
 """,
+    # ROLLUP with grouping() disambiguation of the NULL subtotal rows
+    "sql_portable_rollup": """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(grouping(r_name) AS BIGINT) AS g_region,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    # HAVING against a scalar subquery (global average)
+    "sql_portable_having_scalar": """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+GROUP BY c_nationkey
+HAVING sum(CAST(round(c_acctbal * 100) AS BIGINT))
+       > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 50
+          FROM customer)
+""",
+    # LEFT JOIN + COALESCE default fill (J10 in pure portable SQL)
+    "sql_portable_left_coalesce": """
+SELECT c.c_custkey,
+       CAST(coalesce(t.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(t.cents, 0) AS BIGINT) AS total_cents
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+) t ON t.o_custkey = c.c_custkey
+""",
+    # null-safe anti membership: NOT EXISTS instead of NOT IN (which
+    # both engines NULL-poison identically, but NOT EXISTS states the
+    # intent without the trap)
+    "sql_portable_not_exists": """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_without_big_order
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 250000
+)
+GROUP BY n_name
+""",
 }
 
 
