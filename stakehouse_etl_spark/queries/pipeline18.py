@@ -146,3 +146,148 @@ def _mk(sql: str):
 
 for _name, _sql in _PORTABLE.items():
     register(_name, oracle=_sql, tags=("sql", "portable"))(_mk(_sql))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination APPLY: per-source keep/drop ledger
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from stakehouse_etl_spark.io.sources import load_table  # noqa: E402
+
+_DECON_PCT = 10  # drop training docs with >10% eval-shingle overlap
+
+
+def _decon_sql() -> str:
+    from stakehouse_etl_spark.queries.pipeline2 import _BENCH_IN
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM t
+),
+s2 AS (SELECT * FROM s WHERE shingle <> ''),
+b AS (SELECT DISTINCT shingle FROM s2 WHERE source IN ({_BENCH_IN})),
+e AS (SELECT doc_id, source, shingle FROM s2
+      WHERE source NOT IN ({_BENCH_IN})),
+c AS (SELECT doc_id, source, count(*) AS n_sh FROM e GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM e JOIN b USING (shingle) GROUP BY 1
+),
+d AS (
+  SELECT c.source,
+         coalesce(m.n_matched, 0) * 100 > c.n_sh * {_DECON_PCT}
+           AS dropped
+  FROM c LEFT JOIN m USING (doc_id)
+)
+SELECT source,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "corpus_decontaminate_counts",
+    tags=("corpus", "contamination", "dedup"),
+    oracle=_decon_sql(),
+)
+def corpus_decontaminate_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination APPLY step (``text_contamination_overlap``
+    is the measure; this is the decision): training docs whose
+    eval-set shingle overlap exceeds the cross-multiplied threshold
+    are dropped, and the per-source kept/dropped counts — the number
+    a corpus release publishes — come back. The eval set is the
+    {src0,src1} sources, matching the screen query's convention.
+
+    Scale shape: shingle semi-join against the (comparatively tiny,
+    broadcastable) eval shingle set; no all-pairs comparison.
+    """
+    from stakehouse_etl_spark.operators.text import fan_out, shingles
+    from stakehouse_etl_spark.queries.pipeline2 import _BENCH_SOURCES
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles(F.col("text"))).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
+    bench = (
+        sh.filter(F.col("source").isin(*_BENCH_SOURCES))
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    counts = train.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    matched = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    d = counts.join(matched, "doc_id", "left").select(
+        "source",
+        (
+            F.coalesce(F.col("n_matched"), F.lit(0)) * 100
+            > F.col("n_sh") * _DECON_PCT
+        ).alias("dropped"),
+    )
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("dropped"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile (portable integer weekday arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "ts_weekday_profile",
+    tags=("timeseries", "seasonality", "agg"),
+    oracle="""
+WITH e AS (
+  SELECT (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4) % 7
+           AS weekday,
+         CAST(round("value" * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT weekday,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM e GROUP BY weekday
+""",
+)
+def ts_weekday_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile of the event stream — the
+    day-of-week effect a capacity plan or anomaly baseline subtracts
+    first. The weekday is computed with pure integer unix-day
+    arithmetic ((days since epoch + 4) mod 7, Thursday-anchored)
+    because the engines DISAGREE on day-of-week numbering (Spark
+    ``dayofweek`` is 1=Sunday, DuckDB ``dow`` is 0=Sunday) — the
+    integer form is the portable one, and stays exact.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("long")
+        .alias("weekday"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("cents_sum"),
+    )
