@@ -291,3 +291,106 @@ def ts_weekday_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global median without a single-partition window
+# ---------------------------------------------------------------------------
+@register(
+    "a_median_exact_global",
+    tags=("A4", "median", "rank"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+  FROM orders
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM s)
+SELECT n.n_rows,
+       CAST((SELECT cents FROM s WHERE rnk = (n.n_rows + 1) // 2) AS BIGINT)
+         AS lo_cents,
+       CAST((SELECT cents FROM s WHERE rnk = n.n_rows // 2 + 1) AS BIGINT)
+         AS hi_cents,
+       CAST((SELECT cents FROM s WHERE rnk = (n.n_rows + 1) // 2)
+            + (SELECT cents FROM s WHERE rnk = n.n_rows // 2 + 1)
+            AS BIGINT) AS median_x2
+FROM n
+""",
+)
+def a_median_exact_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median at scale — the textbook "you can't sort
+    100 TB on one task" question, answered with the two-phase
+    ``skew_resistant_rank``: rank every row without a
+    single-partition window, then fetch the two middle ranks (odd n:
+    same row twice). The median is returned ×2 as an integer
+    (``median_x2``) so even-n interpolation never touches floats.
+    """
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = skew_resistant_rank(
+        o, value="o_totalprice", id_col="o_orderkey", out="rnk",
+        descending=False,
+    )
+    n = o.count()
+    lo_rank, hi_rank = (n + 1) // 2, n // 2 + 1
+    mids = (
+        ranked.filter(F.col("rnk").isin(lo_rank, hi_rank))
+        .select("rnk", "cents")
+        .collect()
+    )
+    by_rank = {r.rnk: r.cents for r in mids}
+    lo, hi = by_rank[lo_rank], by_rank[hi_rank]
+    return spark.createDataFrame(
+        [(n, lo, hi, lo + hi)],
+        "n_rows long, lo_cents long, hi_cents long, median_x2 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric difference of two key sets (U-family completeness)
+# ---------------------------------------------------------------------------
+@register(
+    "u5_symmetric_diff",
+    tags=("U2", "setops"),
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderstatus = 'O'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderstatus = 'F'),
+sym AS (
+  (SELECT k FROM a EXCEPT SELECT k FROM b)
+  UNION ALL
+  (SELECT k FROM b EXCEPT SELECT k FROM a)
+)
+SELECT k AS custkey,
+       CAST(CASE WHEN k IN (SELECT k FROM a) THEN 1 ELSE 2 END AS BIGINT)
+         AS only_in
+FROM sym
+""",
+)
+def u5_symmetric_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of two derived key sets (customers with
+    ONLY open vs ONLY finished orders) with a provenance tag — the
+    set-op family's last member (U1 union, U2 except, U3 dedup, U4
+    intersect-all already covered). Two EXCEPTs + union; each leg is
+    a hash anti-join on the key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    b = o.filter("o_orderstatus = 'F'").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    only_a = a.join(b, "custkey", "left_anti").withColumn(
+        "only_in", F.lit(1).cast("long")
+    )
+    only_b = b.join(a, "custkey", "left_anti").withColumn(
+        "only_in", F.lit(2).cast("long")
+    )
+    return only_a.unionByName(only_b)
