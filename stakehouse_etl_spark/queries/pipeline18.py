@@ -120,6 +120,31 @@ LEFT JOIN (
   FROM orders GROUP BY o_custkey
 ) t ON t.o_custkey = c.c_custkey
 """,
+    # window VALUE functions with explicit frames (first/last/nth/lag)
+    "sql_portable_window_values": """
+SELECT o_custkey, o_orderkey,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_ok,
+       CAST(last_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS BIGINT) AS last_ok,
+       CAST(nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS BIGINT) AS second_ok,
+       CAST(lag(o_orderkey, 1, -1) OVER w AS BIGINT) AS prev_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    # bitwise aggregates over integer keys
+    "sql_portable_bitwise_agg": """
+SELECT o_orderpriority,
+       CAST(bit_and(o_custkey) AS BIGINT) AS key_and,
+       CAST(bit_or(o_custkey) AS BIGINT) AS key_or,
+       CAST(bit_xor(o_custkey) AS BIGINT) AS key_xor
+FROM orders
+GROUP BY o_orderpriority
+""",
     # null-safe anti membership: NOT EXISTS instead of NOT IN (which
     # both engines NULL-poison identically, but NOT EXISTS states the
     # intent without the trap)
