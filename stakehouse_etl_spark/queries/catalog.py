@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "pipeline16",  # skew-resistant cumsum / partition-prune bench
     "pipeline17",  # passage dedup / canonical docs / logit inference / mm hamming
     "pipeline18",  # portable-SQL surface: one SQL text, two engines
+    "pipeline19",  # CUSUM change-point detection, batch + streaming twins
 ]
 
 for _m in _QUERY_MODULES:
@@ -66,7 +67,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 222
+EXPECTED_MIN_QUERIES = 224
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "

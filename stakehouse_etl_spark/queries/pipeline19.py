@@ -1,0 +1,226 @@
+"""Wave 19: CUSUM change-point detection — batch and streaming twins.
+
+The upper-CUSUM statistic S_i = max(0, S_{i-1} + d_i) looks recursive,
+but has the closed form S_i = cum_i − min(0, min_{k≤i} cum_k) — two
+window passes, exact in integers, identical in both engines. The
+streaming version maintains (base, cum, runmin) per key in
+``applyInPandasWithState`` state and must equal the batch recompute
+bit-for-bit (the same stream==batch contract as the income kernel).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.queries.registry import register
+
+_CUSUM_H = 100_000  # drift alarm threshold, integer cents
+
+_CUSUM_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round("value" * 100) AS BIGINT) AS cents
+  FROM events
+),
+a AS (
+  SELECT user_id, event_id, ts_us, cents,
+         first_value(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS base
+  FROM v
+),
+b AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(sum(cents - base) OVER w AS BIGINT) AS cum
+  FROM a
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us,
+       CAST(cum - least(min(cum) OVER w, 0) AS BIGINT) AS cusum,
+       cum - least(min(cum) OVER w, 0) > {_CUSUM_H} AS drift
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "ts_cusum_drift",
+    tags=("timeseries", "anomaly", "window"),
+    oracle=_CUSUM_SQL,
+)
+def ts_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-CUSUM drift detection per user (deviations measured from
+    the key's first observed level): the change-point statistic every
+    ops/finance monitor runs, computed with the closed form
+    ``S = cum − min(0, running_min(cum))`` — two running windows on
+    one key shuffle, no recursion, integer-exact. ``drift`` flags the
+    alarm crossing (`ts_anomaly_zscore` is the point-outlier
+    counterpart; CUSUM catches slow drifts z-scores miss).
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    a = v.withColumn("base", F.first("cents").over(w))
+    b = a.withColumn("cum", F.sum(F.col("cents") - F.col("base")).over(wc))
+    s = F.col("cum") - F.least(F.min("cum").over(wc), F.lit(0))
+    return b.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        s.cast("long").alias("cusum"),
+        (s > _CUSUM_H).alias("drift"),
+    )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("base", LongType()),
+        StructField("cum", LongType()),
+        StructField("runmin", LongType()),
+    ]
+)
+
+_CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("cusum", LongType()),
+    ]
+)
+
+
+def _cusum_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key CUSUM across micro-batches: state carries the first
+    observed level (the deviation baseline), the running deviation sum
+    and its running minimum — the three integers the closed form
+    needs. No sentinel tricks: base is unset iff state doesn't exist."""
+    if state.exists:
+        base, cum, runmin = state.get
+        has_base = True
+    else:
+        base, cum, runmin = 0, 0, 0
+        has_base = False
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, event_id, cents in zip(
+            pdf["ts_us"].to_numpy(),
+            pdf["event_id"].to_numpy(),
+            pdf["cents"].to_numpy(),
+        ):
+            cents = int(cents)
+            if not has_base:
+                base = cents
+                has_base = True
+            cum += cents - base
+            runmin = min(runmin, cum)
+            s = cum - min(runmin, 0)
+            out.append((key[0], int(event_id), int(ts_us), s))
+    state.update((base, cum, runmin))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts_us", "cusum"]
+        )
+
+
+@register(
+    "stream_cusum_drift",
+    tags=("streaming", "state", "anomaly", "applyInPandasWithState"),
+    oracle=_CUSUM_SQL,
+)
+def stream_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM monitor as a REAL custom stateful streaming operator:
+    three time-ordered micro-batches through
+    ``applyInPandasWithState``, per-key (base, cum, runmin) state
+    across triggers. The oracle is the batch closed-form recompute —
+    stream == batch exactly, the same contract the income kernel
+    carries.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    row = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us, hi_us = row[0].timestamp() * 1e6, row[1].timestamp() * 1e6
+    span = (hi_us - lo_us) / 3
+
+    workdir = tempfile.mkdtemp(prefix="cusum_src_")
+    qname = "cusum_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        cut1, cut2 = int(lo_us + span), int(lo_us + 2 * span)
+        ranges = [(-(1 << 62), cut1), (cut1, cut2), (cut2, (1 << 62))]
+        for i, (lo_cut, hi_cut) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.unix_micros("ts") >= F.lit(lo_cut))
+                & (F.unix_micros("ts") < F.lit(hi_cut))
+            ).select(
+                "user_id",
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "cents",
+            )
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts_us long, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _cusum_state_fn,
+                outputStructType=_CUSUM_OUTPUT_SCHEMA,
+                stateStructType=_CUSUM_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname).select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "cusum",
+            (F.col("cusum") > _CUSUM_H).alias("drift"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
