@@ -224,3 +224,118 @@ def stream_cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bucketed grid, exact verification)
+# ---------------------------------------------------------------------------
+_IVL_USERS = 12
+_IVL_GAP_US = 3_600_000_000  # 1 h session gap
+_IVL_BUCKET_US = 6 * 3_600_000_000  # 6 h grid cell
+
+
+@register(
+    "j19_interval_overlap_pairs",
+    tags=("join", "interval", "timeseries"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE user_id < {_IVL_USERS}
+),
+f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_IVL_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM f
+),
+ivl AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(min(ts_us) AS BIGINT) AS start_us,
+         CAST(max(ts_us) AS BIGINT) AS end_us
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+       b.user_id AS user_b, b.session_seq AS seq_b,
+       CAST(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+            AS BIGINT) AS overlap_us
+FROM ivl a JOIN ivl b
+  ON a.user_id < b.user_id
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+""",
+)
+def j19_interval_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join (the genomics/session-collision
+    shape the engine's as-of and range joins don't cover): user
+    sessions become [start, end] intervals, intervals land in every
+    6-hour grid cell they touch (explode of a `sequence`), candidates
+    come from the grid-cell equi-join, and the exact overlap predicate
+    verifies candidates only. Distinct-ed because an overlapping pair
+    can share several cells. At 100 TB the cell width trades explode
+    fan-out against candidate density, and hot cells get the same
+    `drop_oversize_buckets` cap as every LSH family.
+
+    The oracle is the quadratic overlap self-join — the bucketed plan
+    must return exactly its rows.
+    """
+    from stakehouse_etl_spark.operators.timeseries import sessionize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _IVL_USERS)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    ivl = sessionize(ev, key="user_id", ts_us="ts_us", gap_us=_IVL_GAP_US).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+    )
+    cells = ivl.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / _IVL_BUCKET_US),
+                F.floor(F.col("end_us") / _IVL_BUCKET_US),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("seq_a"),
+        F.col("start_us").alias("start_a"),
+        F.col("end_us").alias("end_a"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("seq_b"),
+        F.col("start_us").alias("start_b"),
+        F.col("end_us").alias("end_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(
+            (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select(
+            "user_a",
+            "seq_a",
+            "user_b",
+            "seq_b",
+            (
+                F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs
