@@ -145,6 +145,19 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """,
+    # FILTER-clause conditional aggregation (pivot-free pivoting)
+    "sql_portable_filter_agg": """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+         AS open_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
     # null-safe anti membership: NOT EXISTS instead of NOT IN (which
     # both engines NULL-poison identically, but NOT EXISTS states the
     # intent without the trap)
