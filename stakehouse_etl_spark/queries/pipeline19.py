@@ -339,3 +339,43 @@ def j19_interval_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# S1 as a custom Python DataSource (executor-side partitioned fetch)
+# ---------------------------------------------------------------------------
+@register(
+    "s1_datasource_scan",
+    tags=("S1", "source", "datasource-v2"),
+    oracle="""
+WITH keys AS (SELECT unnest(range(1, 51)) AS idx),
+epochs AS (SELECT unnest(range(100, 105)) AS epoch)
+SELECT '0x' || lpad(CAST(idx AS VARCHAR), 8, '0') AS bls_key,
+       CAST(epoch AS BIGINT) AS epoch,
+       CAST(32000000000 + idx * 13 + epoch * 7 AS BIGINT) AS balance
+FROM keys CROSS JOIN epochs
+""",
+)
+def s1_datasource_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through the Spark 4 Python DataSource V2 API
+    (``io/datasource.py``): one ``InputPartition`` per epoch, the
+    fetch+parse running on EXECUTORS — the scale path for history
+    backfills that the driver-side connector (fine for the bounded
+    incremental head) deliberately doesn't take. The plan is a real
+    ``BatchScan`` over the registered ``beacon_balances`` format; a
+    deployment swaps the partition fetch for the archive-node GET and
+    keeps the same planner integration.
+    """
+    from stakehouse_etl_spark.io.datasource import BeaconBalancesDataSource
+
+    try:
+        spark.dataSource.register(BeaconBalancesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("beacon_balances")
+        .option("lo", 100)
+        .option("hi", 104)
+        .option("n_keys", 50)
+        .load()
+    )

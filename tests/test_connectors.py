@@ -162,3 +162,33 @@ def test_reconcile_keyed_all_statuses(spark):
     # tolerance turns the near-miss into a match
     rep2 = reconcile_keyed(wh, src, ["k"], "wv", "sv", tol=5)
     assert {r.k: r.status for r in rep2.collect()}["b"] == "match"
+
+
+def test_datasource_v2_partitions_per_epoch(spark):
+    from stakehouse_etl_spark.io.datasource import (
+        BeaconBalancesDataSource,
+        BeaconBalancesReader,
+    )
+
+    try:
+        spark.dataSource.register(BeaconBalancesDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("beacon_balances")
+        .option("lo", 10)
+        .option("hi", 14)
+        .option("n_keys", 3)
+        .load()
+    )
+    # one InputPartition per epoch -> executor-side parallel fetch
+    reader = BeaconBalancesReader({"lo": "10", "hi": "14", "n_keys": "3"})
+    assert len(reader.partitions()) == 5
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r.epoch for r in rows} == set(range(10, 15))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchScan" in plan, plan
