@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 BALANCE_DDL = "bls_key string, epoch bigint, balance bigint"
 
@@ -67,3 +72,62 @@ class BeaconBalancesDataSource(DataSource):
 
     def reader(self, schema) -> BeaconBalancesReader:
         return BeaconBalancesReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the T1 incremental head as a custom stream source
+# ---------------------------------------------------------------------------
+class BeaconBalancesStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked incremental epoch puller: the offset dict
+    ``{"epoch": N}`` is the streaming-source rendering of the
+    reference's runner-table resume cursor (T1/T3 — `last_epoch` in
+    ``src/extract_handler.py``). Each trigger pulls up to ``step``
+    epochs toward the chain head (``hi``); Spark checkpoints the
+    offset, so a restarted query resumes exactly where it stopped,
+    and ``readBetweenOffsets`` replays any committed range
+    deterministically (the T5 idempotence contract at the source)."""
+
+    def __init__(self, options: dict):
+        self.lo = int(options.get("lo", 100))
+        self.hi = int(options.get("hi", 104))
+        self.step = int(options.get("step", 2))
+        self.n_keys = int(options.get("n_keys", 50))
+
+    def initialOffset(self) -> dict:
+        return {"epoch": self.lo}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # Materialized list, not a generator: Spark's simple-stream
+        # wrapper caches and copy.copy()s the iterator for replay
+        # (datasource_internal.getCache) — generator objects are not
+        # copyable, list iterators are. The batch is step-bounded, so
+        # the materialization is small by construction.
+        return [
+            row
+            for e in range(lo, hi + 1)
+            for row in _fetch_epoch(e, self.n_keys)
+        ]
+
+    def read(self, start: dict):
+        cur = int(start["epoch"])
+        if cur > self.hi:
+            return iter([]), start
+        end = min(cur + self.step - 1, self.hi)
+        return iter(self._rows(cur, end)), {"epoch": end + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["epoch"]), int(end["epoch"]) - 1))
+
+
+class BeaconBalancesStreamSource(DataSource):
+    """``spark.readStream.format("beacon_balances_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "beacon_balances_stream"
+
+    def schema(self) -> str:
+        return BALANCE_DDL
+
+    def simpleStreamReader(self, schema) -> BeaconBalancesStreamReader:
+        return BeaconBalancesStreamReader(self.options)

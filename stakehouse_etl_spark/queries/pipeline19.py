@@ -574,3 +574,59 @@ def stream_income_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S1 incremental head as a custom STREAMING source (offset-tracked)
+# ---------------------------------------------------------------------------
+@register(
+    "s1_datasource_stream",
+    tags=("S1", "T1", "streaming", "datasource-v2"),
+    oracle="""
+WITH keys AS (SELECT unnest(range(1, 51)) AS idx),
+epochs AS (SELECT unnest(range(100, 105)) AS epoch)
+SELECT '0x' || lpad(CAST(idx AS VARCHAR), 8, '0') AS bls_key,
+       CAST(epoch AS BIGINT) AS epoch,
+       CAST(32000000000 + idx * 13 + epoch * 7 AS BIGINT) AS balance
+FROM keys CROSS JOIN epochs
+""",
+)
+def s1_datasource_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The T1 incremental extraction head as a REAL custom streaming
+    source (Python DataSource V2 ``simpleStreamReader``): the
+    checkpointed offset dict ``{"epoch": N}`` IS the reference's
+    runner-table resume cursor; each trigger pulls up to ``step``
+    epochs toward the head, and a restarted query resumes from the
+    committed offset. The bounded drive here pulls epochs 100-104 in
+    2-epoch micro-batches and must equal the one-shot batch of the
+    same range (the incremental == batch contract, enforced at the
+    SOURCE for the first time rather than at the sink).
+    """
+    from stakehouse_etl_spark.io.datasource import BeaconBalancesStreamSource
+
+    try:
+        spark.dataSource.register(BeaconBalancesStreamSource)
+    except Exception:
+        pass
+    workdir = tempfile.mkdtemp(prefix="s1_stream_")
+    qname = "s1ds_" + uuid.uuid4().hex[:8]
+    try:
+        q = (
+            spark.readStream.format("beacon_balances_stream")
+            .option("lo", 100)
+            .option("hi", 104)
+            .option("step", 2)
+            .option("n_keys", 50)
+            .load()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
