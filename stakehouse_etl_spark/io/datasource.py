@@ -23,8 +23,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 BALANCE_DDL = "bls_key string, epoch bigint, balance bigint"
@@ -131,3 +133,87 @@ class BeaconBalancesStreamSource(DataSource):
 
     def simpleStreamReader(self, schema) -> BeaconBalancesStreamReader:
         return BeaconBalancesStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Custom writer: json-lines sink with a two-phase commit protocol
+# ---------------------------------------------------------------------------
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Task/job two-phase commit, the V2 writer contract: each task
+    writes ``part-<uuid>.jsonl.tmp`` and reports the name in its
+    commit message; ONLY the job-level ``commit`` renames the parts
+    final and writes the ``_MANIFEST`` listing them. Readers trust the
+    manifest alone, so a torn job (crashed driver, aborted stage,
+    speculative duplicate task) leaves stray ``.tmp`` files that no
+    reader ever sees — the same readers-see-committed-state invariant
+    as the snapshot sink, here at the task level."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        tmp = _os.path.join(self.path, name + ".tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(name)
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        names = sorted(m.filename for m in messages if m is not None)
+        for name in names:
+            _os.rename(
+                _os.path.join(self.path, name + ".tmp"),
+                _os.path.join(self.path, name),
+            )
+        manifest = _os.path.join(self.path, "_MANIFEST")
+        with open(manifest + ".tmp", "w") as f:
+            f.write("\n".join(names))
+        _os.rename(manifest + ".tmp", manifest)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename + ".tmp"))
+                except FileNotFoundError:
+                    pass
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("warehouse_jsonl").option("path", p).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warehouse_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options)
+
+
+def read_jsonl_committed(spark, path: str, schema: str):
+    """Manifest-trusting read side of the jsonl sink: only files the
+    committed ``_MANIFEST`` lists are visible."""
+    import os as _os
+
+    manifest = _os.path.join(path, "_MANIFEST")
+    if not _os.path.exists(manifest):
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    with open(manifest) as f:
+        names = [ln for ln in f.read().splitlines() if ln]
+    files = [_os.path.join(path, n) for n in names]
+    return spark.read.schema(schema).json(files)

@@ -630,3 +630,62 @@ def s1_datasource_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# K6: custom V2 writer round-trip (task/job two-phase commit)
+# ---------------------------------------------------------------------------
+@register(
+    "k6_datasource_writer_roundtrip",
+    tags=("K1", "sink", "datasource-v2"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+""",
+)
+def k6_datasource_writer_roundtrip_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The V2 WRITER contract end-to-end: per-user totals written
+    through the custom ``warehouse_jsonl`` sink — every task stages a
+    ``.tmp`` part and reports it in its commit message; only the
+    job-level commit renames parts final and publishes the
+    ``_MANIFEST`` — then read back through the manifest-trusting
+    reader and re-aggregated. Round-trip equality with the direct
+    recompute is the oracle; torn-job invisibility is unit-tested in
+    tests/test_datasource_writer.py.
+    """
+    from stakehouse_etl_spark.io.datasource import (
+        JsonLinesDataSource,
+        read_jsonl_committed,
+    )
+
+    try:
+        spark.dataSource.register(JsonLinesDataSource)
+    except Exception:
+        pass
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="jsonl_sink_")
+    try:
+        path = os.path.join(workdir, "user_totals")
+        agg.write.format("warehouse_jsonl").option("path", path).mode(
+            "append"
+        ).save()
+        back = read_jsonl_committed(
+            spark, path, "user_id long, n_events long, total_cents long"
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
