@@ -23,6 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -204,6 +205,9 @@ class JsonLinesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
         return JsonLinesWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonLinesStreamWriter(self.options)
+
 
 def read_jsonl_committed(spark, path: str, schema: str):
     """Manifest-trusting read side of the jsonl sink: only files the
@@ -217,3 +221,72 @@ def read_jsonl_committed(spark, path: str, schema: str):
         names = [ln for ln in f.read().splitlines() if ln]
     files = [_os.path.join(path, n) for n in names]
     return spark.read.schema(schema).json(files)
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer: per-microbatch manifests (exactly-once visibility)
+# ---------------------------------------------------------------------------
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the two-phase commit: each micro-batch's
+    parts publish under ``_MANIFEST.<batchId>`` in the job-level
+    commit. A batch replayed after a crash overwrites ITS OWN
+    manifest (same batchId → same visibility slot), so readers see
+    each batch at most once — end-to-end exactly-once visibility on a
+    plain filesystem, the property the reference leans on SQS+upsert
+    for (T5)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        tmp = _os.path.join(self.path, name + ".tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(name)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os as _os
+
+        names = sorted(m.filename for m in messages if m is not None)
+        for name in names:
+            _os.rename(
+                _os.path.join(self.path, name + ".tmp"),
+                _os.path.join(self.path, name),
+            )
+        manifest = _os.path.join(self.path, f"_MANIFEST.{batchId}")
+        with open(manifest + ".tmp", "w") as f:
+            f.write("\n".join(names))
+        _os.rename(manifest + ".tmp", manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename + ".tmp"))
+                except FileNotFoundError:
+                    pass
+
+
+def read_jsonl_stream_committed(spark, path: str, schema: str):
+    """Union of every committed micro-batch manifest."""
+    import os as _os
+
+    names: list[str] = []
+    for entry in sorted(_os.listdir(path)):
+        if entry.startswith("_MANIFEST.") and not entry.endswith(".tmp"):
+            with open(_os.path.join(path, entry)) as f:
+                names.extend(ln for ln in f.read().splitlines() if ln)
+    if not names:
+        raise FileNotFoundError(f"no committed batch manifests under {path}")
+    return spark.read.schema(schema).json(
+        [_os.path.join(path, n) for n in names]
+    )

@@ -689,3 +689,63 @@ def k6_datasource_writer_roundtrip_q(
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source -> streaming V2 sink, end to end
+# ---------------------------------------------------------------------------
+@register(
+    "stream_datasource_e2e",
+    tags=("streaming", "sink", "source", "datasource-v2", "T5"),
+    oracle="""
+WITH keys AS (SELECT unnest(range(1, 51)) AS idx),
+epochs AS (SELECT unnest(range(100, 105)) AS epoch)
+SELECT '0x' || lpad(CAST(idx AS VARCHAR), 8, '0') AS bls_key,
+       CAST(epoch AS BIGINT) AS epoch,
+       CAST(32000000000 + idx * 13 + epoch * 7 AS BIGINT) AS balance
+FROM keys CROSS JOIN epochs
+""",
+)
+def stream_datasource_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full custom-V2 streaming path: the offset-tracked beacon
+    STREAM SOURCE feeding the per-microbatch-manifest STREAM WRITER —
+    both ends of the pipeline are our own DataSource code, with the
+    reference's whole SQS+upsert delivery story replaced by offset
+    checkpoints (source) and batch-id manifests (sink). Read-back of
+    the committed manifests must equal the one-shot batch of the same
+    epoch range.
+    """
+    from stakehouse_etl_spark.io.datasource import (
+        BeaconBalancesStreamSource,
+        JsonLinesDataSource,
+        read_jsonl_stream_committed,
+    )
+
+    for ds in (BeaconBalancesStreamSource, JsonLinesDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    workdir = tempfile.mkdtemp(prefix="ds_e2e_")
+    try:
+        path = os.path.join(workdir, "balances")
+        q = (
+            spark.readStream.format("beacon_balances_stream")
+            .option("lo", 100)
+            .option("hi", 104)
+            .option("step", 2)
+            .option("n_keys", 50)
+            .load()
+            .writeStream.format("warehouse_jsonl")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        back = read_jsonl_stream_committed(
+            spark, path, "bls_key string, epoch long, balance long"
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
