@@ -52,14 +52,37 @@ class BeaconBalancesReader(DataSourceReader):
         self.lo = int(options.get("lo", 100))
         self.hi = int(options.get("hi", 102))
         self.n_keys = int(options.get("n_keys", 50))
+        self.arrow = options.get("arrow", "false").lower() == "true"
 
     def partitions(self):
         return [
             EpochPartition(e, self.n_keys) for e in range(self.lo, self.hi + 1)
         ]
 
-    def read(self, partition: EpochPartition) -> Iterator[tuple]:
-        return _fetch_epoch(partition.epoch, partition.n_keys)
+    def read(self, partition: EpochPartition) -> Iterator:
+        if not self.arrow:
+            return _fetch_epoch(partition.epoch, partition.n_keys)
+        return self._read_arrow(partition)
+
+    def _read_arrow(self, partition: EpochPartition) -> Iterator:
+        """Arrow-vectorized path (``option("arrow", "true")``): the
+        partition's rows transfer as ONE ``pyarrow.RecordBatch`` built
+        from numpy columns instead of per-row Python tuples — the
+        columnar fast lane a real deployment builds straight from the
+        parsed JSON arrays. Values are identical to the row path
+        (tests/test_connectors.py asserts equality)."""
+        import numpy as np
+        import pyarrow as pa
+
+        idx = np.arange(1, partition.n_keys + 1, dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(["0x" + str(i).zfill(8) for i in idx]),
+                pa.array(np.full(partition.n_keys, partition.epoch, np.int64)),
+                pa.array(32_000_000_000 + idx * 13 + partition.epoch * 7),
+            ],
+            names=["bls_key", "epoch", "balance"],
+        )
 
 
 class BeaconBalancesDataSource(DataSource):

@@ -192,3 +192,26 @@ def test_datasource_v2_partitions_per_epoch(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BatchScan" in plan, plan
+
+
+def test_datasource_arrow_path_equals_row_path(spark):
+    from stakehouse_etl_spark.io.datasource import BeaconBalancesDataSource
+
+    try:
+        spark.dataSource.register(BeaconBalancesDataSource)
+    except Exception:
+        pass
+
+    def load(arrow: str):
+        return (
+            spark.read.format("beacon_balances")
+            .option("lo", 7)
+            .option("hi", 9)
+            .option("n_keys", 11)
+            .option("arrow", arrow)
+            .load()
+        )
+
+    rows = {tuple(r) for r in load("false").collect()}
+    arws = {tuple(r) for r in load("true").collect()}
+    assert rows == arws and len(rows) == 33
