@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "pipeline17",  # passage dedup / canonical docs / logit inference / mm hamming
     "pipeline18",  # portable-SQL surface: one SQL text, two engines
     "pipeline19",  # CUSUM change-point detection, batch + streaming twins
+    "pipeline20",  # semdedup / BM25 / pivot / sketch-merge / neg-sampling / EWMA
 ]
 
 for _m in _QUERY_MODULES:
@@ -67,7 +68,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 230
+EXPECTED_MIN_QUERIES = 237
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
