@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "pipeline19",  # CUSUM change-point detection, batch + streaming twins
     "pipeline20",  # semdedup / BM25 / pivot / sketch-merge / neg-sampling / EWMA
     "pipeline21",  # feature eng / eval plumbing / table reconciliation
+    "pipeline22",  # behavioral analytics / bounded-state streaming dedup
 ]
 
 for _m in _QUERY_MODULES:
@@ -69,7 +70,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 246
+EXPECTED_MIN_QUERIES = 252
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
