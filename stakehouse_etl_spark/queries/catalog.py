@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "pipeline20",  # semdedup / BM25 / pivot / sketch-merge / neg-sampling / EWMA
     "pipeline21",  # feature eng / eval plumbing / table reconciliation
     "pipeline22",  # behavioral analytics / bounded-state streaming dedup
+    "pipeline23",  # expression-surface breadth: arrays, regex, mode, RLE, DLQ
 ]
 
 for _m in _QUERY_MODULES:
@@ -70,7 +71,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 252
+EXPECTED_MIN_QUERIES = 257
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
