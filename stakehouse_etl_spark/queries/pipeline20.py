@@ -135,6 +135,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 @register(
     "text_bm25_topk",
     tags=("text", "retrieval", "bm25"),
+    bench=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
