@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "pipeline22",  # behavioral analytics / bounded-state streaming dedup
     "pipeline23",  # expression-surface breadth: arrays, regex, mode, RLE, DLQ
     "pipeline24",  # robust statistics / interval algebra
+    "pipeline25",  # mergeable-state contracts / budgeted selection
 ]
 
 for _m in _QUERY_MODULES:
@@ -72,7 +73,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 261
+EXPECTED_MIN_QUERIES = 265
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
