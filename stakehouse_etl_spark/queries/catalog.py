@@ -122,8 +122,9 @@ DRIVER_PRIORITY = [
     # similarity / ANN
     "sim_cosine_topk", "sim_ann_lsh_pairs", "sim_ivf_topk",
     "dedup_embedding_cosine",
-    # multimodal plumbing
-    "mm_byte_features",
+    # multimodal — real BMP codec end-to-end (byte-features plumbing
+    # remains oracle-checked in the full local gate)
+    "mm_bmp_decode",
     # CDC sink (T5 streaming shape)
     "stream_cdc_apply",
 ]
