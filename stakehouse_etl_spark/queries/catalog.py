@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "pipeline26",  # intra-doc dedup / Wilson CI / snapshot diff / stream top-k
     "pipeline27",  # dynamic partition pruning / RocksDB state store
     "pipeline28",  # REAL media codecs: BMP + RIFF/WAV, closed-form oracles
+    "pipeline29",  # NN resize / multi-frame container sampling / k-anonymity
 ]
 
 for _m in _QUERY_MODULES:
@@ -76,7 +77,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 273
+EXPECTED_MIN_QUERIES = 276
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
