@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "pipeline28",  # REAL media codecs: BMP + RIFF/WAV, closed-form oracles
     "pipeline29",  # NN resize / multi-frame container sampling / k-anonymity
     "pipeline30",  # golden record / sweep line / autocorrelation / chi2 indep
+    "pipeline31",  # path trigrams / trimmed mean / join-card estimator / portable SQL
 ]
 
 for _m in _QUERY_MODULES:
@@ -78,7 +79,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 280
+EXPECTED_MIN_QUERIES = 286
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
