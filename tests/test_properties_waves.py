@@ -1,0 +1,212 @@
+"""Property tests for the round-2-continuation operators against
+naive Python reimplementations (same one-dataset-per-example strategy
+as tests/test_properties.py)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# --- strategies -----------------------------------------------------------
+
+interval_panels = st.dictionaries(
+    st.integers(min_value=0, max_value=3),  # user
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # lo
+            st.integers(min_value=1, max_value=50),  # length
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+value_series = st.dictionaries(
+    st.integers(min_value=0, max_value=3),
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=20),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _coalesce_naive(intervals):
+    """Union of [lo, hi] closed intervals → disjoint spans."""
+    spans = []
+    for lo, hi in sorted(intervals):
+        if spans and lo <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], hi)
+        else:
+            spans.append([lo, hi])
+    return [tuple(s) for s in spans]
+
+
+@settings(max_examples=10, deadline=None)
+@given(interval_panels)
+def test_interval_coalesce_matches_naive(spark, panel):
+    from pyspark.sql import Window
+
+    rows = [
+        (u, lo, lo + ln)
+        for u, ivs in panel.items()
+        for lo, ln in ivs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lo long, hi long")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = df.withColumn("pmh", F.max("hi").over(w_prev)).withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("pmh").isNull() | (F.col("lo") > F.col("pmh")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    got = {
+        (r["user_id"], r["lo"], r["hi"])
+        for r in grp.groupBy("user_id", "gid")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .collect()
+    }
+    want = {
+        (u, lo, hi)
+        for u, ivs in panel.items()
+        for lo, hi in _coalesce_naive([(lo, lo + ln) for lo, ln in ivs])
+    }
+    assert got == want
+
+
+def _max_concurrency_naive(intervals):
+    """Peak number of simultaneously-live closed intervals."""
+    best = 0
+    points = sorted({p for lo, hi in intervals for p in (lo, hi)})
+    for p in points:
+        live = sum(1 for lo, hi in intervals if lo <= p <= hi)
+        best = max(best, live)
+    return best
+
+
+@settings(max_examples=10, deadline=None)
+@given(interval_panels)
+def test_sweep_line_matches_naive(spark, panel):
+    from pyspark.sql import Window
+
+    rows = []
+    for u, ivs in panel.items():
+        for i, (lo, ln) in enumerate(ivs):
+            rows.append((u, i, lo, lo + ln))
+    df = spark.createDataFrame(rows, "user_id long, iid long, lo long, hi long")
+    starts = df.select(
+        "user_id", F.col("lo").alias("t"), F.lit(1).alias("d"),
+        F.lit(0).alias("tie"), "iid",
+    )
+    ends = df.select(
+        "user_id", F.col("hi").alias("t"), F.lit(-1).alias("d"),
+        F.lit(1).alias("tie"), "iid",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tie", "iid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r["user_id"], r["mx"])
+        for r in starts.unionByName(ends)
+        .withColumn("live", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(F.max("live").alias("mx"))
+        .collect()
+    }
+    want = {
+        (u, _max_concurrency_naive([(lo, lo + ln) for lo, ln in ivs]))
+        for u, ivs in panel.items()
+    }
+    assert got == want
+
+
+def _ewma_naive(series, taps=8):
+    out = []
+    for t in range(len(series)):
+        num = den = 0
+        for k in range(min(taps, t + 1)):
+            wgt = 1 << (taps - 1 - k)
+            num += series[t - k] * wgt
+            den += wgt
+        out.append((num, den))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(value_series)
+def test_dyadic_ewma_matches_naive(spark, panel):
+    from pyspark.sql import Window
+
+    rows = [
+        (u, i, v)
+        for u, vals in panel.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, cents long")
+    win = Window.partitionBy("user_id").orderBy("seq")
+    lags = [F.lag("cents", k).over(win) for k in range(1, 8)]
+    num = F.col("cents") * F.lit(128)
+    den = F.lit(128)
+    for k, lg in enumerate(lags, start=1):
+        wgt = 1 << (7 - k)
+        num = num + F.coalesce(lg, F.lit(0)) * F.lit(wgt)
+        den = den + F.when(lg.isNull(), F.lit(0)).otherwise(F.lit(wgt))
+    got = {
+        (r["user_id"], r["seq"], r["num"], r["den"])
+        for r in df.select(
+            "user_id", "seq", num.alias("num"), den.alias("den")
+        ).collect()
+    }
+    want = {
+        (u, i, num_den[0], num_den[1])
+        for u, vals in panel.items()
+        for i, num_den in enumerate(_ewma_naive(vals))
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_intradoc_dedup_idempotent(spark, texts):
+    """Applying intra-doc chunk dedup to already-deduped text changes
+    nothing: the cleaned fingerprint is a fixed point."""
+    from stakehouse_etl_spark.queries.pipeline26 import CHUNK_TOKS
+
+    def clean(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        chunks = [
+            " ".join(toks[i : i + CHUNK_TOKS])
+            for i in range(0, len(toks), CHUNK_TOKS)
+        ]
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        return " ".join(kept)
+
+    for t in texts:
+        once = clean(t)
+        assert clean(once) == once
