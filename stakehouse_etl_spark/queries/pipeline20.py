@@ -140,37 +140,44 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
 ), t2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
-avgd AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM t2 WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         CAST(count(*) FILTER (WHERE term = 'table') AS BIGINT) AS tf_table,
+         CAST(count(*) FILTER (WHERE term = 'query') AS BIGINT) AS tf_query,
+         CAST(count(*) FILTER (WHERE term = 'join') AS BIGINT) AS tf_join
+  FROM t2 GROUP BY 1
 ),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(count(*) FILTER (WHERE tf_table > 0) AS BIGINT) AS df_table,
+         CAST(count(*) FILTER (WHERE tf_query > 0) AS BIGINT) AS df_query,
+         CAST(count(*) FILTER (WHERE tf_join > 0) AS BIGINT) AS df_join
+  FROM pd
+),
 nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-sc AS (
-  -- literals pinned ::DOUBLE — DuckDB parses bare 2.2 as DECIMAL and
-  -- the decimal-domain intermediate rounds differently from IEEE754
-  SELECT tf.doc_id, tf.term,
-         ((tf.tf * 2.2::DOUBLE)
-          / (tf.tf + 1.2::DOUBLE
-             * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / avgd.avgdl))))
-         * ((nd.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS s
-  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
-  CROSS JOIN avgd CROSS JOIN nd
-),
-piv AS (
-  SELECT doc_id,
-         max(CASE WHEN term = 'table' THEN s END) AS s_table,
-         max(CASE WHEN term = 'query' THEN s END) AS s_query,
-         max(CASE WHEN term = 'join'  THEN s END) AS s_join
-  FROM sc GROUP BY 1
-),
 tot AS (
+  -- literals pinned ::DOUBLE - DuckDB parses bare 2.2 as DECIMAL and
+  -- the decimal-domain intermediate rounds differently from IEEE754
   SELECT doc_id,
-         coalesce(s_table, 0) + coalesce(s_query, 0) + coalesce(s_join, 0)
-           AS score
-  FROM piv
+    CASE WHEN tf_table > 0 THEN
+        ((tf_table * 2.2::DOUBLE)
+         / (tf_table + 1.2::DOUBLE
+            * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl))))
+        * ((n_docs - df_table + 0.5::DOUBLE) / (df_table + 0.5::DOUBLE))
+      ELSE 0.0::DOUBLE END
+    + CASE WHEN tf_query > 0 THEN
+        ((tf_query * 2.2::DOUBLE)
+         / (tf_query + 1.2::DOUBLE
+            * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl))))
+        * ((n_docs - df_query + 0.5::DOUBLE) / (df_query + 0.5::DOUBLE))
+      ELSE 0.0::DOUBLE END
+    + CASE WHEN tf_join > 0 THEN
+        ((tf_join * 2.2::DOUBLE)
+         / (tf_join + 1.2::DOUBLE
+            * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl))))
+        * ((n_docs - df_join + 0.5::DOUBLE) / (df_join + 0.5::DOUBLE))
+      ELSE 0.0::DOUBLE END AS score
+  FROM pd CROSS JOIN stats CROSS JOIN nd
 )
 SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
@@ -184,60 +191,64 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone) and both engines agree bit-for-bit: tf saturation
     (k1=1.2, b=0.75) and the idf ratio are each ONE fixed
     parenthesization of exact-integer inputs, and the per-term partial
-    scores are summed in FIXED column order (per-term pivot →
-    coalesce-add), never through a float SUM whose partial-aggregation
-    order could differ. Plan: the tf explode prunes to the query terms
-    before grouping (predicate on the exploded term — the inverted-
-    index access path), doc-length and avgdl are broadcast scalars,
-    and the top-10 is a TakeOrderedAndProject, not a global sort. At
-    100 TB the term filter is the whole game: only postings for the
-    query terms ever shuffle."""
+    scores are summed in FIXED column order (CASE-guarded term
+    expressions added left-to-right), never through a float SUM whose
+    partial-aggregation order could differ. Plan: ONE per-doc shuffle
+    — doc length and every query term's tf are conditional counts in
+    the same aggregate — plus two broadcast scalar rows (avgdl+df,
+    n_docs); the top-10 is a TakeOrderedAndProject, not a global
+    sort. Re-planned this round from a 12-shuffle tf/dl/df join chain
+    down to 2 exchanges (PLANS.md)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         fan_out(docs)
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgd = dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    # ONE per-doc shuffle: doc length and every query term's tf as
+    # conditional counts in the same aggregate (the 12-shuffle
+    # tf/dl/df join chain this replaces is recorded in PLANS.md).
+    pd = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("term") == t).alias(f"tf_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = pd.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
     )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    s = (
-        (F.col("tf") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2)
-            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        df = F.col(f"df_{t}")
+        s = (
+            (tf * F.lit(2.2))
+            / (
+                tf
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+        ) * (
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
         )
-    ) * (
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    sc = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(avgd))
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    score = term_score(BM25_QUERY_TERMS[0])
+    for t in BM25_QUERY_TERMS[1:]:
+        score = score + term_score(t)
+    tot = (
+        pd.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(nd))
-        .select("doc_id", "term", s.alias("s"))
-    )
-    piv = sc.groupBy("doc_id").agg(
-        F.max(F.when(F.col("term") == "table", F.col("s"))).alias("s_table"),
-        F.max(F.when(F.col("term") == "query", F.col("s"))).alias("s_query"),
-        F.max(F.when(F.col("term") == "join", F.col("s"))).alias("s_join"),
-    )
-    tot = piv.select(
-        "doc_id",
-        (
-            F.coalesce(F.col("s_table"), F.lit(0.0))
-            + F.coalesce(F.col("s_query"), F.lit(0.0))
-            + F.coalesce(F.col("s_join"), F.lit(0.0))
-        ).alias("score"),
+        .select("doc_id", score.alias("score"))
     )
     top = tot.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
