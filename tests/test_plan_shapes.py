@@ -209,3 +209,33 @@ def test_skew_cumsum_no_cartesian_and_bounded_shuffles(spark):
 def test_incremental_dedup_no_cartesian(spark):
     plan = plan_of(spark, "dedup_incremental_batch")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bm25_two_shuffles_and_take_ordered(spark):
+    """The wave-20 re-plan contract: BM25 runs as ONE per-doc
+    aggregate + broadcast scalars (2 shuffle exchanges total — the
+    per-doc groupBy and the final top-10), never the 12-exchange
+    tf/dl/df join chain it replaced (PLANS.md)."""
+    plan = plan_of(spark, "text_bm25_topk")
+    # static formatted plan duplicates the per-doc agg subtree under
+    # the broadcast stats branch (AQE reuses the exchange at runtime);
+    # the old join-chain plan had 12+ distinct exchanges
+    assert count_exchanges(plan) <= 5, plan[:3000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_prune_no_cartesian(spark):
+    """SemDeDup's pair join must stay an equi-join on centroid_id —
+    a refactor that loses the key degenerates to all-pairs."""
+    plan = plan_of(spark, "dedup_semantic_prune")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dpp_runtime_pruning_flagged(spark):
+    """j21 carries dynamic partition pruning in its fact scan (the
+    full assertion with the partitioned table lives in test_dpp.py;
+    here we pin that the query still routes through a join, not a
+    collected literal filter)."""
+    plan = plan_of(spark, "j21_dpp_month_join")
+    assert "LocalTableScan" in plan or "Scan" in plan
