@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "pipeline30",  # golden record / sweep line / autocorrelation / chi2 indep
     "pipeline31",  # path trigrams / trimmed mean / join-card estimator / portable SQL
     "pipeline32",  # param binding / masked view / surrogate keys / late dim
+    "pipeline33",  # 2-hop reachability / data-driven top-k
 ]
 
 for _m in _QUERY_MODULES:
@@ -80,7 +81,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 290
+EXPECTED_MIN_QUERIES = 292
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
