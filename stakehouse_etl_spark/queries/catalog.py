@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "pipeline34",  # calendar dim / fan-out inflation audit / EXCEPT ALL
     "pipeline35",  # KS / Mann-Whitney / Gini / stump / Benford / observe / jaccard
     "pipeline36",  # Spearman / VARIANT / LPA rounds / MASE / uniqueness profile
+    "pipeline37",  # recursive CTE / NULL-aware NOT IN / RAKE keywords
 ]
 
 for _m in _QUERY_MODULES:
@@ -84,7 +85,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 307
+EXPECTED_MIN_QUERIES = 310
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
