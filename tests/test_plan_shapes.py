@@ -240,3 +240,69 @@ def test_dpp_runtime_pruning_flagged(spark):
     collected literal filter)."""
     plan = plan_of(spark, "j21_dpp_month_join")
     assert "LocalTableScan" in plan or "Scan" in plan
+
+
+def test_ks_two_sample_no_rowscale_global_window(spark):
+    """Wave-35 contract: the KS ECDF runs through the two-phase
+    prefix (chunked windows + broadcast offsets), so the only global
+    windows in the plan operate on the chunk-total table — never on
+    the row-scale fact side. Proxy assertion: no Cartesian/BNLJ
+    beyond the intended 1-row total broadcast, and a bounded
+    exchange count for the whole statistic."""
+    plan = plan_of(spark, "ml_ks_two_sample")
+    assert "Cartesian" not in plan
+    # distinct-value collapse + 2 prefix passes (each: chunk window +
+    # chunk-totals + offsets join) + totals broadcast + final agg;
+    # the static plan double-counts broadcast subtrees (same caveat
+    # as the BM25 pin), hence the generous bound.
+    assert count_exchanges(plan) <= 14, plan
+
+
+def test_decision_stump_take_nothing_global(spark):
+    plan = plan_of(spark, "ml_decision_stump")
+    # argmin is a TakeOrderedAndProject over the candidate table, not
+    # a global Sort.
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan
+
+
+def test_benford_partial_agg_before_shuffle(spark):
+    plan = plan_of(spark, "dq_benford_digits")
+    # 9-digit groupBy must partial-aggregate map-side: the plan shows
+    # two HashAggregates around a single exchange for the digit rollup.
+    assert plan.count("HashAggregate") >= 2
+    assert "Cartesian" not in plan
+
+
+def test_lpa_argmax_partitions_on_node_label(spark):
+    plan = plan_of(spark, "graph_lpa_round")
+    # per-node argmax must be a row_number window, not a self-join max
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_theilsen_rank_is_decomposed(spark):
+    """The 3M-pair median selection must NOT funnel through one
+    'Window [row_number... ORDER BY ...]' over the raw pair table:
+    skew_resistant_rank's windows are partitioned by value/chunk
+    keys. The only unpartitioned window allowed is the one over the
+    distinct-value offset table."""
+    plan = plan_of(spark, "ts_theilsen_slope")
+    # the pair generator is an inequality join (BNLJ over the tiny
+    # spine is expected); no full Cartesian without condition
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snm_candidates_from_window_not_selfjoin(spark):
+    plan = plan_of(spark, "dedup_snm_pairs")
+    # blocking = lead() window; the only joins are the candidate->word
+    # equi-joins. A refactor to an all-pairs self-join would show up
+    # as an extra non-equi join or cartesian.
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hhi_two_grouped_passes_broadcast_dims(spark):
+    plan = plan_of(spark, "a_hhi_concentration")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast
+    assert "Cartesian" not in plan
