@@ -74,6 +74,7 @@ _QUERY_MODULES = [
     "pipeline40",  # sorted-neighborhood blocking / HHI / threshold sweep
     "pipeline41",  # k-core peel / language entropy / month-end clamp
     "pipeline42",  # BMP histogram / stopword discovery / weighted median
+    "pipeline43",  # assortativity / modularity / CUPED
 ]
 
 for _m in _QUERY_MODULES:
@@ -90,7 +91,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 324
+EXPECTED_MIN_QUERIES = 327
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
