@@ -75,6 +75,7 @@ _QUERY_MODULES = [
     "pipeline41",  # k-core peel / language entropy / month-end clamp
     "pipeline42",  # BMP histogram / stopword discovery / weighted median
     "pipeline43",  # assortativity / modularity / CUPED
+    "pipeline44",  # hash bootstrap / MDE sizing / forward as-of
 ]
 
 for _m in _QUERY_MODULES:
@@ -91,7 +92,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 327
+EXPECTED_MIN_QUERIES = 330
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
