@@ -78,6 +78,7 @@ _QUERY_MODULES = [
     "pipeline44",  # hash bootstrap / MDE sizing / forward as-of
     "pipeline45",  # Pareto skyline / label windows / key overlap
     "pipeline46",  # max drawdown / portable recursive closure
+    "pipeline47",  # 2-feature Shapley / HITS / LLR keyness
 ]
 
 for _m in _QUERY_MODULES:
@@ -94,7 +95,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 335
+EXPECTED_MIN_QUERIES = 338
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
