@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "pipeline47",  # 2-feature Shapley / HITS / LLR keyness
     "pipeline48",  # Lorenz curve / record highs / NULL-agg kernel
     "pipeline49",  # nearest as-of / Cohen's kappa
+    "pipeline50",  # NULL-join matrix / Fano burstiness
 ]
 
 for _m in _QUERY_MODULES:
@@ -97,7 +98,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 343
+EXPECTED_MIN_QUERIES = 345
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
