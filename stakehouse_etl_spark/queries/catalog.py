@@ -85,6 +85,7 @@ _QUERY_MODULES = [
     "pipeline51",  # nDCG@10 / local clustering coefficient
     "pipeline52",  # lead-lag xcorr / ratio delta-method SE
     "pipeline53",  # P/R@k curve / corpus filter attribution
+    "pipeline54",  # Kaplan-Meier survival
 ]
 
 for _m in _QUERY_MODULES:
@@ -101,7 +102,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 351
+EXPECTED_MIN_QUERIES = 352
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
