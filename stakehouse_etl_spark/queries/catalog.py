@@ -86,6 +86,7 @@ _QUERY_MODULES = [
     "pipeline52",  # lead-lag xcorr / ratio delta-method SE
     "pipeline53",  # P/R@k curve / corpus filter attribution
     "pipeline54",  # Kaplan-Meier survival
+    "pipeline55",  # vocab coverage curve / RFM segmentation
 ]
 
 for _m in _QUERY_MODULES:
@@ -102,7 +103,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 352
+EXPECTED_MIN_QUERIES = 354
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
