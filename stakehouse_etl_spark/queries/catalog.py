@@ -87,6 +87,7 @@ _QUERY_MODULES = [
     "pipeline53",  # P/R@k curve / corpus filter attribution
     "pipeline54",  # Kaplan-Meier survival
     "pipeline55",  # vocab coverage curve / RFM segmentation
+    "pipeline56",  # mutual-information cells
 ]
 
 for _m in _QUERY_MODULES:
@@ -103,7 +104,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 354
+EXPECTED_MIN_QUERIES = 355
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
