@@ -91,6 +91,7 @@ _QUERY_MODULES = [
     "pipeline57",  # Kruskal-Wallis k-sample test
     "pipeline58",  # Zipf slope / inter-arrival CV
     "pipeline59",  # dup-cluster histogram / cross-field consistency
+    "pipeline60",  # Kendall tau-b ordinal association
 ]
 
 for _m in _QUERY_MODULES:
@@ -107,7 +108,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 360
+EXPECTED_MIN_QUERIES = 361
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
