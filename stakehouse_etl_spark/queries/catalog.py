@@ -92,6 +92,7 @@ _QUERY_MODULES = [
     "pipeline58",  # Zipf slope / inter-arrival CV
     "pipeline59",  # dup-cluster histogram / cross-field consistency
     "pipeline60",  # Kendall tau-b ordinal association
+    "pipeline61",  # diff-in-diff / EB shrinkage
 ]
 
 for _m in _QUERY_MODULES:
@@ -108,7 +109,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 361
+EXPECTED_MIN_QUERIES = 363
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
