@@ -93,6 +93,7 @@ _QUERY_MODULES = [
     "pipeline59",  # dup-cluster histogram / cross-field consistency
     "pipeline60",  # Kendall tau-b ordinal association
     "pipeline61",  # diff-in-diff / EB shrinkage
+    "pipeline62",  # per-class F1
 ]
 
 for _m in _QUERY_MODULES:
@@ -109,7 +110,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 363
+EXPECTED_MIN_QUERIES = 364
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
