@@ -97,6 +97,7 @@ _QUERY_MODULES = [
     "pipeline63",  # monthly VWAP / caliper matching ATT
     "pipeline64",  # Adamic-Adar / Brier score
     "pipeline65",  # price-volume mix / workday-adjusted KPI
+    "pipeline66",  # hash-deterministic permutation test
 ]
 
 for _m in _QUERY_MODULES:
@@ -113,7 +114,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 370
+EXPECTED_MIN_QUERIES = 371
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
