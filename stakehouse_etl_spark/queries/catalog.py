@@ -98,6 +98,7 @@ _QUERY_MODULES = [
     "pipeline64",  # Adamic-Adar / Brier score
     "pipeline65",  # price-volume mix / workday-adjusted KPI
     "pipeline66",  # hash-deterministic permutation test
+    "pipeline67",  # ship-lag SLA / PSI stability bands
 ]
 
 for _m in _QUERY_MODULES:
@@ -114,7 +115,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 371
+EXPECTED_MIN_QUERIES = 373
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
