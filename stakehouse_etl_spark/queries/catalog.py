@@ -99,6 +99,7 @@ _QUERY_MODULES = [
     "pipeline65",  # price-volume mix / workday-adjusted KPI
     "pipeline66",  # hash-deterministic permutation test
     "pipeline67",  # ship-lag SLA / PSI stability bands
+    "pipeline68",  # Hill tail index / seasonal index MA
 ]
 
 for _m in _QUERY_MODULES:
@@ -115,7 +116,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 373
+EXPECTED_MIN_QUERIES = 375
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
