@@ -101,6 +101,7 @@ _QUERY_MODULES = [
     "pipeline67",  # ship-lag SLA / PSI stability bands
     "pipeline68",  # Hill tail index / seasonal index MA
     "pipeline69",  # weekly growth accounting
+    "pipeline70",  # forecast WAPE-bias / calibration ECE
 ]
 
 for _m in _QUERY_MODULES:
@@ -117,7 +118,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 376
+EXPECTED_MIN_QUERIES = 378
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
