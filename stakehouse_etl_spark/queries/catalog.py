@@ -102,6 +102,7 @@ _QUERY_MODULES = [
     "pipeline68",  # Hill tail index / seasonal index MA
     "pipeline69",  # weekly growth accounting
     "pipeline70",  # forecast WAPE-bias / calibration ECE
+    "pipeline71",  # ABC Pareto classification
 ]
 
 for _m in _QUERY_MODULES:
@@ -118,7 +119,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 378
+EXPECTED_MIN_QUERIES = 379
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
