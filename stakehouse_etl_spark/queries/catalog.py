@@ -103,6 +103,7 @@ _QUERY_MODULES = [
     "pipeline69",  # weekly growth accounting
     "pipeline70",  # forecast WAPE-bias / calibration ECE
     "pipeline71",  # ABC Pareto classification
+    "pipeline72",  # monthly CAGR
 ]
 
 for _m in _QUERY_MODULES:
@@ -119,7 +120,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 379
+EXPECTED_MIN_QUERIES = 380
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
