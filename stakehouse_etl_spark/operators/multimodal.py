@@ -352,6 +352,8 @@ def decode_bmp(media: DataFrame) -> DataFrame:
                     raise ValueError(f"media {mid}: unsupported BMP variant")
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
+                if len(payload) < offset + stride * abs(h):
+                    raise ValueError(f"media {mid}: truncated BMP")
                 buf = np.frombuffer(
                     payload, np.uint8, count=stride * abs(h), offset=offset
                 ).reshape(abs(h), stride)[:, :row_bytes]
@@ -543,6 +545,8 @@ def bmp_channel_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
                     raise ValueError(f"media {mid}: unsupported BMP variant")
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
+                if len(payload) < offset + stride * abs(h):
+                    raise ValueError(f"media {mid}: truncated BMP")
                 buf = np.frombuffer(
                     payload, np.uint8, count=stride * abs(h), offset=offset
                 ).reshape(abs(h), stride)[:, :row_bytes]

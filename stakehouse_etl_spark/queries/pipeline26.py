@@ -70,7 +70,15 @@ def corpus_intradoc_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reassembly is order-explicit (sort_array over (first_idx, chunk)
     structs), never collect_list's arrival order, which is
     scheduler-dependent."""
-    t = fan_out(load_table(spark, sf_dir, "documents")).select(
+    return intradoc_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def intradoc_dedup(docs: DataFrame) -> DataFrame:
+    """The intra-doc chunk-dedup kernel over any (doc_id, text)
+    DataFrame — exposed separately so property tests can drive the
+    ACTUAL Spark expression on arbitrary generated texts (not a local
+    Python reimplementation of it)."""
+    t = fan_out(docs).select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != "").alias("toks"),
     )

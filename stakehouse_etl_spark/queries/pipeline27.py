@@ -166,9 +166,11 @@ def stream_rocksdb_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         # the state operator must have run with rows in state
         ops = (progress or {}).get("stateOperators") or []
-        assert ops and ops[0].get("numRowsTotal", 0) > 0, (
-            "streaming state operator did not materialize state"
-        )
+        # Runtime contract, not a debug assert: must survive `python -O`.
+        if not (ops and ops[0].get("numRowsTotal", 0) > 0):
+            raise RuntimeError(
+                "streaming state operator did not materialize state"
+            )
         out = spark.table(qname)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

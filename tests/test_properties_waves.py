@@ -190,9 +190,15 @@ def test_dyadic_ewma_matches_naive(spark, panel):
     )
 )
 def test_intradoc_dedup_idempotent(spark, texts):
-    """Applying intra-doc chunk dedup to already-deduped text changes
-    nothing: the cleaned fingerprint is a fixed point."""
-    from stakehouse_etl_spark.queries.pipeline26 import CHUNK_TOKS
+    """The ACTUAL Spark intra-doc dedup expression agrees with a naive
+    Python reference on arbitrary texts, and that cleaning is a fixed
+    point (cleaning already-cleaned text changes nothing)."""
+    import hashlib
+
+    from stakehouse_etl_spark.queries.pipeline26 import (
+        CHUNK_TOKS,
+        intradoc_dedup,
+    )
 
     def clean(text):
         toks = [t for t in text.lower().strip().split() if t]
@@ -207,6 +213,16 @@ def test_intradoc_dedup_idempotent(spark, texts):
                 kept.append(c)
         return " ".join(kept)
 
-    for t in texts:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["cleaned_fp"] for r in intradoc_dedup(df).collect()}
+    for i, t in enumerate(texts):
         once = clean(t)
         assert clean(once) == once
+        if not t.lower().strip().split():
+            # zero chunks -> the doc produces no rows (matches oracle)
+            assert i not in got
+        else:
+            expect = hashlib.md5(once.encode()).hexdigest()
+            assert got[i] == expect, f"doc {i}: {t!r}"
