@@ -328,6 +328,42 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 20,
+    tier: str = "lsh",
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The pluggable near-dup stage for composed pipelines.
+
+    ``tier='lsh'`` (DEFAULT) — capped MinHash-LSH banding + exact
+    verification of candidates only: the 100 TB path. Never builds the
+    corpus-wide shingle self-join, and one hot band bucket cannot blow
+    up the candidate count (``LSH_MAX_BUCKET`` drop, mirrored in the
+    SQL oracles via QUALIFY).
+
+    ``tier='exact'`` — the full shingle self-join (``jaccard_pairs``):
+    quadratic in per-shingle document frequency. Ground-truth/oracle
+    arm and recall-evaluation baseline ONLY; at scale a single
+    high-frequency shingle ("of the same"…) appearing in most
+    documents makes its postings self-join O(n²) in corpus size.
+
+    Both tiers emit the same ``(id_a, id_b, jaccard)`` schema with the
+    identical integer cross-multiplied threshold, so callers swap tiers
+    without downstream changes.
+    """
+    if tier == "lsh":
+        return minhash_lsh_pairs(
+            df, text_col, id_col, k, threshold_pct, max_bucket
+        )
+    if tier == "exact":
+        return jaccard_pairs(df, text_col, id_col, k, threshold_pct)
+    raise ValueError(f"unknown near-dup tier: {tier!r}")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

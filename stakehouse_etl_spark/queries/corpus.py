@@ -4,7 +4,7 @@ filter → exact dedup → near-dup cluster collapse).
 
 This is the "what a 100 TB training-data pipeline actually runs"
 composition: every stage is an already-oracle-checked kernel
-(text_quality, dedup_exact, dedup_jaccard_pairs, dedup_cc_clusters),
+(text_quality, dedup_exact, dedup_minhash_lsh, dedup_cc_clusters),
 and the pipeline query proves the COMPOSITION end-to-end against one
 DuckDB CTE chain, recursive closure included.
 """
@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.dedup import near_dup_pairs
 from stakehouse_etl_spark.operators.graph import connected_components
 from stakehouse_etl_spark.operators.text import (
     fan_out,
@@ -25,9 +25,9 @@ from stakehouse_etl_spark.operators.text import (
 )
 from stakehouse_etl_spark.queries.datapipe import (
     _EN,
-    _JACCARD_CTE as _JACCARD_CTE_REF,
     _SHINGLES_CTE as _SHINGLES_CTE_REF,
     _TOKS,
+    _lsh_jaccard_cte,
 )
 from stakehouse_etl_spark.queries.registry import register
 
@@ -198,14 +198,8 @@ WITH RECURSIVE t AS (
   FROM surv
 ), s2 AS (SELECT * FROM s WHERE shingle <> ''),
 c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id),
-i AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM s2 a JOIN s2 b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), j AS (
-  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
-  FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
-), edges AS (
+{_lsh_jaccard_cte()},
+edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 ), sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
 reach AS (
@@ -224,10 +218,14 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs nightly: (1) quality filter (length/stopword/punct
     composite ≥ 0.5), (2) exact dedup on the normalized-content
     fingerprint keeping the lowest doc_id, (3) near-dup collapse —
-    exact 3-gram Jaccard ≥ 0.2 pairs → connected components → keep
-    the component minimum. Returns the kept corpus ids. Stages (1)(2)
-    are scan + one hash-shuffle; (3) runs on the already-thinned
-    survivor set, which is the right cost order at 100 TB."""
+    capped MinHash-LSH candidates, exact-verified at Jaccard ≥ 0.2 →
+    connected components → keep the component minimum. Returns the
+    kept corpus ids. Stages (1)(2) are scan + one hash-shuffle; (3)
+    runs the SCALE-SAFE tier (``near_dup_pairs`` tier='lsh': band
+    equi-join with the over-full-bucket drop, never the corpus-wide
+    shingle self-join) on the already-thinned survivor set — the
+    right cost order at 100 TB. The exact-Jaccard tier stays
+    available as the oracle/recall arm (``dedup_jaccard_pairs``)."""
     docs = load_table(spark, sf_dir, "documents")
     # Quality gate filters IN PLACE (quality_features keeps the source
     # columns — no join back). Exact dedup shuffles ONLY (doc_id, fp)
@@ -253,7 +251,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = qdocs.join(F.broadcast(canon), "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
+    edges = near_dup_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")
     dropped = comp.filter(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -351,16 +349,16 @@ def a_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "levenshtein"),
     oracle=f"""
 WITH {{shingles}}, {{jaccard}},
-cand AS (SELECT id_a, id_b FROM j WHERE inter * 100 >= union_sz * 20)
+ver AS (SELECT id_a, id_b FROM j WHERE inter * 100 >= union_sz * 20)
 SELECT id_a, id_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
        CAST(levenshtein(a.text, b.text) AS BIGINT) * 1.0
          / greatest(length(a.text), length(b.text)) AS edit_ratio
-FROM cand
+FROM ver
 JOIN documents a ON a.doc_id = id_a
 JOIN documents b ON b.doc_id = id_b
 """.format(
-        shingles=_SHINGLES_CTE_REF, jaccard=_JACCARD_CTE_REF
+        shingles=_SHINGLES_CTE_REF, jaccard=_lsh_jaccard_cte()
     ),
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +369,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same candidates-only discipline as the MinHash verify stage).
     edit_ratio normalizes by the longer text in one exact division."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    cand = near_dup_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")

@@ -259,6 +259,38 @@ bands AS (
     )
 
 
+def _lsh_jaccard_cte(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """Drop-in replacement for ``_JACCARD_CTE`` (same ``i``/``j``
+    output shape) whose intersection join is restricted to capped
+    MinHash-LSH band candidates — the scale-safe near-dup tier the
+    composed corpus pipelines default to. Requires ``s2`` (doc_id,
+    shingle) and ``c`` (doc_id, n_sh) CTEs in scope, i.e. the
+    ``_SHINGLES_CTE`` shape. Mirrors ``operators.dedup.near_dup_pairs``
+    tier='lsh': identical signatures, identical QUALIFY bucket cap,
+    candidates-only intersection."""
+    return f"""{_minhash_sig_sql()},
+{_minhash_bands_sql(max_bucket)},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+i AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS inter
+  FROM cand
+  JOIN s2 a ON a.doc_id = cand.id_a
+  JOIN s2 b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
+  FROM i
+  JOIN c ca ON ca.doc_id = id_a
+  JOIN c cb ON cb.doc_id = id_b
+)"""
+
+
 @register(
     "dedup_minhash_lsh",
     tags=("dedup", "minhash", "lsh"),

@@ -19,13 +19,14 @@ from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
-from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.dedup import near_dup_pairs
 from stakehouse_etl_spark.operators.graph import connected_components
 from stakehouse_etl_spark.operators.text import chunk_docs, feature_hash
 from stakehouse_etl_spark.queries.datapipe import (
     _JACCARD_CTE,
     _SHINGLES_CTE,
     _TOKS,
+    _lsh_jaccard_cte,
 )
 from stakehouse_etl_spark.queries.registry import register
 
@@ -109,7 +110,7 @@ def corpus_passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_canonical_docs",
     tags=("corpus", "dedup", "graph"),
     oracle=f"""
-WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+WITH RECURSIVE {_SHINGLES_CTE}, {_lsh_jaccard_cte()},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 ),
@@ -148,7 +149,7 @@ def corpus_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     right-joined back to the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    edges = near_dup_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     cc = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
         "node", "doc_id"
     )
@@ -511,14 +512,8 @@ s AS (
   FROM surv
 ), s2 AS (SELECT * FROM s WHERE shingle <> ''),
 c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id),
-i AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM s2 a JOIN s2 b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), j AS (
-  SELECT id_a, id_b, inter, ca.n_sh + cb.n_sh - inter AS union_sz
-  FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
-), edges AS (
+{_lsh_jaccard_cte()},
+edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 ), sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
 reach AS (
@@ -586,7 +581,7 @@ def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
-    edges = jaccard_pairs(surv, threshold_pct=20).select("id_a", "id_b")
+    edges = near_dup_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
         "node", "doc_id"
     )
