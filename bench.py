@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stakehouse_etl_spark.queries.catalog import QUERIES  # noqa: E402
+from stakehouse_etl_spark.caches import release_tracked  # noqa: E402
 from stakehouse_etl_spark.session import get_spark  # noqa: E402
 
 # The seven queries of the FIRST recorded bench run (BASELINE.md) — the
@@ -69,6 +70,7 @@ def run() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # Release per-query persists (shingle tables etc.) so one
         # query's cache doesn't distort the next query's timing.
+        release_tracked()
         spark.catalog.clearCache()
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)

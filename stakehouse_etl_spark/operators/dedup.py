@@ -17,11 +17,14 @@ Every hash here is the md5-hex-prefix integer from
 the sketches have real value-level oracles, not just row counts.
 
 Persist lifecycle: the pair operators persist the exploded shingle
-table (three consumers each). The cache's lifetime ends at the
-caller's action boundary — harnesses (tools/check.py, bench.py) call
-``spark.catalog.clearCache()`` after materializing each query; a
-long-lived pipeline should do the same or write the shingle table as
-a real intermediate dataset.
+table (three consumers each) via :func:`caches.persist_tracked`, and
+callers end the cache's lifetime at their ACTION boundary with
+``caches.cache_scope()`` / ``caches.release_tracked()`` — no cached
+RDD outlives the materialization that needed it, even in a
+long-lived service (tests/test_cache_lifecycle.py asserts
+``getPersistentRDDs`` is empty after each of three back-to-back pair
+queries). At 100 TB you would persist the shingle table as a real
+intermediate dataset instead.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stakehouse_etl_spark.caches import persist_tracked
 from stakehouse_etl_spark.operators.text import (
     fan_out,
     hash32,
@@ -112,14 +116,10 @@ def jaccard_pairs(
     disagree between engines. Quadratic in per-shingle frequency: fine
     as ground truth / within LSH buckets, not the 100 TB primary path.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # Three consumers (counts + both join sides) — persist or the
     # tokenize/shingle/md5 subtree runs 3× (same trap as in
     # minhash_lsh_pairs).
-    sh = doc_shingles(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -287,17 +287,13 @@ def minhash_lsh_pairs(
     a tiny fraction of all pairs; the exact-Jaccard rescoring join runs
     only on them (left-semi pushdown of the candidate set).
     """
-    from pyspark.storagelevel import StorageLevel
-
     # The exploded shingle table feeds THREE consumers (signatures,
     # and both sides of the candidate-intersection join); without a
     # persist each consumer re-runs the tokenize/shingle/md5 subtree.
     # MEMORY_AND_DISK: spills at scale, LRU-evicted when idle — at
     # 100 TB you would persist this (or the signatures) as a real
     # intermediate table anyway.
-    sh = doc_shingles(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     candidates = _band_candidates(sh, id_col, max_bucket)
     # Exact-verify CANDIDATES ONLY: route each candidate pair's two
     # shingle streams into one equi-joined intersection count. Work is
@@ -392,13 +388,10 @@ def prefix_filter_jaccard_pairs(
     the exact all-pairs oracle is the losslessness proof.
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     # Consumed by the frequency count, the ranked prefix, and the
     # verification sets — persist against triple recompute.
-    sh = doc_shingles(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "shingle")
@@ -457,11 +450,7 @@ def containment_pairs(
     standard complement in training-corpus dedup. Same shingle-join
     shape as :func:`jaccard_pairs`, integer threshold compare.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    sh = doc_shingles(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -607,16 +596,10 @@ def incremental_minhash_dedup(
     plus the collided corpus buckets. Bucket cap applies to the
     UNION's buckets — mirrored by the oracle's global QUALIFY.
     """
-    from pyspark.storagelevel import StorageLevel
-
     from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
 
-    sh_c = doc_shingles(corpus, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sh_b = doc_shingles(batch, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_c = persist_tracked(doc_shingles(corpus, text_col, id_col, k))
+    sh_b = persist_tracked(doc_shingles(batch, text_col, id_col, k))
     banded_c = _banded(sh_c, id_col).withColumn("__side", F.lit("c"))
     banded_b = _banded(sh_b, id_col).withColumn("__side", F.lit("b"))
     allb = drop_oversize_buckets(

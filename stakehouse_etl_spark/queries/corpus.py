@@ -244,12 +244,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    from pyspark.storagelevel import StorageLevel
+    from stakehouse_etl_spark.caches import persist_tracked
 
-    # Survivors feed the Jaccard edge build AND the final anti-join —
-    # persist so the quality-filter scan doesn't run twice.
-    surv = qdocs.join(F.broadcast(canon), "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Survivors feed the near-dup edge build AND the final anti-join —
+    # persist (tracked, released at the caller's action boundary) so
+    # the quality-filter scan doesn't run twice.
+    surv = persist_tracked(
+        qdocs.join(F.broadcast(canon), "doc_id", "left_semi")
     )
     edges = near_dup_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")

@@ -1664,10 +1664,10 @@ def dedup_minhash_estimate_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame
         doc_shingles,
         lsh_candidates,
     )
-    from pyspark.storagelevel import StorageLevel
+    from stakehouse_etl_spark.caches import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_tracked(doc_shingles(docs))
     cand = lsh_candidates(docs)
     sig = _signatures_from_shingles(sh, "doc_id")
     sa = sig.select(

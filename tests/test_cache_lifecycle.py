@@ -1,0 +1,78 @@
+"""Persist lifecycle closure (VERDICT r2 'what's wrong' #2 / task 3).
+
+The pair operators persist their exploded shingle tables; a
+long-lived service composing them must not accumulate MEMORY_AND_DISK
+RDDs. The contract: operators register caches via
+``caches.persist_tracked``, the query layer wraps its ACTION in
+``caches.cache_scope()``, and nothing stays persisted after the scope
+exits — verified against the JVM's own ``getPersistentRDDs``.
+"""
+
+from __future__ import annotations
+
+from stakehouse_etl_spark import caches
+from stakehouse_etl_spark.queries.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Three persist-heavy pair queries, back-to-back (the verdict's exact
+# scenario). All are shingle-table pair ops — no localCheckpoint
+# (connected-components) blocks, which are GC-managed, not tracked.
+PAIR_QUERIES = [
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_pairs",
+]
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_pair_queries_release_caches_at_action_boundary(spark):
+    spark.catalog.clearCache()  # isolate from other test modules
+    assert _n_persistent(spark) == 0
+    for name in PAIR_QUERIES:
+        with caches.cache_scope():
+            df = QUERIES[name].fn(spark, SF)
+            n = df.count()  # the action; cache is live here
+            assert n >= 0
+            assert _n_persistent(spark) >= 1, (
+                f"{name}: expected a live tracked cache inside the scope"
+            )
+        assert _n_persistent(spark) == 0, (
+            f"{name}: caches leaked past the action boundary"
+        )
+
+
+def test_cache_scope_nests(spark):
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    from stakehouse_etl_spark.operators.dedup import doc_shingles
+
+    with caches.cache_scope():
+        outer = caches.persist_tracked(doc_shingles(docs))
+        outer.count()
+        with caches.cache_scope():
+            inner = caches.persist_tracked(doc_shingles(docs, k=2))
+            inner.count()
+            assert _n_persistent(spark) == 2
+        # inner scope released only its own registration
+        assert _n_persistent(spark) == 1
+    assert _n_persistent(spark) == 0
+
+
+def test_release_tracked_is_idempotent_and_counts(spark):
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    from stakehouse_etl_spark.operators.dedup import doc_shingles
+
+    caches.persist_tracked(doc_shingles(docs)).count()
+    assert caches.release_tracked() == 1
+    assert caches.release_tracked() == 0
+    assert _n_persistent(spark) == 0

@@ -34,6 +34,7 @@ from stakehouse_etl_spark.queries.catalog import (  # noqa: E402
 assert len(QUERIES) >= EXPECTED_MIN_QUERIES, (
     f"catalog shrank: {len(QUERIES)} < {EXPECTED_MIN_QUERIES}"
 )
+from stakehouse_etl_spark.caches import release_tracked  # noqa: E402
 from stakehouse_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -124,6 +125,9 @@ def main() -> int:
             print(f"PASS {name}: rows={len(spark_pd)} [{t_spark:.1f}s]")
         # Release per-query persists (shingle tables etc.) — the cache
         # lifecycle ends at the query's action boundary, which is here.
+        # persist_tracked caches release deterministically; clearCache
+        # stays as a backstop for anything outside the registry.
+        release_tracked()
         spark.catalog.clearCache()
     spark.stop()
     return 1 if failures else 0

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from stakehouse_etl_spark.queries.catalog import QUERIES  # noqa: E402
+from stakehouse_etl_spark.caches import release_tracked  # noqa: E402
 from stakehouse_etl_spark.session import get_spark  # noqa: E402
 
 RUNGS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -54,6 +55,7 @@ def main(argv: list[str]) -> int:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out.setdefault(name, {})[key] = round(time.perf_counter() - t0, 3)
+            release_tracked()
             spark.catalog.clearCache()
     for name, row in out.items():
         if row.get("sf0.01") and row.get("sf0.1"):
