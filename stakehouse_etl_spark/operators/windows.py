@@ -349,8 +349,9 @@ def skew_resistant_cumsum(
 
     Exact for integer values (longs), identical to the plain window's
     result under any chunking. Cost: one extra small agg + join versus
-    the plain window; worth it only when key skew is real — measure
-    with ``bench_skew`` before adopting (PLANS.md records both paths).
+    the plain window; worth it only when key skew is real — use
+    :func:`adaptive_cumsum` as the entry point and let its sampled
+    key histogram decide (PLANS.md records both paths).
     """
     stats = df.groupBy(key).agg(
         F.min(time).alias("__t_min"), F.max(time).alias("__t_max")
@@ -389,6 +390,73 @@ def skew_resistant_cumsum(
         .withColumn(out, F.col("__within") + F.col("__offset"))
         .drop("__chunk", "__within", "__offset")
     )
+
+
+def adaptive_cumsum(
+    df: DataFrame,
+    key: str,
+    time: str,
+    value: str,
+    out: str = "cum_value",
+    n_chunks: int = 32,
+    hot_share: float | None = None,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """ONE entry point for per-key running totals: picks the plain
+    single-window plan or :func:`skew_resistant_cumsum` from a cheap
+    sampled key histogram (VERDICT r2 task 5 — callers should not have
+    to know their key distribution up front).
+
+    Dispatch rule: sample ``sample_fraction`` of the key column
+    (seeded — deterministic dispatch), count rows per key, and if the
+    hottest key's share exceeds ``hot_share`` (default ``1/n_chunks``,
+    the point where one window partition would dominate a single task)
+    route to the chunked decomposition; otherwise the plain window
+    (one shuffle, no extra agg/join) wins. The probe is one tiny
+    two-scalar aggregate job over the sampled key column only —
+    O(sample) work, a bounded 1-row collect, the same cost class as
+    AQE's own runtime statistics. Empty/degenerate samples fall back
+    to the plain window.
+
+    Both paths are value-identical for integer values (the chunked
+    variant is exact under any chunking), so dispatch never changes
+    results — only the plan shape (asserted in
+    tests/test_skew_warehouse.py).
+    """
+    if hot_share is None:
+        hot_share = 1.0 / n_chunks
+
+    def _histogram(keys_df):
+        return (
+            keys_df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("mx"), F.sum("__c").alias("tot"))
+            .first()
+        )
+
+    probe = _histogram(df.select(key).sample(fraction=sample_fraction, seed=seed))
+    if probe is None or probe["tot"] is None or probe["tot"] < 5_000:
+        # Sample too small for the share estimate to clear sampling
+        # noise at a 1/n_chunks threshold — the input is small enough
+        # that an EXACT key histogram is itself a trivial job (this
+        # branch is the small-data path; at 100 TB the 1% sample is
+        # always ample).
+        probe = _histogram(df.select(key))
+    hot = (
+        probe is not None
+        and probe["tot"] is not None
+        and probe["tot"] > 0
+        and probe["mx"] / probe["tot"] > hot_share
+    )
+    if hot:
+        return skew_resistant_cumsum(
+            df, key=key, time=time, value=value, out=out, n_chunks=n_chunks
+        )
+    w = Window.partitionBy(key).orderBy(time).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(out, F.sum(value).over(w))
 
 
 def skew_resistant_rank(

@@ -43,13 +43,15 @@ FROM c GROUP BY k
 def w1_skew_hotkey_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1's documented hot-key ceiling, made measurable: every fifth
     user collapses onto ONE key (~20% of all events), then the running
-    cents total runs through ``skew_resistant_cumsum`` — within-chunk
-    windows over (key, chunk) spread the hot key across 32 tasks, a
-    tiny per-chunk prefix table seeds the offsets (two-phase running
-    total). The oracle is the PLAIN window cumsum: the decomposition
-    must be value-identical, and the bench entry times it at sf0.1
-    against the fixed headline set."""
-    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+    cents total runs through ``adaptive_cumsum``, whose sampled key
+    histogram detects the ~20% hot key and dispatches to the chunked
+    decomposition — within-chunk windows over (key, chunk) spread the
+    hot key across 32 tasks, a tiny per-chunk prefix table seeds the
+    offsets (two-phase running total). The oracle is the PLAIN window
+    cumsum: dispatch must be value-identical either way, and the bench
+    entry times it (probe included) at sf0.1 against the fixed
+    headline set."""
+    from stakehouse_etl_spark.operators.windows import adaptive_cumsum
 
     ev = load_table(spark, sf_dir, "events").select(
         F.when(F.col("user_id") % 5 == 0, F.lit(-1).cast("long"))
@@ -58,7 +60,7 @@ def w1_skew_hotkey_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("t"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    cum = skew_resistant_cumsum(ev, key="k", time="t", value="cents", out="cum")
+    cum = adaptive_cumsum(ev, key="k", time="t", value="cents", out="cum")
     return cum.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.max_by("cum", "t").alias("final_cum"),

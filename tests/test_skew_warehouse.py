@@ -167,3 +167,66 @@ def test_skew_resistant_cumsum_single_timestamp_key(spark):
     df = spark.createDataFrame([("a", 5, 1), ("b", 5, 2)], "k string, t long, v long")
     got = {r.k: r.cum for r in skew_resistant_cumsum(df, "k", "t", "v", "cum").collect()}
     assert got == {"a": 1, "b": 2}
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_adaptive_cumsum_dispatches_by_key_histogram(spark):
+    """VERDICT r2 task 5: one entry point; the sampled key histogram
+    picks the chunked plan for a hot key and the plain single-window
+    plan for uniform keys — and both dispatch outcomes are
+    value-identical to the plain window."""
+    import random
+
+    from pyspark.sql import Window
+
+    from stakehouse_etl_spark.operators.windows import adaptive_cumsum
+
+    rng = random.Random(11)
+
+    def plain(df):
+        return df.withColumn(
+            "cum",
+            F.sum("v").over(
+                Window.partitionBy("k").orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+
+    # HOT: one key holds ~60% of rows -> chunked plan (two window
+    # specs, the (k, __chunk) within-chunk one present).
+    rows = [("hot", t, rng.randint(-5, 9)) for t in range(1, 6001)]
+    for k in range(40):
+        rows += [(f"k{k}", t, rng.randint(-5, 9)) for t in range(1, 101)]
+    hot_df = spark.createDataFrame(rows, "k string, t long, v long")
+    hot_out = adaptive_cumsum(hot_df, key="k", time="t", value="v", out="cum")
+    assert "__chunk" in _formatted_plan(hot_out)
+    a = {(r.k, r.t): r.cum for r in hot_out.collect()}
+    b = {(r.k, r.t): r.cum for r in plain(hot_df).collect()}
+    assert a == b
+
+    # UNIFORM: 40 keys, equal share -> plain single-window plan, no
+    # chunk machinery.
+    rows = []
+    for k in range(40):
+        rows += [(f"k{k}", t, rng.randint(-5, 9)) for t in range(1, 201)]
+    uni_df = spark.createDataFrame(rows, "k string, t long, v long")
+    uni_out = adaptive_cumsum(uni_df, key="k", time="t", value="v", out="cum")
+    assert "__chunk" not in _formatted_plan(uni_out)
+    a = {(r.k, r.t): r.cum for r in uni_out.collect()}
+    b = {(r.k, r.t): r.cum for r in plain(uni_df).collect()}
+    assert a == b
+
+
+def test_adaptive_cumsum_empty_input_falls_back_plain(spark):
+    from stakehouse_etl_spark.operators.windows import adaptive_cumsum
+
+    df = spark.createDataFrame([], "k string, t long, v long")
+    out = adaptive_cumsum(df, key="k", time="t", value="v", out="cum")
+    assert out.count() == 0
+    assert "__chunk" not in _formatted_plan(out)
