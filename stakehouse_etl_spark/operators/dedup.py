@@ -366,6 +366,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold_pct: int = 70,
+    max_prefix_df: int | None = None,
 ) -> DataFrame:
     """Tier-2b: exact Jaccard similarity join via PREFIX FILTERING
     (the AllPairs/PPJoin family of set-similarity joins).
@@ -386,6 +387,18 @@ def prefix_filter_jaccard_pairs(
 
     The threshold compare is integer cross-multiplied; equality with
     the exact all-pairs oracle is the losslessness proof.
+
+    ``max_prefix_df``: optional document-frequency cap on PREFIX
+    postings (the AllPairs df-cap). The sf1/sf3 ladder
+    (tools/scaling.py, BASELINE.md) measures the lossless form
+    superlinear on dense-vocabulary corpora — prefix postings lists
+    grow with corpus size, so the candidate self-join cost is
+    Σ df² over prefix shingles. Capping drops postings with
+    df > cap before the join, bounding per-shingle candidate output
+    at cap²; a pair whose ONLY prefix agreement is a hot shingle is
+    then missed (lossy, like the LSH bucket cap — and like it, hot
+    shingles are near-contentless boilerplate). None (default) keeps
+    the query's lossless-vs-oracle contract for ground-truth use.
     """
     from pyspark.sql import Window
 
@@ -403,7 +416,10 @@ def prefix_filter_jaccard_pairs(
     ceil_tn = (F.col("n_sh") * threshold_pct + 99) / 100
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - ceil_tn.cast("long") + 1
-    ).select(id_col, "shingle")
+    )
+    if max_prefix_df is not None:
+        prefix = prefix.filter(F.col("df") <= max_prefix_df)
+    prefix = prefix.select(id_col, "shingle")
     pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
     pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
     candidates = (

@@ -152,3 +152,35 @@ def test_near_dup_pairs_defaults_to_capped_lsh_tier(spark):
 
     with _pytest.raises(ValueError):
         near_dup_pairs(docs, tier="bogus")
+
+
+def test_prefix_filter_df_cap_bounds_candidates(spark):
+    """The AllPairs df-cap: with a dense shared shingle, the lossless
+    prefix join is quadratic; capping prefix postings by document
+    frequency bounds it, at the cost of pairs whose only prefix
+    agreement is the hot shingle."""
+    from stakehouse_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 30 docs sharing one dominant shingle + unique tails; plus one
+    # genuinely-identical cool pair whose shingles are all rare.
+    rows = [
+        (i, f"shared boiler plate text u{i} v{i} w{i} x{i}")
+        for i in range(30)
+    ]
+    rows += [
+        (100, "rare quiet unique alpha beta gamma delta"),
+        (101, "rare quiet unique alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lossless = prefix_filter_jaccard_pairs(docs, threshold_pct=70)
+    capped = prefix_filter_jaccard_pairs(
+        docs, threshold_pct=70, max_prefix_df=5
+    )
+    l = {(r.id_a, r.id_b) for r in lossless.collect()}
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    # cap never invents pairs, and the rare-shingle pair survives it
+    assert c <= l
+    assert (100, 101) in c

@@ -1,16 +1,28 @@
 """Empirical scale-ladder evidence.
 
-Runs a set of headline queries at sf0.001 / sf0.01 / sf0.1 (100× data
-growth end-to-end) and reports per-query wall time at each rung plus
-the growth ratio sf0.1/sf0.01 (a 10× data step). A query whose time
-grows far slower than data size is dominated by fixed scheduling
-overhead at these scales; one whose growth ratio approaches or
-exceeds the data ratio is the one to watch at 1000 executors — this
-is the measurement the 100-TB design notes in PLANS.md lean on.
+Two ladders:
 
-Usage: python tools/scaling.py [query ...]
-Prints one JSON line: {"queries": {name: {"sf0.001": s, ...,
-"ratio_10x": r}}, "rungs": [...]}.
+1. Shipped rungs (/root/testdata/sf0.001..0.1): 100× end-to-end, but
+   the top rung is still scheduler-dominated (~1 s fixed cost per
+   query — BASELINE.md).
+2. Local rungs (localdata/sf0.1, sf1, sf3 — `tools/gen_testdata.py`,
+   same generator and seeds across rungs): the DATA-DOMINATED regime
+   the 100 TB design claims live in. Growth ratios are only
+   meaningful within one generator, so `r10_local` compares
+   localdata/sf1 against localdata/sf0.1 (10× data) and `r3_local`
+   sf3 against sf1 (3× data); the shipped sf0.1 column doubles as a
+   cross-generator sanity anchor (near-equal times on the two sf0.1
+   rungs ⇒ the generated data is a fair stand-in).
+
+A query whose local ratio is at or below the data ratio scales
+linearly-or-better here (per-core throughput constant as partitions
+fill); one whose ratio exceeds the data ratio is superlinear — the
+one to investigate before believing any 1000-executor claim.
+
+Usage: python tools/scaling.py [--bench | query ...]
+  --bench runs every bench-flagged catalog query.
+Prints one JSON line {"queries": {name: {rung: sec, ...,
+"r10_local": r, "r3_local": r}}, "rungs": [...]}.
 """
 
 from __future__ import annotations
@@ -27,7 +39,14 @@ from stakehouse_etl_spark.queries.catalog import QUERIES  # noqa: E402
 from stakehouse_etl_spark.caches import release_tracked  # noqa: E402
 from stakehouse_etl_spark.session import get_spark  # noqa: E402
 
-RUNGS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SHIPPED = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+LOCAL = [
+    os.path.join(REPO, "localdata", d) for d in ("sf0.1", "sf1", "sf3")
+]
 
 DEFAULT = [
     "w1_user_income",
@@ -42,14 +61,29 @@ DEFAULT = [
 
 
 def main(argv: list[str]) -> int:
-    names = argv or DEFAULT
+    if argv and argv[0] == "--bench":
+        names = [n for n, q in QUERIES.items() if q.bench]
+    else:
+        names = argv or DEFAULT
+    rungs = SHIPPED + [d for d in LOCAL if os.path.isdir(d)]
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     out: dict[str, dict[str, float]] = {}
-    for sf_dir in RUNGS:
-        key = os.path.basename(sf_dir)
+    for sf_dir in rungs:
+        key = ("local_" if sf_dir.startswith(REPO) else "") + os.path.basename(
+            sf_dir
+        )
+        # warm the page cache per rung so rung-to-rung ratios compare
+        # compute, not cold reads
+        import glob
+
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            try:
+                spark.read.parquet(p).count()
+            except Exception:
+                pass
         for name in names:
             q = QUERIES[name]
             t0 = time.perf_counter()
@@ -60,7 +94,11 @@ def main(argv: list[str]) -> int:
     for name, row in out.items():
         if row.get("sf0.01") and row.get("sf0.1"):
             row["ratio_10x"] = round(row["sf0.1"] / row["sf0.01"], 2)
-    print(json.dumps({"queries": out, "rungs": RUNGS}))
+        if row.get("local_sf0.1") and row.get("local_sf1"):
+            row["r10_local"] = round(row["local_sf1"] / row["local_sf0.1"], 2)
+        if row.get("local_sf1") and row.get("local_sf3"):
+            row["r3_local"] = round(row["local_sf3"] / row["local_sf1"], 2)
+    print(json.dumps({"queries": out, "rungs": rungs}))
     spark.stop()
     return 0
 
