@@ -104,6 +104,7 @@ _QUERY_MODULES = [
     "pipeline70",  # forecast WAPE-bias / calibration ECE
     "pipeline71",  # ABC Pareto classification
     "pipeline72",  # monthly CAGR
+    "soak",        # r3: 10-cycle incremental warehouse soak (S1->W1->J3->serve)
 ]
 
 for _m in _QUERY_MODULES:
@@ -154,8 +155,11 @@ DRIVER_PRIORITY = [
     "k1_upsert_sink", "k2_insert_ignore_sink", "k4_json_envelope",
     # §2 connector family (S1-S3)
     "s1_s2_connector_normalize",
-    # §2 incremental / temporal family (T1/T2/T4)
-    "inc_income_3runs", "t2_bounded_catchup", "t4_backfill_repair",
+    # §2 incremental / temporal family (T1/T2/T3/T4/T5; the soak is
+    # the 10-cycle composed production loop and strictly supersedes
+    # inc_income_3runs' contracts — that query stays in the catalog
+    # under the local 330-query gate)
+    "pipeline_warehouse_soak", "t2_bounded_catchup", "t4_backfill_repair",
     # §2 streaming (T6)
     "stream_windowed_counts", "stream_stateful_income",
     # text analysis

@@ -1,0 +1,242 @@
+"""End-to-end warehouse soak (VERDICT r2 task 4).
+
+The reference's actual production loop (`reference/serverless.yaml:
+119-152`): extract balances (S1) → incremental per-epoch income with
+runner state (W1 + T1/T2/T3/T5, `src/validator_income_handler.py`) →
+index-level APR rollup (J3, `src/index_epoch_apr_handler.py:49`) →
+serving reads (`src/api_handler.py`). Here that loop runs as TEN
+repeated incremental cycles over an epoch-bucket-PARTITIONED income
+warehouse plus a replay cycle, inside one catalog query whose oracle
+is the single-shot batch recompute — incremental-forever must equal
+batch exactly, through the real staged-rename sinks.
+
+Operational invariants enforced as runtime contracts (RuntimeError,
+not assert — they must survive ``python -O``):
+
+- bounded files: every epoch-bucket partition holds at most
+  ``spark.sql.shuffle.partitions`` data files and the bucket count is
+  bounded by the data's epoch span — file counts scale with DATA,
+  never with the number of cycles run (the flat-upsert layout would
+  re-merge the whole table per cycle; the bucketed layout touches
+  only each cycle's new buckets);
+- replay is a no-op: re-running the final slice changes neither row
+  count nor file census (T5 idempotency through the partitioned
+  sink);
+- the serving read (leaderboard over the warehouse) returns rows
+  after every cycle — the warehouse is serveable mid-soak, not only
+  at the end.
+
+Per-cycle WALL-TIME flatness is measured by ``tools/soak.py`` (same
+loop, timed, sf0.1) and recorded in BASELINE.md — kept out of this
+query so its output stays deterministic for the value-hash gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.queries.registry import register
+from stakehouse_etl_spark.streaming.incremental import incremental_income_run
+
+# 6-hour epochs: at sf0.1, 50 keys x ~2000 events each over 120
+# six-hour bins make every key's series GAP-FREE, so the W2 gap-stop
+# (income halts at the first hole until a backfill repairs it — the
+# correct reference semantic, mirrored in the oracle) never freezes
+# the soak and each cycle genuinely appends new epochs. Hourly bins
+# at this density have ~6% holes, which stalls every key within the
+# first day — correct, but then the soak measures nothing moving.
+MICROS_PER_EPOCH = 21_600_000_000
+N_CYCLES = 10
+EPOCHS_PER_BUCKET = 12  # 3 days of 6-hour epochs -> ~10 buckets / month
+N_INDEXES = 20
+# Collapse users onto 50 balance keys: at sf0.1 each key then has a
+# DENSE hourly series (no early gap-stop), so every cycle genuinely
+# appends ~one new epoch bucket — the warehouse grows across the
+# soak instead of freezing at the first sparse-series gap.
+N_KEYS = 50
+
+
+def _hourly_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-extract analog: the per-key balance series (max event value
+    per 6-hour epoch; keys are users collapsed mod N_KEYS — see the
+    density note above)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.col("user_id") % N_KEYS).alias("bls_key"),
+        (F.unix_micros("ts") / F.lit(MICROS_PER_EPOCH))
+        .cast("long")
+        .alias("epoch"),
+    ).agg(F.max("value").alias("balance"))
+
+
+def _file_census(path: str) -> dict[str, int]:
+    """data files per epoch_bucket partition dir (local-fs walk)."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(path):
+        return out
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry.startswith("epoch_bucket=") and os.path.isdir(full):
+            out[entry] = sum(
+                1 for f in os.listdir(full) if f.endswith(".parquet")
+            )
+    return out
+
+
+def run_soak_cycles(
+    spark: SparkSession,
+    balances: DataFrame,
+    warehouse: str,
+    n_cycles: int = N_CYCLES,
+    epochs_per_bucket: int = EPOCHS_PER_BUCKET,
+    cycle_hook=None,
+) -> DataFrame:
+    """The soak loop; returns the final (indexes, epoch) rollup read
+    back from the warehouse. Raises on any operational-contract
+    violation. The caller owns the ``warehouse`` temp dir.
+    ``cycle_hook(i, wall_seconds, file_census)`` is called after each
+    cycle — tools/soak.py uses it to record per-cycle flatness."""
+    state_path = os.path.join(warehouse, "state")
+    income_path = os.path.join(warehouse, "income")
+    max_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    row = balances.agg(F.min("epoch"), F.max("epoch")).collect()[0]
+    lo, hi = row[0], row[1]
+    n_buckets_total = hi // epochs_per_bucket - lo // epochs_per_bucket + 1
+    span = max((hi - lo) // n_cycles, 1)
+    cuts = [lo + span * (i + 1) for i in range(n_cycles - 1)] + [hi]
+
+    def one_cycle(cut: int) -> None:
+        incremental_income_run(
+            spark,
+            balances.filter(F.col("epoch") <= cut),
+            state_path=state_path,
+            income_path=income_path,
+            money_scale=100,
+            epochs_per_bucket=epochs_per_bucket,
+        )
+        census = _file_census(income_path)
+        if len(census) > n_buckets_total:
+            raise RuntimeError(
+                f"soak: {len(census)} bucket dirs exceed the data's "
+                f"{n_buckets_total}-bucket epoch span"
+            )
+        worst = max(census.values(), default=0)
+        if worst > max_files:
+            raise RuntimeError(
+                f"soak: a bucket holds {worst} files (> {max_files}) — "
+                "file counts must be bounded by the merge write, not "
+                "accumulate across cycles"
+            )
+        # Serving read: top-7 earners by latest cumulative earnings —
+        # the warehouse must serve DURING the soak.
+        top = (
+            spark.read.parquet(income_path)
+            .groupBy("bls_key")
+            .agg(F.max_by("earnings", "epoch").alias("earnings"))
+            .orderBy(F.desc("earnings"), F.asc("bls_key"))
+            .limit(7)
+            .collect()
+        )
+        if not top:
+            raise RuntimeError("soak: serving read returned no rows")
+
+    import time as _time
+
+    for i, cut in enumerate(cuts):
+        t0 = _time.perf_counter()
+        one_cycle(cut)
+        if cycle_hook is not None:
+            cycle_hook(i, _time.perf_counter() - t0, _file_census(income_path))
+
+    rows_before = spark.read.parquet(income_path).count()
+    census_before = _file_census(income_path)
+    one_cycle(cuts[-1])  # T5 replay: must be a no-op
+    rows_after = spark.read.parquet(income_path).count()
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"soak: replay changed row count {rows_before}->{rows_after}"
+        )
+    census_after = _file_census(income_path)
+    if set(census_after) != set(census_before):
+        raise RuntimeError("soak: replay changed the partition census")
+
+    income = spark.read.parquet(income_path)
+    membership = income.select(
+        "bls_key", "epoch", (F.col("bls_key") % N_INDEXES).alias("indexes")
+    )
+    return (
+        income.join(membership, on=["bls_key", "epoch"])
+        .groupBy("indexes", "epoch")
+        .agg(
+            F.sum(F.round(F.col("earnings") * 100).cast("long")).alias(
+                "earnings_cents"
+            ),
+            F.sum(F.round(F.col("losses") * 100).cast("long")).alias(
+                "losses_cents"
+            ),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+
+
+@register(
+    "pipeline_warehouse_soak",
+    tags=("pipeline", "incremental", "T1", "T2", "T3", "T5", "K1", "J3"),
+    oracle=f"""
+WITH b AS (
+  SELECT user_id % {N_KEYS} AS user_id,
+         epoch_us(ts) // {MICROS_PER_EPOCH} AS epoch,
+         max("value") AS balance
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT user_id, epoch,
+         CAST(round((balance + 0.0 - lag(balance) OVER w) * 100) AS BIGINT)
+           AS delta,
+         epoch - lag(epoch) OVER w > 1 AS gap
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch)
+), g AS (
+  SELECT *, min(CASE WHEN gap THEN epoch END)
+              OVER (PARTITION BY user_id) AS first_gap
+  FROM l
+), t AS (
+  SELECT * FROM g WHERE first_gap IS NULL OR epoch < first_gap
+), inc AS (
+  SELECT user_id, epoch,
+         coalesce(sum(CASE WHEN delta > 0 THEN delta END) OVER cum, 0)
+           AS e_cents,
+         0 - coalesce(sum(CASE WHEN delta < 0 THEN delta END) OVER cum, 0)
+           AS l_cents
+  FROM t
+  WINDOW cum AS (PARTITION BY user_id ORDER BY epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id % {N_INDEXES} AS indexes, epoch,
+       CAST(sum(e_cents) AS BIGINT) AS earnings_cents,
+       CAST(sum(l_cents) AS BIGINT) AS losses_cents,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM inc GROUP BY 1, 2
+""",
+)
+def pipeline_warehouse_soak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten incremental S1→W1→J3→serve cycles plus a replay over the
+    epoch-bucket-partitioned warehouse; the final index rollup must
+    equal the single-shot batch recompute (the oracle). See the module
+    docstring for the operational contracts each cycle enforces."""
+    balances = _hourly_balances(spark, sf_dir)
+    warehouse = tempfile.mkdtemp(prefix="soak_wh_")
+    try:
+        out = run_soak_cycles(spark, balances, warehouse)
+        # Materialize before the temp dir disappears (same pattern as
+        # the other warehouse-backed catalog queries; bounded output —
+        # one row per (index, epoch)).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)

@@ -86,6 +86,7 @@ def incremental_income_run(
     key: str = "bls_key",
     time: str = "epoch",
     money_scale: int | None = None,
+    epochs_per_bucket: int | None = None,
 ) -> DataFrame:
     """One incremental run: resume seeded keys, bootstrap new keys,
     upsert income rows, advance the runner state. Returns the income
@@ -96,6 +97,14 @@ def incremental_income_run(
     through the SAME single windowed job — the seed join supplies
     per-key cumulative state where it exists and nulls where it
     doesn't, which is exactly the bootstrap semantics.
+
+    ``epochs_per_bucket``: when set, the income table is written
+    epoch-bucket PARTITIONED (``write_time_partitioned``) — each run
+    merges and swaps only the buckets its new rows touch, so
+    steady-state per-cycle write cost is bounded by the batch's epoch
+    span, NOT by table history (the flat default re-merges the whole
+    table every run — fine for tests, wrong for a long-lived
+    warehouse; the soak pipeline measures the difference).
     """
     state = read_state(spark, state_path)
 
@@ -129,7 +138,19 @@ def incremental_income_run(
         return income
 
     # T5: idempotent upsert of the produced rows.
-    write_upsert(spark, income, income_path, keys=[key, time])
+    if epochs_per_bucket is not None:
+        from stakehouse_etl_spark.io.sinks import write_time_partitioned
+
+        write_time_partitioned(
+            spark,
+            income,
+            income_path,
+            keys=[key, time],
+            time_col=time,
+            epochs_per_bucket=epochs_per_bucket,
+        )
+    else:
+        write_upsert(spark, income, income_path, keys=[key, time])
 
     # Advance runner state to the last computed row per key (carrying
     # forward untouched keys' state unchanged).
