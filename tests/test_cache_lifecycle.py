@@ -30,6 +30,7 @@ def _n_persistent(spark) -> int:
 
 
 def test_pair_queries_release_caches_at_action_boundary(spark):
+    caches.release_tracked()  # drain registrations from other modules
     spark.catalog.clearCache()  # isolate from other test modules
     assert _n_persistent(spark) == 0
     for name in PAIR_QUERIES:
@@ -46,6 +47,7 @@ def test_pair_queries_release_caches_at_action_boundary(spark):
 
 
 def test_cache_scope_nests(spark):
+    caches.release_tracked()
     spark.catalog.clearCache()
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta")],
@@ -66,6 +68,7 @@ def test_cache_scope_nests(spark):
 
 
 def test_release_tracked_is_idempotent_and_counts(spark):
+    caches.release_tracked()
     spark.catalog.clearCache()
     docs = spark.createDataFrame(
         [(1, "one two three four five six seven")], "doc_id long, text string"
