@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -339,6 +340,77 @@ def fetch_mev_block_stats(
     return spark.createDataFrame([row], MEV_BLOCK_STATS_SCHEMA)
 
 
+PON_ELIGIBILITY_SCHEMA = StructType(
+    [
+        StructField("bls_key", StringType(), False),
+        StructField("effective_balance", LongType(), True),
+        StructField("slashed", BooleanType(), True),
+        StructField("eligible", BooleanType(), True),
+    ]
+)
+
+# 32 ETH in gwei — the reference's eligibility constant, inlined at
+# src/api_handler.py:863 as the string '32000000000'.
+PON_ELIGIBLE_BALANCE_GWEI = 32_000_000_000
+
+
+def fetch_pon_eligibility(
+    spark: SparkSession,
+    transport: Transport,
+    bls_keys: list[str],
+    base_url: str = "http://beacon:5052",
+) -> DataFrame:
+    """S7: the /ponBlsKey passthrough (reference
+    ``src/api_handler.py:852-867`` + ``serverless.yaml:480-485``): GET
+    the beacon validator state for a BLS key; the validator is PoN
+    "Eligible" iff ``effective_balance == 32000000000`` gwei and not
+    slashed. The reference serves ONE key per HTTP request and
+    compares strings in Python; here the fetched states land as typed
+    rows and the rule is a column expression — the single-key endpoint
+    is the limit case of a batch eligibility sweep, and downstream
+    queries can join ``eligible`` against warehouse tables instead of
+    re-calling the endpoint per key."""
+    rows = []
+    for key in bls_keys:
+        body = transport(
+            f"{base_url}/eth/v1/beacon/states/head/validators/{key}"
+        )
+        v = ((body or {}).get("data") or {}).get("validator") or {}
+        eb = v.get("effective_balance")
+        rows.append(
+            (
+                key,
+                int(eb) if eb is not None else None,
+                bool(v["slashed"]) if "slashed" in v else None,
+            )
+        )
+    fetched = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("bls_key", StringType(), False),
+                StructField("effective_balance", LongType(), True),
+                StructField("slashed", BooleanType(), True),
+            ]
+        ),
+    )
+    eligible = (
+        (F.col("effective_balance") == F.lit(PON_ELIGIBLE_BALANCE_GWEI))
+        & ~F.col("slashed")
+    )
+    return fetched.select(
+        "bls_key",
+        "effective_balance",
+        "slashed",
+        F.when(
+            F.col("effective_balance").isNull() | F.col("slashed").isNull(),
+            F.lit(None).cast("boolean"),
+        )
+        .otherwise(eligible)
+        .alias("eligible"),
+    )
+
+
 def default_transport(url: str) -> dict:  # pragma: no cover - needs network
     """Real HTTP transport (deployments only; never used in tests)."""
     import urllib.request
@@ -369,6 +441,9 @@ __all__ = [
     "fetch_subgraph_entities",
     "fetch_validator_performance",
     "fetch_mev_block_stats",
+    "fetch_pon_eligibility",
+    "PON_ELIGIBILITY_SCHEMA",
+    "PON_ELIGIBLE_BALANCE_GWEI",
     "slot_withdrawals_to_epoch",
     "default_transport",
     "epoch_end_slot",
