@@ -215,3 +215,34 @@ def test_datasource_arrow_path_equals_row_path(spark):
     rows = {tuple(r) for r in load("false").collect()}
     arws = {tuple(r) for r in load("true").collect()}
     assert rows == arws and len(rows) == 33
+
+
+def test_pon_eligibility_degraded_transport(spark):
+    """S7: a failing beacon (transport returns None) must yield typed
+    NULL state + NULL eligibility, never a crash or a false verdict;
+    boundary balances are ineligible."""
+    from stakehouse_etl_spark.io.connectors import fetch_pon_eligibility
+
+    def transport(url: str):
+        key = url.rsplit("/", 1)[1]
+        if key == "0xdead":
+            return None  # endpoint down for this key
+        if key == "0xslash":
+            return {"data": {"validator": {
+                "effective_balance": "32000000000", "slashed": True}}}
+        if key == "0xlow":
+            return {"data": {"validator": {
+                "effective_balance": "31999999999", "slashed": False}}}
+        return {"data": {"validator": {
+            "effective_balance": "32000000000", "slashed": False}}}
+
+    out = {
+        r.bls_key: (r.effective_balance, r.slashed, r.eligible)
+        for r in fetch_pon_eligibility(
+            spark, transport, ["0xdead", "0xslash", "0xlow", "0xok"]
+        ).collect()
+    }
+    assert out["0xdead"] == (None, None, None)
+    assert out["0xslash"] == (32_000_000_000, True, False)
+    assert out["0xlow"] == (31_999_999_999, False, False)
+    assert out["0xok"] == (32_000_000_000, False, True)
