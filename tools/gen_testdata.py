@@ -142,9 +142,11 @@ def gen(sf: float, outdir: str) -> None:
     # fan-out); l_linenumber 1..k per order.
     counts = r.integers(1, 8, n_ord)
     okeys = np.repeat(np.arange(n_ord), counts)
-    linenos = np.concatenate([np.arange(1, c + 1) for c in counts]) \
-        if n_ord else np.array([], np.int64)
     n_li = okeys.size
+    # vectorized within-order line numbers (a per-order Python loop is
+    # minutes at sf10): position minus the order's start offset + 1
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])) if n_ord else np.array([], np.int64)
+    linenos = (np.arange(n_li) - np.repeat(starts, counts) + 1) if n_ord else np.array([], np.int64)
     sdate_lo = np.datetime64("1995-01-02").astype("datetime64[us]").astype(np.int64)
     sdate_hi = np.datetime64("2001-11-05").astype("datetime64[us]").astype(np.int64)
     sdays = r.integers(0, (sdate_hi - sdate_lo) // DAY_US, n_li)
