@@ -458,6 +458,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold_pct: int = 80,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-superset detection: max-containment |A∩B| / min(|A|,|B|).
 
@@ -465,11 +466,26 @@ def containment_pairs(
     long one (union is dominated by the long side); containment is the
     standard complement in training-corpus dedup. Same shingle-join
     shape as :func:`jaccard_pairs`, integer threshold compare.
+
+    ``max_df``: optional document-frequency cap on join postings (the
+    same knob as ``prefix_filter_jaccard_pairs``' ``max_prefix_df`` —
+    the sf1/sf3 ladder measures uncapped shingle self-joins
+    superlinear on dense vocabularies). Capped runs UNDERCOUNT the
+    intersection for pairs whose overlap includes hot shingles, so
+    the containment score becomes a lower bound — acceptable for the
+    scale sweep, not for the ground-truth arm (default None keeps the
+    exact oracle contract).
     """
     sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joinable = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        joinable = sh.join(
+            dfreq.filter(F.col("__df") <= max_df).select("shingle"), "shingle"
+        )
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

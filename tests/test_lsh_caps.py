@@ -184,3 +184,29 @@ def test_prefix_filter_df_cap_bounds_candidates(spark):
     # cap never invents pairs, and the rare-shingle pair survives it
     assert c <= l
     assert (100, 101) in c
+
+
+def test_containment_df_cap_is_lower_bound(spark):
+    """containment_pairs' max_df cap: capped intersections only ever
+    shrink (lower-bound contract), and rare-shingle containments
+    survive the cap."""
+    from stakehouse_etl_spark.operators.dedup import containment_pairs
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, long), (2, "alpha beta gamma delta epsilon")]  # 2 ⊂ 1
+    # 20 docs sharing a hot boilerplate shingle (df=20)
+    rows += [(100 + i, f"common boiler plate x{i} y{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold_pct=80).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold_pct=80, max_df=5).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert (1, 2) in capped  # rare-shingle containment survives
+    for pair, c in capped.items():
+        assert c <= exact[pair] + 1e-12  # lower bound, never inflated
