@@ -353,11 +353,16 @@ def skew_resistant_cumsum(
     :func:`adaptive_cumsum` as the entry point and let its sampled
     key histogram decide (PLANS.md records both paths).
     """
+    # Null-safe key joins throughout: a plain `join(.., key)` would
+    # silently DROP NULL-key rows, while the plain-window form keeps
+    # NULL as an ordinary key group — the two paths must stay
+    # value-identical on any input (tested with NULL keys).
     stats = df.groupBy(key).agg(
         F.min(time).alias("__t_min"), F.max(time).alias("__t_max")
-    )
+    ).withColumnRenamed(key, "__sk")
     chunked = (
-        df.join(stats, key)
+        df.join(stats, F.col(key).eqNullSafe(F.col("__sk")))
+        .drop("__sk")
         .withColumn(
             "__chunk",
             F.when(
@@ -384,11 +389,19 @@ def skew_resistant_cumsum(
     )
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__chunk_total").over(prefix), F.lit(0))
-    ).select(key, "__chunk", "__offset")
+    ).select(
+        F.col(key).alias("__ok"),
+        F.col("__chunk").alias("__oc"),
+        "__offset",
+    )
     return (
-        chunked.join(offsets, [key, "__chunk"])
+        chunked.join(
+            offsets,
+            F.col(key).eqNullSafe(F.col("__ok"))
+            & (F.col("__chunk") == F.col("__oc")),
+        )
         .withColumn(out, F.col("__within") + F.col("__offset"))
-        .drop("__chunk", "__within", "__offset")
+        .drop("__chunk", "__within", "__offset", "__ok", "__oc")
     )
 
 

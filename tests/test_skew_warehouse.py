@@ -230,3 +230,34 @@ def test_adaptive_cumsum_empty_input_falls_back_plain(spark):
     out = adaptive_cumsum(df, key="k", time="t", value="v", out="cum")
     assert out.count() == 0
     assert "__chunk" not in _formatted_plan(out)
+
+
+def test_skew_resistant_cumsum_keeps_null_keys(spark):
+    """NULL keys are an ordinary window group for the plain form; the
+    chunked decomposition must not drop them through its key joins
+    (null-safe equality throughout)."""
+    from pyspark.sql import Window
+
+    from stakehouse_etl_spark.operators.windows import skew_resistant_cumsum
+
+    df = spark.createDataFrame(
+        [(None, 1, 5), (None, 2, 7), ("a", 1, 1), ("a", 3, 2)],
+        "k string, t long, v long",
+    )
+    got = {
+        (r.k, r.t): r.cum
+        for r in skew_resistant_cumsum(df, "k", "t", "v", "cum").collect()
+    }
+    plain = {
+        (r.k, r.t): r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("v").over(
+                Window.partitionBy("k").orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == plain
+    assert (None, 2) in got and got[(None, 2)] == 12
