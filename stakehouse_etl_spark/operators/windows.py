@@ -530,15 +530,27 @@ def skew_resistant_rank(
     # coff is ~n/chunk_width rows — joined on exactly the window
     # partitioning key (partitioning reuse, no broadcast: at scale it
     # does not fit an executor). voff is #distinct-values rows —
-    # broadcast-sized.
+    # broadcast-sized. Joins are NULL-SAFE on the value column: a NULL
+    # rank value is an ordinary group for the window forms (desc →
+    # NULLS LAST in both the decomposition's prefix windows and the
+    # plain global window), and a null-unsafe join would silently drop
+    # those rows (same fix as skew_resistant_cumsum).
+    coff2 = coff.select(
+        F.col(value).alias("__cv"), F.col("__chunk").alias("__cc2"), "__coff"
+    )
+    voff2 = voff.select(F.col(value).alias("__vv"), "__voff")
     return (
-        ranked.join(coff, [value, "__chunk"])
-        .join(F.broadcast(voff), [value])
+        ranked.join(
+            coff2,
+            F.col(value).eqNullSafe(F.col("__cv"))
+            & (F.col("__chunk") == F.col("__cc2")),
+        )
+        .join(F.broadcast(voff2), F.col(value).eqNullSafe(F.col("__vv")))
         .withColumn(
             out,
             (F.col("__voff") + F.col("__coff") + F.col("__within")).cast("long"),
         )
-        .drop("__chunk", "__within", "__voff", "__coff")
+        .drop("__chunk", "__within", "__voff", "__coff", "__cv", "__cc2", "__vv")
     )
 
 

@@ -261,3 +261,29 @@ def test_skew_resistant_cumsum_keeps_null_keys(spark):
     }
     assert got == plain
     assert (None, 2) in got and got[(None, 2)] == 12
+
+
+def test_skew_resistant_rank_keeps_null_values(spark):
+    """NULL rank-values are ranked last (desc) by the plain global
+    window; the decomposition must agree and must not drop them."""
+    from pyspark.sql import Window
+
+    from stakehouse_etl_spark.operators.windows import skew_resistant_rank
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10), (4, 7), (5, None)],
+        "id long, v long",
+    )
+    got = {
+        r.id: r.rank
+        for r in skew_resistant_rank(df, value="v", id_col="id").collect()
+    }
+    plain = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id"))),
+        ).collect()
+    }
+    assert got == plain
+    assert len(got) == 5
