@@ -583,8 +583,13 @@ def global_prefix_sum(
     offs = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(w_c), F.lit(0))
     ).select("__chunk", "__off")
+    # null-safe: a NULL id makes __chunk NULL; the window form keeps
+    # that row (NULLS FIRST under asc), so the join-back must too.
+    offs2 = offs.withColumnRenamed("__chunk", "__oc")
     return (
-        local.join(F.broadcast(offs), "__chunk")
+        local.join(
+            F.broadcast(offs2), F.col("__chunk").eqNullSafe(F.col("__oc"))
+        )
         .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
-        .drop("__chunk", "__local", "__off")
+        .drop("__chunk", "__local", "__off", "__oc")
     )
