@@ -119,19 +119,31 @@ def asof_join(
     lcols = [c for c in left.columns if c not in keys and c != left_time]
     rcols = [c for c in right.columns if c not in keys and c != right_time]
 
+    # The right side travels as ONE struct (non-null per right row even
+    # when its fields are null) so the window fill attaches the latest
+    # right ROW atomically. Filling each right column independently
+    # with last(..., ignorenulls) would (a) skip a right row whose
+    # value is genuinely NULL in favor of an older one, and (b) stitch
+    # a chimera from different right rows when several columns hold
+    # NULLs — both wrong against merge_asof semantics.
+    rstruct = F.struct(*[F.col(c).alias(c) for c in rcols])
+    rstruct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols
+    ) + ">"
+
     tagged_l = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in rcols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     tagged_r = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias("__r_" + c) for c in rcols],
+        rstruct.alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -151,19 +163,17 @@ def asof_join(
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
+    filled_struct = (
+        F.last("__r", ignorenulls=True).over(w)
+        if direction == "backward"
+        else F.first("__r", ignorenulls=True).over(w)
+    )
     fill = unioned.select(
         *keys,
         "__t",
         "__side",
         *lcols,
-        *[
-            (
-                F.last("__r_" + c, ignorenulls=True).over(w)
-                if direction == "backward"
-                else F.first("__r_" + c, ignorenulls=True).over(w)
-            ).alias(c)
-            for c in rcols
-        ],
+        *[filled_struct.getField(c).alias(c) for c in rcols],
     )
     return fill.filter(F.col("__side") == 1).drop("__side").withColumnRenamed(
         "__t", left_time

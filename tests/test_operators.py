@@ -231,3 +231,26 @@ def test_paginate(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "c long")
     out = [r["c"] for r in paginate(df, "c", after=10, page_size=5).collect()]
     assert out == [11, 12, 13, 14, 15]
+
+
+def test_asof_join_null_right_values_no_chimera(spark):
+    """A right row with NULL fields is still THE as-of row (no
+    skipping to an older non-null one, no stitching columns from
+    different right rows) — merge_asof semantics."""
+    from stakehouse_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 6), ("k", 4)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", 3, 9, 2), ("k", 5, 1, None)],
+        "k string, rt long, a long, b long",
+    )
+    out = {
+        r.t: (r.a, r.b)
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt"
+        ).collect()
+    }
+    # t=6: latest right row is rt=5 -> (1, NULL), NOT (1, 2) chimera
+    assert out[6] == (1, None)
+    # t=4: rt=3 -> (9, 2)
+    assert out[4] == (9, 2)
