@@ -147,17 +147,31 @@ def asof_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
 
+    # Final __r tiebreak: several right rows can share one timestamp;
+    # without a total order the window fill would pick whichever the
+    # sort happened to place last — nondeterministic across runs and
+    # engines. Struct comparison gives a deterministic winner (the
+    # field-lexicographic max for backward / min for forward). Left
+    # rows' NULL __r participates harmlessly (ignorenulls skips it).
     if direction == "backward":
         # Right rows sort before left rows at the same time → "at or before".
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__t").asc(),
+                F.col("__side").asc(),
+                F.col("__r").asc_nulls_last(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .orderBy(
+                F.col("__t").asc(),
+                F.col("__side").desc(),
+                F.col("__r").asc_nulls_first(),
+            )
             .rowsBetween(0, Window.unboundedFollowing)
         )
     else:

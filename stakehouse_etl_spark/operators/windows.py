@@ -435,7 +435,11 @@ def adaptive_cumsum(
     Both paths are value-identical for integer values (the chunked
     variant is exact under any chunking), so dispatch never changes
     results — only the plan shape (asserted in
-    tests/test_skew_warehouse.py).
+    tests/test_skew_warehouse.py). Contract shared with every windowed
+    running total in this engine: ``(key, time)`` should be unique —
+    with tied times, ROWS-frame running sums are order-dependent at
+    the tie in ANY implementation (plain or chunked), so callers break
+    ties in the time tuple (the catalog convention).
     """
     if hot_share is None:
         hot_share = 1.0 / n_chunks

@@ -254,3 +254,43 @@ def test_asof_join_null_right_values_no_chimera(spark):
     assert out[6] == (1, None)
     # t=4: rt=3 -> (9, 2)
     assert out[4] == (9, 2)
+
+
+def test_asof_join_matches_naive_reference(spark):
+    """Property-style check vs a naive per-key Python as-of, including
+    duplicate right timestamps (deterministic max-struct winner) and
+    left times before any right row (NULL attach)."""
+    import random
+
+    from stakehouse_etl_spark.operators.joins import asof_join
+
+    rng = random.Random(13)
+    keys = ["a", "b", "c"]
+    right_rows = [
+        (k, rng.randint(0, 20), rng.randint(0, 9), rng.randint(0, 9))
+        for k in keys
+        for _ in range(12)
+    ]
+    left_rows = [(k, rng.randint(0, 25)) for k in keys for _ in range(15)]
+    # force duplicate right timestamps
+    right_rows += [("a", 5, 1, 1), ("a", 5, 3, 0), ("a", 5, 3, 2)]
+
+    left = spark.createDataFrame(left_rows, "k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, rt long, a long, b long")
+
+    got = sorted(
+        (r.k, r.t, r.a, r.b)
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt"
+        ).collect()
+    )
+
+    expect = []
+    for k, t in left_rows:
+        cands = [(rt, a, b) for (rk, rt, a, b) in right_rows if rk == k and rt <= t]
+        if cands:
+            rt, a, b = max(cands)  # max (time, struct) = the tiebreak rule
+            expect.append((k, t, a, b))
+        else:
+            expect.append((k, t, None, None))
+    assert got == sorted(expect)
