@@ -295,25 +295,35 @@ def minhash_lsh_pairs(
     # intermediate table anyway.
     sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
     candidates = _band_candidates(sh, id_col, max_bucket)
-    # Exact-verify CANDIDATES ONLY: route each candidate pair's two
-    # shingle streams into one equi-joined intersection count. Work is
-    # O(candidates × shingles/doc) — the corpus-wide all-pairs join of
-    # plain jaccard_pairs never materializes, which is the entire point
-    # of LSH at 100 TB.
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Exact-verify CANDIDATES ONLY, set-based (same shape as the
+    # prefix-filter tier's verification): one groupBy folds each doc's
+    # shingles into a sorted array, the bounded candidate list joins a
+    # set onto each side, and `array_intersect` counts the overlap
+    # inside codegen. Two shuffles on the verify path instead of the
+    # previous exploded double-join's three, and the corpus-wide
+    # all-pairs join of plain jaccard_pairs never materializes — the
+    # entire point of LSH at 100 TB. (Per-doc arrays are bounded by
+    # the doc's own size — the same row that already held its text.)
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__set"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__set_a", "__set_b")).cast("long")
+        )
         .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
         .select(
