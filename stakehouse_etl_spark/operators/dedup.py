@@ -665,21 +665,31 @@ def incremental_minhash_dedup(
         .select("id_new", "id_old")
         .distinct()
     )
+    # Set-based candidate verification (same shape as
+    # minhash_lsh_pairs): per-doc sorted shingle sets once, then
+    # array_intersect over the bounded candidate list — no exploded
+    # double-join.
     sh_all = sh_c.unionByName(sh_b)
-    counts = sh_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh_all.select(F.col(id_col).alias("id_old"), "shingle")
-    b = sh_all.select(F.col(id_col).alias("id_new"), "shingle")
-    inter = (
-        cand.join(a, "id_old")
-        .join(b, ["id_new", "shingle"])
-        .groupBy("id_new", "id_old")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sets = sh_all.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__set"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    nn = counts.select(F.col(id_col).alias("id_new"), F.col("n_sh").alias("n_new"))
-    no = counts.select(F.col(id_col).alias("id_old"), F.col("n_sh").alias("n_old"))
+    so = sets.select(
+        F.col(id_col).alias("id_old"),
+        F.col("__set").alias("__set_o"),
+        F.col("n_sh").alias("n_old"),
+    )
+    sn = sets.select(
+        F.col(id_col).alias("id_new"),
+        F.col("__set").alias("__set_n"),
+        F.col("n_sh").alias("n_new"),
+    )
     drops = (
-        inter.join(nn, "id_new")
-        .join(no, "id_old")
+        cand.join(so, "id_old")
+        .join(sn, "id_new")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__set_o", "__set_n")).cast("long")
+        )
         .withColumn("union_sz", F.col("n_new") + F.col("n_old") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
         .select("id_new")
