@@ -226,3 +226,47 @@ def test_intradoc_dedup_idempotent(spark, texts):
         else:
             expect = hashlib.md5(once.encode()).hexdigest()
             assert got[i] == expect, f"doc {i}: {t!r}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["h", "h", "h", "a", "b", "c"]),  # skewed keys
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_adaptive_cumsum_equals_plain_window_property(spark, rows):
+    """adaptive_cumsum == plain per-key running total on arbitrary
+    skewed integer inputs, whichever plan the dispatcher picks.
+    (key, time) is deduplicated first — the engine-wide unique-time
+    contract for ROWS-frame running totals."""
+    from pyspark.sql import Window
+
+    from stakehouse_etl_spark.operators.windows import adaptive_cumsum
+
+    seen = {}
+    for k, t, v in rows:
+        seen[(k, t)] = v
+    data = [(k, t, v) for (k, t), v in seen.items()]
+    df = spark.createDataFrame(data, "k string, t long, v long")
+    got = {
+        (r.k, r.t): r.cum
+        for r in adaptive_cumsum(df, key="k", time="t", value="v", out="cum").collect()
+    }
+    plain = {
+        (r.k, r.t): r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("v").over(
+                Window.partitionBy("k").orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == plain
