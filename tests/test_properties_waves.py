@@ -270,3 +270,80 @@ def test_adaptive_cumsum_equals_plain_window_property(spark, rows):
         ).collect()
     }
     assert got == plain
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=60),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_minhash_lsh_pipeline_matches_naive(spark, texts):
+    """THIRD-implementation check of the full MinHash-LSH pipeline:
+    Spark vs a from-scratch Python mirror (shingle -> md5-prefix hash
+    -> 16 affine permutations -> 4-band md5 keys -> bucket candidates
+    -> exact-Jaccard verify). The DuckDB oracle shares the SQL design;
+    this one shares nothing but the constants."""
+    import hashlib
+
+    from stakehouse_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_PRIME,
+        _MH_A,
+        _MH_B,
+        minhash_lsh_pairs,
+    )
+
+    def sh_set(text):
+        toks = [t for t in text.lower().strip().split() if t is not None]
+        toks = [t for t in toks if t != ""]
+        if len(toks) < 3:
+            return set()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } - {""}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def sig(shs):
+        hs = [h32(s) for s in shs]
+        return [
+            min((_MH_A[j] * h + _MH_B[j]) % MINHASH_PRIME for h in hs)
+            for j in range(len(_MH_A))
+        ]
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sets = {i: sh_set(t) for i, t in docs}
+    sigs = {i: sig(s) for i, s in sets.items() if s}
+    buckets = {}
+    for i, sg in sigs.items():
+        for b in range(LSH_BANDS):
+            key_txt = ",".join(
+                str(sg[b * LSH_ROWS + r]) for r in range(LSH_ROWS)
+            )
+            buckets.setdefault(
+                (b, hashlib.md5(key_txt.encode()).hexdigest()), []
+            ).append(i)
+    cands = set()
+    for members in buckets.values():
+        for x in members:
+            for y in members:
+                if x < y:
+                    cands.add((x, y))
+    expect = set()
+    for a, b in cands:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 100 >= union * 20:
+            expect.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold_pct=20).collect()
+    }
+    assert got == expect
