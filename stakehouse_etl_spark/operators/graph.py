@@ -120,4 +120,13 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+    else:
+        # Loop exhausted without a convergence break: with pointer
+        # jumping this needs component diameter > 2^max_iter — if it
+        # ever happens, under-merged components are silently WRONG
+        # downstream (dedup keep-sets, cluster ids). Fail loud.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "pointer-jumping passes (diameter > 2^max_iter?)"
+        )
     return labels

@@ -294,3 +294,21 @@ def test_asof_join_matches_naive_reference(spark):
         else:
             expect.append((k, t, None, None))
     assert got == sorted(expect)
+
+
+def test_connected_components_fails_loud_on_iteration_exhaustion(spark):
+    """A max_iter too small for the graph's diameter must raise, not
+    return silently under-merged components."""
+    import pytest
+
+    from stakehouse_etl_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    # a 40-edge chain needs ~log2(40) ≈ 6 pointer-jumping passes
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, src="a", dst="b", max_iter=2)
+    # and with enough passes it resolves to one component
+    comp = connected_components(chain, src="a", dst="b", max_iter=20)
+    assert comp.select("component").distinct().count() == 1
