@@ -382,6 +382,14 @@ def write_upsert(
     """K1: INSERT … ON DUPLICATE KEY UPDATE → newest-wins merge +
     staged write + atomic rename (no driver-side materialization).
 
+    Within-batch contract: ``incoming`` should be key-unique — two
+    rows sharing a key in ONE batch resolve to an arbitrary (but
+    single) winner, since the newest-wins ordering only versions
+    existing-vs-incoming, not row order inside a batch (the reference
+    applies its executemany row-by-row, where the last statement wins;
+    callers that need ordered within-batch resolution use
+    ``write_cdc``'s ``seq_cols``).
+
     CONTRACT with ``partition_cols``: partition values must be
     functionally determined by the key (e.g. the epoch bucket of an
     entity-time key) — only the batch's partitions are read and

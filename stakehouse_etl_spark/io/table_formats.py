@@ -126,12 +126,14 @@ def apply_cdc_delta(
     path: str,
     keys: list[str],
     op_col: str = "op",
+    delete_val: str = "D",
 ) -> None:
     """CDC apply via Delta MERGE: upserts + deletes in one atomic
-    commit — the contract of ``io.sinks.write_cdc`` (op in
-    {'upsert','delete'})."""
+    commit — the contract of ``io.sinks.write_cdc``, including the
+    SAME delete marker default (``delete_val='D'``) so the two arms
+    are drop-in interchangeable."""
     tbl = _delta_table(spark, path)
-    is_del = F.col(op_col) == F.lit("delete")
+    is_del = F.col(op_col).eqNullSafe(F.lit(delete_val))
     if tbl is None:
         changes.filter(~is_del).drop(op_col).write.format("delta").mode(
             "overwrite"
@@ -140,9 +142,9 @@ def apply_cdc_delta(
     (
         tbl.alias("t")
         .merge(changes.alias("s"), _merge_cond(keys))
-        .whenMatchedDelete(condition=f"s.{op_col} = 'delete'")
-        .whenMatchedUpdateAll(condition=f"s.{op_col} <> 'delete'")
-        .whenNotMatchedInsertAll(condition=f"s.{op_col} <> 'delete'")
+        .whenMatchedDelete(condition=f"s.{op_col} = '{delete_val}'")
+        .whenMatchedUpdateAll(condition=f"s.{op_col} <> '{delete_val}'")
+        .whenNotMatchedInsertAll(condition=f"s.{op_col} <> '{delete_val}'")
         .execute()
     )
 

@@ -347,3 +347,81 @@ def test_minhash_lsh_pipeline_matches_naive(spark, texts):
         for r in minhash_lsh_pairs(df, threshold_pct=20).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # a sequence of batches of (key, value, op)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=99),
+                st.sampled_from(["U", "U", "U", "D"]),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sink_family_matches_dict_semantics(spark, batches):
+    """K1 upsert + CDC apply vs naive dict semantics over random batch
+    sequences, through the REAL staged-rename sinks (partitioned by
+    key bucket, so the per-partition swap + drop_dirs paths run).
+    Batches are made key-unique first — the documented within-batch
+    contract for write_upsert; write_cdc resolves in-batch order via
+    seq_cols and keeps the last op per key."""
+    import os
+    import shutil
+    import tempfile
+
+    from stakehouse_etl_spark.io.sinks import write_cdc, write_upsert
+
+    work = tempfile.mkdtemp(prefix="sink_prop_")
+    try:
+        up_path = os.path.join(work, "up")
+        cdc_path = os.path.join(work, "cdc")
+        up_state: dict[int, int] = {}
+        cdc_state: dict[int, int] = {}
+        wrote_cdc = False
+        for batch in batches:
+            uniq = {}
+            for k, v, op in batch:  # last occurrence wins, like a log
+                uniq[k] = (v, op)
+            rows = [
+                (k, v, op, k % 2) for k, (v, op) in sorted(uniq.items())
+            ]
+            df = spark.createDataFrame(
+                rows, "k long, v long, op string, bucket long"
+            )
+            write_upsert(
+                spark,
+                df.selectExpr("k", "v", "bucket"),
+                up_path,
+                keys=["k"],
+                partition_cols=["bucket"],
+            )
+            write_cdc(
+                spark, df, cdc_path, keys=["k"], seq_cols=["v"],
+                partition_cols=["bucket"],
+            )
+            wrote_cdc = True
+            for k, (v, op) in uniq.items():
+                up_state[k] = v
+                if op == "D":
+                    cdc_state.pop(k, None)
+                else:
+                    cdc_state[k] = v
+        got_up = {r.k: r.v for r in spark.read.parquet(up_path).collect()}
+        assert got_up == up_state
+        try:
+            got_cdc = {
+                r.k: r.v for r in spark.read.parquet(cdc_path).collect()
+            }
+        except Exception:
+            got_cdc = {}  # table never materialized (all-delete start)
+        assert got_cdc == cdc_state
+        assert wrote_cdc
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -82,8 +82,8 @@ def test_cdc_and_time_travel_parity():
     work = tempfile.mkdtemp(prefix="delta_par_")
     try:
         hand, delt = os.path.join(work, "hand"), os.path.join(work, "delta")
-        b1 = [(1, 10, "upsert"), (2, 20, "upsert")]
-        b2 = [(1, 0, "delete"), (3, 30, "upsert")]
+        b1 = [(1, 10, "U"), (2, 20, "U")]
+        b2 = [(1, 0, "D"), (3, 30, "U")]
         for rows in [b1, b2]:
             df = spark.createDataFrame(rows, "k long, v long, op string")
             write_cdc(spark, df, hand, keys=["k"], seq_cols=["v"])
