@@ -287,3 +287,45 @@ def test_skew_resistant_rank_keeps_null_values(spark):
     }
     assert got == plain
     assert len(got) == 5
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join config actually fires: a 90%-hot
+    join key gets split at runtime (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) instead of funneling the hot partition
+    through one task. Executed-plan inspection needs collect() on the
+    SAME QueryExecution — a noop write runs a different one."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(1_000_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 910_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
