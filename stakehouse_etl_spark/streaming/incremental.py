@@ -178,13 +178,20 @@ def backfill_income(
     key: str = "bls_key",
     time: str = "epoch",
     money_scale: int | None = None,
+    epochs_per_bucket: int | None = None,
 ) -> DataFrame:
     """T4: repair = the same deterministic computation over an explicit
     range, upserted idempotently (partition replace). The reference's
     back-fillers replay data_handler over missing epochs
     (back-fillers/validator-balances-backfiller.py:127-189); here the
     cumulative recompute reads full history up to ``hi`` (correctness
-    first), writes only [lo, hi]."""
+    first), writes only [lo, hi].
+
+    ``epochs_per_bucket`` must match the income table's layout: a
+    backfill into an epoch-bucket-partitioned warehouse (the
+    ``incremental_income_run`` option) rewrites exactly the repaired
+    buckets; a flat upsert into a partitioned table would
+    schema-mismatch on the partition column."""
     income = cumulative_income(
         balances.filter(F.col(time) <= hi),
         withdrawals=withdrawals,
@@ -193,5 +200,17 @@ def backfill_income(
         stop_at_gap=False,
         money_scale=money_scale,
     ).filter((F.col(time) >= lo) & (F.col(time) <= hi))
-    write_upsert(spark, income, income_path, keys=[key, time])
+    if epochs_per_bucket is not None:
+        from stakehouse_etl_spark.io.sinks import write_time_partitioned
+
+        write_time_partitioned(
+            spark,
+            income,
+            income_path,
+            keys=[key, time],
+            time_col=time,
+            epochs_per_bucket=epochs_per_bucket,
+        )
+    else:
+        write_upsert(spark, income, income_path, keys=[key, time])
     return income

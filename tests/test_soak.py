@@ -90,3 +90,54 @@ def test_soak_equals_batch_and_obeys_contracts(spark):
     }
     assert inc == expect
     assert EPOCHS_PER_BUCKET > 0
+
+
+def test_backfill_repairs_bucketed_warehouse(spark):
+    """T4 into the epoch-bucket-partitioned warehouse: a gap-stalled
+    key resumes after a backfill rewrites exactly the repaired
+    buckets; the repaired table equals a clean full recompute."""
+    from pyspark.sql import functions as F
+
+    from stakehouse_etl_spark.operators.windows import cumulative_income
+    from stakehouse_etl_spark.streaming.incremental import (
+        backfill_income,
+        incremental_income_run,
+    )
+
+    # key "a": epochs 0-9 with a hole at 4 (gap-stop halts at 3)
+    rows = [("a", e, float(100 + e)) for e in range(10) if e != 4]
+    bal_holed = spark.createDataFrame(rows, "bls_key string, epoch long, balance double")
+    bal_full = spark.createDataFrame(
+        [("a", e, float(100 + e)) for e in range(10)],
+        "bls_key string, epoch long, balance double",
+    )
+    import os
+    import shutil
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bf_")
+    try:
+        sp, ip = os.path.join(wh, "s"), os.path.join(wh, "i")
+        incremental_income_run(
+            spark, bal_holed, state_path=sp, income_path=ip,
+            money_scale=100, epochs_per_bucket=5,
+        )
+        assert spark.read.parquet(ip).agg(F.max("epoch")).first()[0] == 3
+        # repair: the hole's epoch arrives; backfill [4, 9]
+        backfill_income(
+            spark, bal_full, ip, lo=4, hi=9,
+            money_scale=100, epochs_per_bucket=5,
+        )
+        got = {
+            (r.bls_key, r.epoch): (r.earnings, r.losses)
+            for r in spark.read.parquet(ip).collect()
+        }
+        expect = {
+            (r.bls_key, r.epoch): (r.earnings, r.losses)
+            for r in cumulative_income(
+                bal_full, key="bls_key", time="epoch", money_scale=100
+            ).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
