@@ -210,3 +210,24 @@ def test_containment_df_cap_is_lower_bound(spark):
     assert (1, 2) in capped  # rare-shingle containment survives
     for pair, c in capped.items():
         assert c <= exact[pair] + 1e-12  # lower bound, never inflated
+
+
+def test_cosine_topk_arrow_arm_value_identical(spark):
+    """The Arrow matmul arm of cosine_topk must be bit-identical to
+    the pure-expression arm — same exact integer dots, same IEEE
+    division order, zero-norm candidates NULL in both."""
+    from stakehouse_etl_spark.operators.similarity import cosine_topk
+
+    rows = []
+    rng_vals = [0.3, -0.2, 0.9, 0.05, -0.7]
+    for i in range(30):
+        rows.append((i, [rng_vals[(i + j) % 5] * ((j % 7) - 3) for j in range(8)]))
+    rows.append((98, [0.0] * 8))  # zero-norm candidate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(tuple, cosine_topk(emb, [1, 2], k=5, use_arrow=False).collect())
+    )
+    b = sorted(
+        map(tuple, cosine_topk(emb, [1, 2], k=5, use_arrow=True).collect())
+    )
+    assert a == b
