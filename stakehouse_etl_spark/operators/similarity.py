@@ -190,12 +190,59 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Assign every vector to its best (max-cosine) cell: corpus ×
     broadcast(codebook) → argmax per vector. One narrow pass over the
     corpus, no shuffle of the vectors themselves; the inverted lists
     exist only logically as the ``cell`` column (at 100 TB you would
-    `.repartition("cell")`+persist them as the index)."""
+    `.repartition("cell")`+persist them as the index).
+
+    ``use_arrow=True``: the argmax runs as an Arrow-batched numpy
+    matmul against the collected codebook (bounded: n_cells rows) —
+    a pure map, no n_cells× row expansion, no per-vector window
+    shuffle; value-identical including the lowest-cell tiebreak and
+    zero-norm → cell of index 0. (The EXPRESSION-inlined variant of
+    this idea — literal-array dots + array_max — measured 4× slower
+    than the window form; the matmul is what wins, not the inlining.)
+    """
+    if use_arrow:
+        import pandas as pd  # noqa: PLC0415
+
+        cents = centroids.select("cell", "c_emb", "c_norm").collect()
+        C = np.array([r["c_emb"] for r in cents], dtype=np.int64)
+        CN = np.array([r["c_norm"] for r in cents], dtype=np.float64)
+        CIDS = np.array([r["cell"] for r in cents], dtype=np.int64)
+        order = np.argsort(CIDS)  # ties resolve to the LOWEST cell id
+        C, CN, CIDS = C[order], CN[order], CIDS[order]
+
+        def assign(batches):
+            for pdf in batches:
+                E = np.stack(pdf["q_emb"].to_numpy()).astype(np.int64)
+                norm = (E * E).sum(axis=1)
+                dots = E @ C.T
+                denom = np.sqrt(norm.astype(np.float64))[:, None] * np.sqrt(
+                    CN
+                )[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom != 0, dots / denom, -2.0)
+                best = CIDS[np.argmax(cos, axis=1)]  # first max = lowest cell
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(np.int64),
+                        "q_emb": pdf["q_emb"],
+                        "norm": norm,
+                        "cell": best,
+                    }
+                )
+
+        base = embeddings.select(
+            F.col(id_col), quantize(F.col(emb_col)).alias("q_emb")
+        )
+        return base.mapInPandas(
+            assign,
+            f"{id_col} long, q_emb array<long>, norm long, cell long",
+        )
     scored = (
         embeddings.select(
             F.col(id_col), quantize(F.col(emb_col)).alias("q_emb")
@@ -227,6 +274,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: each query scores only the vectors in its
     ``n_probe`` closest cells — the classic accuracy/cost dial
@@ -234,7 +282,7 @@ def ivf_topk(
     drops from O(corpus) to O(corpus·n_probe/n_cells); the candidate
     join is an equi-join on ``cell``, never a cross join."""
     cents = ivf_centroids(embeddings, n_cells, id_col, emb_col)
-    assign = ivf_assign(embeddings, cents, id_col, emb_col)
+    assign = ivf_assign(embeddings, cents, id_col, emb_col, use_arrow=use_arrow)
 
     q = assign.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

@@ -231,3 +231,24 @@ def test_cosine_topk_arrow_arm_value_identical(spark):
         map(tuple, cosine_topk(emb, [1, 2], k=5, use_arrow=True).collect())
     )
     assert a == b
+
+
+def test_ivf_arrow_assign_value_identical(spark):
+    """ivf_topk's Arrow assignment arm == the window arm, including
+    cell tiebreaks and a zero-norm vector."""
+    from stakehouse_etl_spark.operators.similarity import ivf_topk
+
+    rows = []
+    vals = [0.4, -0.1, 0.8, 0.02, -0.6]
+    for i in range(40):
+        rows.append((i, [vals[(i + j) % 5] * ((j % 5) - 2) for j in range(8)]))
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, ivf_topk(emb, [10, 11], k=5, n_cells=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, [10, 11], k=5, n_cells=4, use_arrow=True).collect(),
+        )
+    )
+    assert a == b
