@@ -425,3 +425,78 @@ def test_sink_family_matches_dict_semantics(spark, batches):
         assert wrote_cdc
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),  # key
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=24),  # epoch
+                st.integers(min_value=0, max_value=500),  # balance
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.lists(st.integers(min_value=0, max_value=24), min_size=1, max_size=3),
+)
+def test_incremental_runs_equal_batch_property(spark, panel, raw_cuts):
+    """T1/T3/T5 property: any sequence of incremental runs over
+    monotone data prefixes (plus a replay) produces exactly the
+    single-shot batch income — gaps, mid-stream bootstraps, and
+    arbitrary cut points included."""
+    import os
+    import shutil
+    import tempfile
+
+    from stakehouse_etl_spark.operators.windows import cumulative_income
+    from stakehouse_etl_spark.streaming.incremental import (
+        incremental_income_run,
+    )
+
+    rows = []
+    for k, series in panel.items():
+        dedup = {}
+        for e, v in series:
+            dedup[e] = float(v)
+        rows += [(k, e, v) for e, v in sorted(dedup.items())]
+    df = spark.createDataFrame(rows, "bls_key long, epoch long, balance double")
+    hi = max(e for _, e, _ in rows)
+    cuts = sorted(set(raw_cuts + [hi]))
+
+    wh = tempfile.mkdtemp(prefix="incprop_")
+    try:
+        sp, ip = os.path.join(wh, "s"), os.path.join(wh, "i")
+        for c in cuts + [cuts[-1]]:  # final replay = T5 no-op probe
+            incremental_income_run(
+                spark,
+                df.filter(F.col("epoch") <= c),
+                state_path=sp,
+                income_path=ip,
+                money_scale=100,
+            )
+        try:
+            got = {
+                (r.bls_key, r.epoch): (r.earnings, r.losses)
+                for r in spark.read.parquet(ip).collect()
+            }
+        except Exception:
+            got = {}  # no rows ever produced (every key single-epoch)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    want = {
+        (r.bls_key, r.epoch): (r.earnings, r.losses)
+        for r in cumulative_income(
+            df, compute_apr=False, money_scale=100
+        ).collect()
+    }
+    # incremental writes only rows it computed; batch emits every
+    # surviving row — compare on the batch's domain
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key]
