@@ -108,6 +108,10 @@ def run_soak_cycles(
 
     row = balances.agg(F.min("epoch"), F.max("epoch")).collect()[0]
     lo, hi = row[0], row[1]
+    if lo is None:
+        raise ValueError(
+            "run_soak_cycles: empty balance input — nothing to soak"
+        )
     n_buckets_total = hi // epochs_per_bucket - lo // epochs_per_bucket + 1
     span = max((hi - lo) // n_cycles, 1)
     cuts = [lo + span * (i + 1) for i in range(n_cycles - 1)] + [hi]

@@ -121,3 +121,31 @@ def test_rank_kernels_on_singleton_and_empty(spark):
     empty = one.filter("id < 0")
     assert skew_resistant_rank(empty, "v", "id").count() == 0
     assert global_prefix_sum(empty, "id", "v").count() == 0
+
+
+def test_near_dup_pairs_empty_and_tiny_inputs(spark):
+    """Empty corpus and sub-shingle-length docs produce zero pairs,
+    not errors, on both tiers."""
+    from stakehouse_etl_spark.operators.dedup import near_dup_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert near_dup_pairs(empty).count() == 0
+    assert near_dup_pairs(empty, tier="exact").count() == 0
+    tiny = spark.createDataFrame(
+        [(1, "one two"), (2, "three")], "doc_id long, text string"
+    )  # < 3 tokens -> no shingles
+    assert near_dup_pairs(tiny).count() == 0
+
+
+def test_soak_empty_input_fails_loud(spark):
+    import tempfile
+
+    import pytest
+
+    from stakehouse_etl_spark.queries.soak import run_soak_cycles
+
+    empty = spark.createDataFrame(
+        [], "bls_key long, epoch long, balance double"
+    )
+    with pytest.raises(ValueError, match="empty balance input"):
+        run_soak_cycles(spark, empty, tempfile.mkdtemp(prefix="soak_e_"))
