@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# One-command reproduction of the full verification + measurement
+# protocol (everything BASELINE.md cites). Total runtime ~1.5-2h on
+# local[32]; each step prints its own artifact.
+#
+#   bash tools/verify_all.sh [--quick]
+#
+# --quick: unit tests + the sf0.01 oracle gate + bench only (~25 min).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/8 unit + property tests =="
+python -m pytest tests/ -q
+
+echo "== 2/8 oracle gate, sf0.01 (the driver's rung) =="
+python tools/check.py /root/testdata/sf0.01
+
+echo "== 3/8 bench (sf0.1 headline suite) =="
+python bench.py
+
+if [[ "${1:-}" == "--quick" ]]; then
+    echo "quick mode: done."
+    exit 0
+fi
+
+echo "== 4/8 oracle gates, sf0.001 + sf0.1 =="
+python tools/check.py /root/testdata/sf0.001
+python tools/check.py /root/testdata/sf0.1
+
+echo "== 5/8 local scale rungs (generate if missing) =="
+for sf in 0.1 1 3; do
+    [[ -d "localdata/sf${sf}" ]] || python tools/gen_testdata.py "${sf}"
+done
+python tools/scaling.py --bench
+
+echo "== 6/8 warehouse soak (sf0.1) =="
+python tools/soak.py /root/testdata/sf0.1 10
+
+echo "== 7/8 streaming throughput =="
+python tools/stream_bench.py 500000 5
+
+echo "== 8/8 serving load test =="
+python tools/loadtest.py
+
+echo "all verification stages complete."
