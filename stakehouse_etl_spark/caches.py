@@ -23,17 +23,34 @@ Scopes nest: an inner scope releases only its own registrations.
 A long-lived service composing pair queries back-to-back holds zero
 cached RDDs between requests (asserted by
 ``tests/test_cache_lifecycle.py`` via ``getPersistentRDDs``).
+
+The registry is THREAD-LOCAL: a multi-threaded service (e.g.
+``tools/loadtest.py`` serves pair queries from a thread pool) gets
+one independent LIFO per thread, so one thread's scope exit can
+never unpersist another thread's still-live cache or pop its
+registrations. Corollary: release on the thread that registered —
+a cache persisted on thread A is invisible to ``release_tracked``
+on thread B (each worker wraps its own action in its own scope,
+which is the natural shape anyway).
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    stack = getattr(_LOCAL, "stack", None)
+    if stack is None:
+        stack = _LOCAL.stack = []
+    return stack
 
 
 def persist_tracked(
@@ -41,18 +58,19 @@ def persist_tracked(
 ) -> DataFrame:
     """``df.persist(level)`` + registration for scoped release."""
     out = df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(out)
+    _tracked().append(out)
     return out
 
 
 def release_tracked(mark: int = 0) -> int:
-    """Unpersist (blocking) every tracked cache registered at or after
-    ``mark``; returns how many were released. Safe to call with dead
-    sessions (unpersist failures are swallowed — the JVM cache is gone
-    with the session anyway)."""
+    """Unpersist (blocking) every cache registered at or after ``mark``
+    ON THIS THREAD; returns how many were released. Safe to call with
+    dead sessions (unpersist failures are swallowed — the JVM cache is
+    gone with the session anyway)."""
+    stack = _tracked()
     n = 0
-    while len(_TRACKED) > mark:
-        df = _TRACKED.pop()
+    while len(stack) > mark:
+        df = stack.pop()
         try:
             df.unpersist(blocking=True)
             n += 1
@@ -64,8 +82,9 @@ def release_tracked(mark: int = 0) -> int:
 @contextmanager
 def cache_scope() -> Iterator[None]:
     """Releases every cache registered inside the ``with`` block on
-    exit — the query layer's action boundary. Nesting-safe."""
-    mark = len(_TRACKED)
+    exit — the query layer's action boundary. Nesting-safe, and
+    thread-isolated (the mark indexes this thread's own stack)."""
+    mark = len(_tracked())
     try:
         yield
     finally:

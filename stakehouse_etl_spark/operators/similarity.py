@@ -115,15 +115,21 @@ def cosine_topk(
     if use_arrow:
         import pandas as pd  # noqa: PLC0415
 
+        # id dtype follows the input schema (ADVICE r3: a string id
+        # worked in the expression arm but crashed here when the
+        # output schema hardcoded long) — ids pass through as python
+        # objects, only embeddings/norms hit numpy.
+        idt = embeddings.schema[id_col].dataType.simpleString()
+
         q_rows = q.collect()  # bounded: |Q| rows
         Q = np.array([r["q_emb"] for r in q_rows], dtype=np.int64)
         QN = np.array([r["q_norm"] for r in q_rows], dtype=np.float64)
-        QIDS = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        QIDS = [r["query_id"] for r in q_rows]
 
         def score(batches):
             for pdf in batches:
                 E = np.stack(pdf["c_emb"].to_numpy()).astype(np.int64)
-                cids = pdf["cand_id"].to_numpy(np.int64)
+                cids = pdf["cand_id"].to_numpy()
                 cn = (E * E).sum(axis=1)
                 dots = E @ Q.T  # exact int64
                 denom = np.sqrt(cn.astype(np.float64))[:, None] * np.sqrt(
@@ -132,7 +138,7 @@ def cosine_topk(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dots.astype(np.float64) / denom
                 n, m = cos.shape
-                out_q = np.repeat(QIDS[None, :], n, axis=0).ravel()
+                out_q = np.tile(np.array(QIDS, dtype=object), n)
                 out_c = np.repeat(cids, m)
                 flat = cos.ravel()
                 sim = pd.array(flat, dtype="Float64")
@@ -142,7 +148,7 @@ def cosine_topk(
                 )
 
         pairs = c.mapInPandas(
-            score, "query_id long, cand_id long, cos_sim double"
+            score, f"query_id {idt}, cand_id {idt}, cos_sim double"
         ).filter(F.col("cand_id") != F.col("query_id"))
     else:
         pairs = (
@@ -229,19 +235,22 @@ def ivf_assign(
                 best = CIDS[np.argmax(cos, axis=1)]  # first max = lowest cell
                 yield pd.DataFrame(
                     {
-                        id_col: pdf[id_col].to_numpy(np.int64),
+                        id_col: pdf[id_col],
                         "q_emb": pdf["q_emb"],
                         "norm": norm,
                         "cell": best,
                     }
                 )
 
+        # id dtype follows the input schema (ADVICE r3) — the id is a
+        # passthrough column, so no numpy cast is needed at all.
+        idt = embeddings.schema[id_col].dataType.simpleString()
         base = embeddings.select(
             F.col(id_col), quantize(F.col(emb_col)).alias("q_emb")
         )
         return base.mapInPandas(
             assign,
-            f"{id_col} long, q_emb array<long>, norm long, cell long",
+            f"{id_col} {idt}, q_emb array<long>, norm long, cell long",
         )
     scored = (
         embeddings.select(
@@ -284,10 +293,19 @@ def ivf_topk(
     cents = ivf_centroids(embeddings, n_cells, id_col, emb_col)
     assign = ivf_assign(embeddings, cents, id_col, emb_col, use_arrow=use_arrow)
 
-    q = assign.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("q_emb").alias("qq_emb"),
-        F.col("norm").alias("q_norm"),
+    # the query side never needs a cell assignment — derive it straight
+    # from the corpus scan (the isin filter pushes into the parquet
+    # read), NOT from ``assign``: referencing the full-corpus
+    # assignment twice (query side + candidate side) made the whole
+    # corpus assign itself twice per run (r3 ladder's 2.65× grower —
+    # this was most of it, not the scoring kernel).
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(emb_col)).alias("qq_emb"),
+        )
+        .withColumn("q_norm", sq_norm(F.col("qq_emb")))
     )
     probe_scored = q.join(F.broadcast(cents)).withColumn(
         "p_cos",
@@ -304,11 +322,56 @@ def ivf_topk(
         .select("query_id", "cell")
     )
 
-    cand = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
+    cand0 = assign.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    if use_arrow:
+        # Candidate SCORING is where IVF spends its time (the r3 scale
+        # ladder's worst grower: per-pair higher-order-function dots
+        # over corpus·n_probe/n_cells rows). Score in Arrow batches
+        # instead: the bounded query set rides into the closure, each
+        # batch does one vectorized int64 row-wise product — same
+        # exact-integer dot, same IEEE division order, zero-norm →
+        # NULL — and the n_probe equi-join shape is unchanged.
+        import pandas as pd  # noqa: PLC0415
+
+        idt = embeddings.schema[id_col].dataType.simpleString()
+        q_rows = q.collect()  # bounded: |Q| rows
+        QE = {r["query_id"]: np.array(r["qq_emb"], dtype=np.int64)
+              for r in q_rows}
+        QN = {r["query_id"]: float(r["q_norm"]) for r in q_rows}
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.stack(pdf["q_emb"].to_numpy()).astype(np.int64)
+                qm = np.stack(
+                    [QE[v] for v in pdf["query_id"]]
+                ).astype(np.int64)
+                dots = (E * qm).sum(axis=1)  # exact int64
+                qn = np.array(
+                    [QN[v] for v in pdf["query_id"]], dtype=np.float64
+                )
+                cn = pdf["norm"].to_numpy(np.float64)
+                denom = np.sqrt(qn) * np.sqrt(cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots.astype(np.float64) / denom
+                sim = pd.array(cos, dtype="Float64")
+                sim[denom == 0] = pd.NA
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        id_col: pdf[id_col],
+                        "cos_sim": sim,
+                    }
+                )
+
+        cand = cand0.select("query_id", id_col, "q_emb", "norm").mapInPandas(
+            score, f"query_id {idt}, {id_col} {idt}, cos_sim double"
+        )
+    else:
+        cand = cand0.join(F.broadcast(q), "query_id").withColumn(
             "cos_sim",
             cosine(
                 int_dot(F.col("qq_emb"), F.col("q_emb")),
@@ -316,7 +379,6 @@ def ivf_topk(
                 F.col("norm"),
             ),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         cand.withColumn("rank", F.row_number().over(w))

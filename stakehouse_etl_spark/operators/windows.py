@@ -483,6 +483,7 @@ def skew_resistant_rank(
     out: str = "rank",
     descending: bool = True,
     chunk_width: int = 64,
+    chunk_col: Column | None = None,
 ) -> DataFrame:
     """Global row_number by ``(value [DESC], id)`` with NO
     single-partition window.
@@ -506,9 +507,21 @@ def skew_resistant_rank(
 
     Exact row_number semantics (``id_col`` must be unique); integer
     arithmetic throughout.
+
+    ``chunk_col`` overrides the default ``id div chunk_width`` bucket
+    for NON-NUMERIC ids: pass any expression that is monotone
+    non-decreasing in ``id_col`` order (e.g. ``F.substring(id, 1, 2)``
+    for string ids — a lexicographic prefix is always order-consistent
+    with the full string under binary collation). Bucket sizes are
+    then data-shaped rather than ``chunk_width``-bounded, so pick a
+    prefix long enough that no single bucket approaches a partition.
     """
     vdir = F.desc(value) if descending else F.asc(value)
-    chunk = F.expr(f"{id_col} div {chunk_width}")
+    chunk = (
+        chunk_col
+        if chunk_col is not None
+        else F.expr(f"{id_col} div {chunk_width}")
+    )
     t = df.withColumn("__chunk", chunk)
 
     # (A) exclusive prefix of counts over distinct values, best first
@@ -596,4 +609,64 @@ def global_prefix_sum(
         )
         .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
         .drop("__chunk", "__local", "__off", "__oc")
+    )
+
+
+def global_prefix_extrema(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    out_prev: str = "prev_max",
+    out_next: str = "next_min",
+    chunk_width: int = 64,
+) -> DataFrame:
+    """Per-row ``MAX(value)`` over all rows STRICTLY BEFORE (by
+    ``id_col`` asc) and ``MIN(value)`` over all rows STRICTLY AFTER —
+    with NO single-partition window. Value-identical to::
+
+        max(value) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING TO -1)
+        min(value) OVER (ORDER BY id ROWS 1 TO UNBOUNDED FOLLOWING)
+
+    The nearest-neighbor-in-sorted-order primitive: after a global
+    rank by a sort key, a row's nearest smaller/larger *eligible*
+    value (make ``value`` NULL on ineligible rows — max/min skip
+    NULLs, same as the window form) is exactly prefix-max /
+    suffix-min. Used by caliper matching (nearest control by spend).
+
+    Same two-phase shape as :func:`global_prefix_sum`: bounded
+    within-chunk windows over ``id div chunk_width`` partitions, then
+    exclusive prefix-max / suffix-min over the metadata-sized
+    chunk-extrema table, broadcast back and combined with
+    ``greatest`` / ``least`` (which skip NULLs, preserving agg
+    semantics when a whole chunk prefix is NULL).
+    """
+    chunk = F.expr(f"{id_col} div {chunk_width}")
+    t = df.withColumn("__chunk", chunk)
+    wb = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wf = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    local = t.withColumn("__pl", F.max(value).over(wb)).withColumn(
+        "__nl", F.min(value).over(wf)
+    )
+    totals = t.groupBy("__chunk").agg(
+        F.max(value).alias("__cmx"), F.min(value).alias("__cmn")
+    )
+    wpb = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    wpf = Window.orderBy("__chunk").rowsBetween(1, Window.unboundedFollowing)
+    offs = totals.select(
+        "__chunk",
+        F.max("__cmx").over(wpb).alias("__po"),
+        F.min("__cmn").over(wpf).alias("__no"),
+    )
+    offs2 = offs.withColumnRenamed("__chunk", "__oc")
+    return (
+        local.join(
+            F.broadcast(offs2), F.col("__chunk").eqNullSafe(F.col("__oc"))
+        )
+        .withColumn(out_prev, F.greatest("__pl", "__po"))
+        .withColumn(out_next, F.least("__nl", "__no"))
+        .drop("__chunk", "__pl", "__nl", "__po", "__no", "__oc")
     )

@@ -592,9 +592,18 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (8 cells, 2 probes): the ANN
     scale path where each query scores only its probed inverted lists.
     The oracle replays the identical coarse-quantize/probe/rescore
-    pipeline in SQL — approximation and all."""
+    pipeline in SQL — approximation and all.
+
+    Ships the Arrow arm (assignment + candidate scoring as int64
+    numpy matmuls): bit-identical to the expression arm (parity test
+    ``test_ivf_arrow_assign_value_identical``) and measured 2.2× at
+    the sf10 rung after the r4 restructure (the query side no longer
+    forces a second full-corpus assignment)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(emb, query_ids=list(range(10)), k=10, n_cells=8, n_probe=2)
+    return sim.ivf_topk(
+        emb, query_ids=list(range(10)), k=10, n_cells=8, n_probe=2,
+        use_arrow=True,
+    )
 
 
 @register(

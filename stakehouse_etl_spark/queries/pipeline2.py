@@ -267,6 +267,10 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(NGRAM_TOP_K)
     )
+    # bounded input: this window runs AFTER .limit(NGRAM_TOP_K) — its
+    # input is ≤ k rows regardless of corpus size (the vocabulary-scale
+    # work is the TakeOrderedAndProject above, which is partial per
+    # partition), so a single-partition window here is k rows, not data
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 

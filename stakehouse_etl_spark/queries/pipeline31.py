@@ -73,6 +73,9 @@ def ts_path_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = p.orderBy(F.desc("n"), F.asc("path")).limit(20)
+    # bounded input: the window runs AFTER .limit(20) — ≤20 rows flow
+    # through it at any data scale; the path-cardinality work above is
+    # the partial top-k (TakeOrderedAndProject), not this window
     w = Window.orderBy(F.desc("n"), F.asc("path"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 

@@ -12,6 +12,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import (
+    global_prefix_sum,
+    skew_resistant_rank,
+)
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -64,10 +68,10 @@ def ml_lorenz_curve_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     each output share is one int64 division.
 
     Scale: the per-customer rollup collapses first; the global
-    rank/cumsum decomposes by the standard value-chunk two-phase
-    (``skew_resistant_rank`` + ``global_prefix_sum``) when the
-    customer table outgrows a partition — documented, same contract
-    as the Gini note."""
+    rank/cumsum RUN via the standard value-chunk two-phase
+    (``skew_resistant_rank`` + ``global_prefix_sum``) — no
+    single-partition window even when the customer table outgrows a
+    partition."""
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -77,16 +81,18 @@ def ml_lorenz_curve_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
-    w = Window.orderBy("s", "o_custkey")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = spend.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("s").cast("long").alias("total"),
     )
-    rk = (
-        spend.withColumn("i", F.row_number().over(w).cast("long"))
-        .withColumn("cum", F.sum("s").over(wc).cast("long"))
-        .join(F.broadcast(tot))
+    # global (s, o_custkey) rank + running sum over the O(customers)
+    # table — two-phase decompositions, no single-partition window:
+    # the rank's dense output doubles as the cumsum's chunkable id
+    rk = skew_resistant_rank(
+        spend, value="s", id_col="o_custkey", descending=False, out="i"
+    )
+    rk = global_prefix_sum(rk, id_col="i", value="s", out="cum").join(
+        F.broadcast(tot)
     )
     dec = rk.withColumn("decile", F.expr("(i * 10 - 1) div n + 1"))
     pts = dec.groupBy("decile").agg(

@@ -9,10 +9,14 @@ segmentation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import (
+    global_prefix_sum,
+    skew_resistant_rank,
+)
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -56,21 +60,30 @@ def corpus_vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame
     divided once by the corpus token total.
 
     Scale: token counts collapse by word first (vocabulary-sized
-    table); the rank/cumsum run there, and the 4-point grid is one
-    grouped pass — same shape as the dedup threshold sweep: N
-    budgets priced with one count."""
+    table); the rank/cumsum run there THROUGH the two-phase
+    decompositions (``skew_resistant_rank`` chunked by word prefix +
+    ``global_prefix_sum`` — the vocabulary grows with the corpus, so
+    no single-partition window), and the 4-point grid is one grouped
+    pass — same shape as the dedup threshold sweep: N budgets priced
+    with one count."""
     t = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
     cnt = t.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy(F.desc("c"), "word")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    # global (desc count, asc word) rank + cumsum over the
+    # VOCABULARY-sized table — vocabulary grows with the corpus, so
+    # both run through the two-phase decompositions: rank chunks by
+    # the 2-char word prefix (monotone in word order), the cumsum
+    # chunks by the dense rank it produces.
+    rk = skew_resistant_rank(
+        cnt, value="c", id_col="word", descending=True,
+        chunk_col=F.substring("word", 1, 2), out="r",
+    )
     rk = (
-        cnt.withColumn("r", F.row_number().over(w).cast("long"))
-        .withColumn("cum", F.sum("c").over(wc).cast("long"))
+        global_prefix_sum(rk, id_col="r", value="c", out="cum")
         .join(F.broadcast(tot))
     )
     grid = spark.createDataFrame([(m,) for m in (5, 10, 20, 30)], "m long")
@@ -149,8 +162,9 @@ def ts_rfm_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     total orders — no ntile nondeterminism, no float boundary.
 
     Scale: one per-customer rollup, three rank passes over the
-    customer-collapsed table (each decomposable via
-    ``skew_resistant_rank`` at scale), 125-cell rollup."""
+    customer-collapsed table — each RUNS via ``skew_resistant_rank``
+    (two-phase, no single-partition window) — then a 125-cell
+    rollup."""
     orders = load_table(spark, sf_dir, "orders")
     sp = orders.agg(
         F.max(F.unix_micros("o_orderdate")).cast("long").alias("t_end")
@@ -170,21 +184,20 @@ def ts_rfm_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_t = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rk = base.select(
-        "o_custkey",
-        F.row_number()
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("long")
-        .alias("r_rank"),
-        F.row_number()
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("long")
-        .alias("f_rank"),
-        F.row_number()
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .cast("long")
-        .alias("m_rank"),
+    # three global row_numbers over the O(customers) table — each via
+    # the two-phase decomposition, never a single-partition window
+    rk = skew_resistant_rank(
+        base, value="recency_days", id_col="o_custkey",
+        descending=False, out="r_rank",
     )
+    rk = skew_resistant_rank(
+        rk, value="frequency", id_col="o_custkey",
+        descending=False, out="f_rank",
+    )
+    rk = skew_resistant_rank(
+        rk, value="monetary_cents", id_col="o_custkey",
+        descending=False, out="m_rank",
+    ).select("o_custkey", "r_rank", "f_rank", "m_rank")
     sc = rk.join(F.broadcast(n_t)).select(
         (6 - F.expr("(r_rank * 5 - 1) div n + 1")).alias("r_score"),
         F.expr("(f_rank * 5 - 1) div n + 1").alias("f_score"),

@@ -9,10 +9,14 @@ causal estimates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import (
+    global_prefix_extrema,
+    skew_resistant_rank,
+)
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -179,15 +183,16 @@ def ml_caliper_match_att_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_kc",
         )
     )
-    base = Window.orderBy("spend_kc", "id")
-    wb = base.rowsBetween(Window.unboundedPreceding, -1)
-    wf = base.rowsBetween(1, Window.unboundedFollowing)
-    ctrl_spend = F.when(~F.col("treated"), F.col("spend_kc"))
-    w = per.select(
-        "*",
-        F.max(ctrl_spend).over(wb).alias("prev_c"),
-        F.min(ctrl_spend).over(wf).alias("next_c"),
-    )
+    # nearest control by spend = prefix-max / suffix-min of the
+    # control-only spend over the global (spend, id) order. Both run
+    # two-phase (rank → chunked extrema), never a single-partition
+    # window over the full customer panel.
+    rk = skew_resistant_rank(
+        per, value="spend_kc", id_col="id", descending=False, out="__i"
+    ).withColumn("__ctrl", F.when(~F.col("treated"), F.col("spend_kc")))
+    w = global_prefix_extrema(
+        rk, id_col="__i", value="__ctrl", out_prev="prev_c", out_next="next_c"
+    ).drop("__i", "__ctrl")
     pick = w.filter(F.col("treated")).select(
         "id",
         "spend_kc",

@@ -79,3 +79,52 @@ def test_release_tracked_is_idempotent_and_counts(spark):
     assert caches.release_tracked() == 1
     assert caches.release_tracked() == 0
     assert _n_persistent(spark) == 0
+
+
+def test_registry_is_thread_isolated(spark):
+    """ADVICE r3 (medium): two concurrent scopes must not interleave —
+    thread B's scope exit may not unpersist thread A's live cache, and
+    a thread sees only its own registrations."""
+    import threading
+
+    caches.release_tracked()
+    spark.catalog.clearCache()
+    from stakehouse_etl_spark.operators.dedup import doc_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    a_registered = threading.Event()
+    b_done = threading.Event()
+    results: dict[str, int] = {}
+
+    def thread_a():
+        with caches.cache_scope():
+            df = caches.persist_tracked(doc_shingles(docs))
+            df.count()
+            a_registered.set()
+            # B runs a full scope (register + release) while A's cache
+            # is live; A's cache must survive B's exit.
+            assert b_done.wait(timeout=60)
+            results["a_live_after_b_exit"] = df.storageLevel.useMemory
+        results["a_after_own_exit"] = _n_persistent(spark)
+
+    def thread_b():
+        assert a_registered.wait(timeout=60)
+        # B sees none of A's registrations
+        results["b_released_foreign"] = caches.release_tracked()
+        with caches.cache_scope():
+            db = caches.persist_tracked(doc_shingles(docs, k=2))
+            db.count()
+        b_done.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start()
+    tb.start()
+    ta.join(timeout=120)
+    tb.join(timeout=120)
+    assert results["b_released_foreign"] == 0
+    assert results["a_live_after_b_exit"] is True
+    assert results["a_after_own_exit"] == 0

@@ -252,3 +252,26 @@ def test_ivf_arrow_assign_value_identical(spark):
         )
     )
     assert a == b
+
+
+def test_cosine_topk_arrow_arm_string_ids(spark):
+    """ADVICE r3: the Arrow arm hardcoded long ids — a string id_col
+    must now work identically in both arms (schema derived from the
+    input, ids passed through untouched)."""
+    from stakehouse_etl_spark.operators.similarity import cosine_topk
+
+    rows = []
+    vals = [0.3, -0.2, 0.9, 0.05, -0.7]
+    for i in range(20):
+        rows.append(
+            (f"doc-{i:03d}", [vals[(i + j) % 5] * ((j % 7) - 3) for j in range(8)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    qids = ["doc-001", "doc-002"]
+    a = sorted(
+        map(tuple, cosine_topk(emb, qids, k=5, use_arrow=False).collect())
+    )
+    b = sorted(
+        map(tuple, cosine_topk(emb, qids, k=5, use_arrow=True).collect())
+    )
+    assert a == b and len(a) == 10

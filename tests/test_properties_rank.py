@@ -7,7 +7,10 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from stakehouse_etl_spark.operators.windows import (
+    global_prefix_extrema,
     global_prefix_sum,
     skew_resistant_rank,
 )
@@ -56,4 +59,64 @@ def test_global_prefix_sum_equals_naive(spark, rows, width, inclusive):
     for i, v in sorted(rows):
         want[i] = acc + v if inclusive else acc
         acc += v
+    assert got == want
+
+
+# rows with NULLable values — extrema must skip NULLs like max/min do
+extrema_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=5000),
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=extrema_rows, width=widths)
+def test_global_prefix_extrema_equals_naive(spark, rows, width):
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: (r.prev_max, r.next_min)
+        for r in global_prefix_extrema(
+            df, id_col="id", value="v", chunk_width=width
+        ).collect()
+    }
+    srt = sorted(rows)
+    want = {}
+    for k, (i, _) in enumerate(srt):
+        before = [v for _, v in srt[:k] if v is not None]
+        after = [v for _, v in srt[k + 1:] if v is not None]
+        want[i] = (max(before) if before else None,
+                   min(after) if after else None)
+    assert got == want
+
+
+# string ids ranked with a prefix chunk_col — the non-numeric-id path
+str_rows = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        st.integers(min_value=-3, max_value=3),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=str_rows, desc=st.booleans(), plen=st.sampled_from([1, 2]))
+def test_skew_resistant_rank_string_id_chunk_col(spark, rows, desc, plen):
+    df = spark.createDataFrame(rows, "id string, v long")
+    got = {
+        r.id: r.rank
+        for r in skew_resistant_rank(
+            df, value="v", id_col="id", descending=desc,
+            chunk_col=F.substring("id", 1, plen),
+        ).collect()
+    }
+    key = (lambda t: (-t[1], t[0])) if desc else (lambda t: (t[1], t[0]))
+    want = {t[0]: i + 1 for i, t in enumerate(sorted(rows, key=key))}
     assert got == want
