@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import importlib.util
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -125,23 +125,37 @@ def apply_cdc_delta(
     changes: DataFrame,
     path: str,
     keys: list[str],
+    seq_cols: list[str],
     op_col: str = "op",
     delete_val: str = "D",
 ) -> None:
     """CDC apply via Delta MERGE: upserts + deletes in one atomic
     commit — the contract of ``io.sinks.write_cdc``, including the
-    SAME delete marker default (``delete_val='D'``) so the two arms
-    are drop-in interchangeable."""
+    SAME delete marker default (``delete_val='D'``) and the SAME
+    within-batch resolution (the LAST op per key by ``seq_cols``
+    decides) so the two arms are drop-in interchangeable.
+
+    The pre-resolution is load-bearing, not just parity (ADVICE r3):
+    a normal CDC batch carries multiple ops for one key, and Delta
+    MERGE raises ``multiple source rows matched`` at runtime on a
+    key-duplicate source — the compaction is what makes the merge
+    legal at all."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+    compact = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     tbl = _delta_table(spark, path)
     is_del = F.col(op_col).eqNullSafe(F.lit(delete_val))
     if tbl is None:
-        changes.filter(~is_del).drop(op_col).write.format("delta").mode(
+        compact.filter(~is_del).drop(op_col).write.format("delta").mode(
             "overwrite"
         ).save(path)
         return
     (
         tbl.alias("t")
-        .merge(changes.alias("s"), _merge_cond(keys))
+        .merge(compact.alias("s"), _merge_cond(keys))
         .whenMatchedDelete(condition=f"s.{op_col} = '{delete_val}'")
         .whenMatchedUpdateAll(condition=f"s.{op_col} <> '{delete_val}'")
         .whenNotMatchedInsertAll(condition=f"s.{op_col} <> '{delete_val}'")

@@ -49,6 +49,81 @@ def dedup_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AllPairs df-cap for the bounded tier. Against the synthetic corpus:
+# dfs top out near 7 at sf0.01 and ~12 at sf0.1, so the cap never
+# binds at driver scales (output equals the lossless tier there), and
+# at sf1 (max df 127) it binds without losing a pair. At sf3 it
+# bounds the cost hard — 268 s -> 13 s measured — but returns zero
+# pairs, because this generator draws from a FIXED ~30k-shingle
+# vocabulary: by sf3 every df sits in a narrow ~300±30 band, so any
+# binding cap drops the whole prefix index at once. That is a
+# property of the saturated synthetic vocabulary, not of the
+# operator — a natural Zipfian corpus grows its vocabulary with size
+# and keeps a long rare tail, and the cap then trims only the
+# boilerplate head. The oracle replays the cap, so the query stays
+# value-exact (including the honest empty result) at every rung.
+PREFIX_DF_CAP = 100
+
+
+@register(
+    "dedup_prefix_filter_pairs_capped",
+    tags=("dedup", "jaccard", "prefix-filter", "capped"),
+    bench=True,
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+dfq AS (SELECT shingle, count(*) AS df FROM s2 GROUP BY shingle),
+rp AS (
+  SELECT s2.doc_id, s2.shingle, dfq.df, c.n_sh,
+         row_number() OVER (PARTITION BY s2.doc_id
+                            ORDER BY dfq.df, s2.shingle) AS pos
+  FROM s2 JOIN dfq USING (shingle) JOIN c USING (doc_id)
+),
+pfx AS (
+  SELECT doc_id, shingle FROM rp
+  WHERE pos <= n_sh - (n_sh * 70 + 99) // 100 + 1
+    AND df <= {PREFIX_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+iv AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS inter
+  FROM cand
+  JOIN s2 sa ON sa.doc_id = cand.id_a
+  JOIN s2 sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT iv.id_a, iv.id_b,
+       CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+FROM iv
+JOIN c ca ON ca.doc_id = iv.id_a
+JOIN c cb ON cb.doc_id = iv.id_b
+WHERE inter * 100 >= (ca.n_sh + cb.n_sh - inter) * 70
+""",
+)
+def dedup_prefix_filter_pairs_capped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BOUNDED tier of the prefix-filter similarity join: same
+    AllPairs candidate generation, but prefix postings with document
+    frequency above ``PREFIX_DF_CAP`` are dropped before the self-join
+    (per-shingle candidate output bounded at cap² — the analog of the
+    LSH bucket cap). A pair whose only prefix agreement is a hot
+    shingle is missed; hot shingles are near-contentless boilerplate,
+    so the loss mirrors LSH's in kind while keeping zero false
+    positives. The oracle replays the cap exactly (same rarest-first
+    prefix, same df filter), so this query is value-exact at every
+    scale — unlike the lossless tier, its cost is bounded: the r4
+    ladder measures its growth alongside the uncapped ground truth."""
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_pct=70,
+        max_prefix_df=PREFIX_DF_CAP,
+    )
+
+
 @register(
     "dedup_containment_pairs",
     tags=("dedup", "containment"),

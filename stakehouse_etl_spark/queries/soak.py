@@ -168,8 +168,18 @@ def run_soak_cycles(
             f"soak: replay changed row count {rows_before}->{rows_after}"
         )
     census_after = _file_census(income_path)
-    if set(census_after) != set(census_before):
-        raise RuntimeError("soak: replay changed the partition census")
+    # full dict compare (ADVICE r3): same bucket KEYS with churned
+    # per-bucket file counts would mean the replay rewrote files —
+    # not a no-op even if the row count survived.
+    if census_after != census_before:
+        diff = {
+            k: (census_before.get(k), census_after.get(k))
+            for k in set(census_before) | set(census_after)
+            if census_before.get(k) != census_after.get(k)
+        }
+        raise RuntimeError(
+            f"soak: replay changed the partition census: {diff}"
+        )
 
     income = spark.read.parquet(income_path)
     membership = income.select(

@@ -83,11 +83,14 @@ def test_cdc_and_time_travel_parity():
     try:
         hand, delt = os.path.join(work, "hand"), os.path.join(work, "delta")
         b1 = [(1, 10, "U"), (2, 20, "U")]
-        b2 = [(1, 0, "D"), (3, 30, "U")]
+        # b2 carries MULTIPLE ops for key 1 (the normal CDC shape —
+        # ADVICE r3: un-compacted, Delta MERGE would raise 'multiple
+        # source rows matched'); last by seq wins -> 1 deleted.
+        b2 = [(1, 0, "U"), (1, 5, "D"), (3, 30, "U")]
         for rows in [b1, b2]:
             df = spark.createDataFrame(rows, "k long, v long, op string")
             write_cdc(spark, df, hand, keys=["k"], seq_cols=["v"])
-            tf.apply_cdc_delta(spark, df, delt, keys=["k"])
+            tf.apply_cdc_delta(spark, df, delt, keys=["k"], seq_cols=["v"])
         a = sorted(map(tuple, spark.read.parquet(hand).collect()))
         b = sorted(map(tuple, spark.read.format("delta").load(delt).collect()))
         assert a == b == [(2, 20), (3, 30)]
