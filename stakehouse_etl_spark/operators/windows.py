@@ -484,6 +484,7 @@ def skew_resistant_rank(
     descending: bool = True,
     chunk_width: int = 64,
     chunk_col: Column | None = None,
+    value_chunk_col: Column | None = None,
 ) -> DataFrame:
     """Global row_number by ``(value [DESC], id)`` with NO
     single-partition window.
@@ -524,12 +525,39 @@ def skew_resistant_rank(
     )
     t = df.withColumn("__chunk", chunk)
 
-    # (A) exclusive prefix of counts over distinct values, best first
+    # (A) exclusive prefix of counts over distinct values, best first.
+    # This prefix itself runs CHUNKED (recursive global_prefix_sum):
+    # distinct values are NOT metadata-sized when the rank value is
+    # near-unique (cents, per-key spend totals, quality scores) —
+    # with a plain window, step (A) would quietly reintroduce the
+    # row-scale single-partition funnel this operator exists to
+    # remove. Integral values chunk by ``value div chunk_width``;
+    # non-integral values need ``value_chunk_col`` (any INTEGRAL
+    # expression monotone in the value, e.g. ``floor(score*1000)``);
+    # without one they keep the plain window over the distinct-value
+    # table (only safe for genuinely bounded value domains).
+    from pyspark.sql.types import IntegralType
+
     vcounts = t.groupBy(value).agg(F.count(F.lit(1)).alias("__vc"))
-    wv = Window.orderBy(vdir).rowsBetween(Window.unboundedPreceding, -1)
-    voff = vcounts.withColumn(
-        "__voff", F.coalesce(F.sum("__vc").over(wv), F.lit(0))
-    ).select(value, "__voff")
+    if (
+        isinstance(df.schema[value].dataType, IntegralType)
+        or value_chunk_col is not None
+    ):
+        voff = global_prefix_sum(
+            vcounts,
+            id_col=value,
+            value="__vc",
+            out="__voff",
+            inclusive=False,
+            chunk_width=chunk_width,
+            descending=descending,
+            chunk_col=value_chunk_col,
+        ).select(value, "__voff")
+    else:
+        wv = Window.orderBy(vdir).rowsBetween(Window.unboundedPreceding, -1)
+        voff = vcounts.withColumn(
+            "__voff", F.coalesce(F.sum("__vc").over(wv), F.lit(0))
+        ).select(value, "__voff")
 
     # (B) exclusive prefix of counts over chunks, within each value
     ccounts = t.groupBy(value, "__chunk").agg(F.count(F.lit(1)).alias("__cc"))
@@ -546,8 +574,10 @@ def skew_resistant_rank(
 
     # coff is ~n/chunk_width rows — joined on exactly the window
     # partitioning key (partitioning reuse, no broadcast: at scale it
-    # does not fit an executor). voff is #distinct-values rows —
-    # broadcast-sized. Joins are NULL-SAFE on the value column: a NULL
+    # does not fit an executor). voff is #distinct-values rows — NOT
+    # hint-broadcast (r4): near-unique rank values make it row-scale,
+    # so AQE picks broadcast while it fits and a keyed shuffle join
+    # when it doesn't. Joins are NULL-SAFE on the value column: a NULL
     # rank value is an ordinary group for the window forms (desc →
     # NULLS LAST in both the decomposition's prefix windows and the
     # plain global window), and a null-unsafe join would silently drop
@@ -562,7 +592,7 @@ def skew_resistant_rank(
             F.col(value).eqNullSafe(F.col("__cv"))
             & (F.col("__chunk") == F.col("__cc2")),
         )
-        .join(F.broadcast(voff2), F.col(value).eqNullSafe(F.col("__vv")))
+        .join(voff2, F.col(value).eqNullSafe(F.col("__vv")))
         .withColumn(
             out,
             (F.col("__voff") + F.col("__coff") + F.col("__within")).cast("long"),
@@ -578,37 +608,82 @@ def global_prefix_sum(
     out: str = "cum",
     inclusive: bool = True,
     chunk_width: int = 64,
+    descending: bool = False,
+    levels: int = 2,
+    chunk_col: Column | None = None,
 ) -> DataFrame:
     """Ordered-by-id running total with NO single-partition window —
-    the two-phase parallel-prefix shape: within-chunk running sums
-    over ``id div chunk_width`` partitions, then an exclusive prefix
-    over the tiny chunk-total table (metadata-sized global window),
-    broadcast back. Value-identical to
-    ``sum(value) OVER (ORDER BY id)`` for integer values.
+    the parallel-prefix shape: within-chunk running sums over
+    ``id div chunk_width`` partitions, then an exclusive prefix over
+    the chunk-total table, joined back (AQE broadcasts it while it is
+    small; at scale it shuffles on the chunk key like any keyed
+    join). Value-identical to ``sum(value) OVER (ORDER BY id
+    [DESC])`` for integer values.
+
+    ``levels`` RECURSES the chunk-total prefix (r4): with one level
+    the chunk table is n/chunk_width rows through one window — still
+    row-scale when ids are near-unique over billions of rows; the
+    default two levels bound the only single-partition window at
+    n/chunk_width², and each further level divides by chunk_width
+    again. ``descending`` flips every ordering consistently (windows,
+    chunk prefix, recursion), NULLS FIRST under asc / LAST under desc
+    at every level — same as the plain window form.
+
+    ``chunk_col`` overrides the top-level ``id div chunk_width``
+    bucket for NON-INTEGRAL ids: any expression monotone
+    non-decreasing in ``id_col`` order with INTEGRAL type (e.g.
+    ``floor(score * 1000)`` for a [0,1] double) — recursion levels
+    then chunk the integral bucket keys with the div default.
     """
-    chunk = F.expr(f"{id_col} div {chunk_width}")
-    t = df.withColumn("__chunk", chunk)
+    # internal columns carry a recursion-depth suffix: the recursive
+    # call feeds its own chunk table back in (id_col="__chunkN"), and
+    # its ``out`` must never collide with this frame's temps
+    lv = levels
+    ch, tot, off, loc, oc = (
+        f"__chunk{lv}", f"__tot{lv}", f"__off{lv}", f"__local{lv}",
+        f"__oc{lv}",
+    )
+    order = F.desc(id_col) if descending else F.asc(id_col)
+    chunk = (
+        chunk_col
+        if chunk_col is not None
+        else F.expr(f"{id_col} div {chunk_width}")
+    )
+    t = df.withColumn(ch, chunk)
     hi = 0 if inclusive else -1
-    w_in = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+    w_in = Window.partitionBy(ch).orderBy(order).rowsBetween(
         Window.unboundedPreceding, hi
     )
-    local = t.withColumn(
-        "__local", F.coalesce(F.sum(value).over(w_in), F.lit(0))
-    )
-    totals = t.groupBy("__chunk").agg(F.sum(value).alias("__tot"))
-    w_c = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(w_c), F.lit(0))
-    ).select("__chunk", "__off")
-    # null-safe: a NULL id makes __chunk NULL; the window form keeps
-    # that row (NULLS FIRST under asc), so the join-back must too.
-    offs2 = offs.withColumnRenamed("__chunk", "__oc")
+    local = t.withColumn(loc, F.coalesce(F.sum(value).over(w_in), F.lit(0)))
+    totals = t.groupBy(ch).agg(F.sum(value).alias(tot))
+    if levels > 1:
+        offs = global_prefix_sum(
+            totals,
+            id_col=ch,
+            value=tot,
+            out=off,
+            inclusive=False,
+            chunk_width=chunk_width,
+            descending=descending,
+            levels=levels - 1,
+        ).select(ch, off)
+    else:
+        w_c = Window.orderBy(
+            F.desc(ch) if descending else F.asc(ch)
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        offs = totals.withColumn(
+            off, F.coalesce(F.sum(tot).over(w_c), F.lit(0))
+        ).select(ch, off)
+    # null-safe: a NULL id makes the chunk NULL; the window form keeps
+    # that row (NULLS FIRST under asc / LAST under desc), so the
+    # join-back must too. No broadcast hint: AQE broadcasts the chunk
+    # table while it fits, and falls back to a keyed shuffle join when
+    # it doesn't — a hard hint would pin an executor-OOM plan at scale.
+    offs2 = offs.withColumnRenamed(ch, oc)
     return (
-        local.join(
-            F.broadcast(offs2), F.col("__chunk").eqNullSafe(F.col("__oc"))
-        )
-        .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
-        .drop("__chunk", "__local", "__off", "__oc")
+        local.join(offs2, F.col(ch).eqNullSafe(F.col(oc)))
+        .withColumn(out, (F.col(loc) + F.col(off)).cast("long"))
+        .drop(ch, loc, off, oc)
     )
 
 

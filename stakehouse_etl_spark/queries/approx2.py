@@ -109,6 +109,12 @@ def a_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = skew_resistant_rank(
         o, value="o_totalprice", id_col="o_orderkey", out="rnk",
         descending=False,
+        # double-valued rank: /64 is a power-of-two scale (exact in
+        # IEEE, hence strictly monotone), floor makes it an integral
+        # 64-currency-unit bucket for step (A)'s chunked prefix
+        value_chunk_col=F.expr(
+            "cast(floor(o_totalprice / 64.0) as bigint)"
+        ),
     )
     total = o.agg(F.count(F.lit(1)).alias("n_total"))
     r = ranked.crossJoin(F.broadcast(total))

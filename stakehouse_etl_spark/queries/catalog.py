@@ -132,49 +132,63 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 # prefix guarantees that sample covers every SURVEY §2 family (S/K/P/
 # J/A/W/O/U/F/T) and every beyond-§2 pipeline family (text, dedup
 # ladder, similarity, multimodal, corpus pipeline, connected
-# components, streaming) — one representative each, chosen from the
-# queries whose oracles exercise that family end-to-end.
+# components, streaming).
+#
+# ROTATION (VERDICT r3 task #5): ~20 slots rotate each round so the
+# external gate eventually touches the whole catalog instead of
+# re-checking the same prefix. Round 4 keeps a 28-query §2 spine
+# (one representative per family) and surfaces 22 queries the driver
+# has NEVER checked (not in CORRECTNESS_r01–r03) — including every
+# query whose plan changed in the r4 single-partition-window
+# hardening, so the external gate validates exactly the changed code.
+# Queries rotated out stay in the catalog under the local 380-query
+# gate (tools/check.py), which runs the same DuckDB methodology.
 DRIVER_PRIORITY = [
-    # §2 time-series / window family (W1-W6, T3)
-    "w1_user_income", "w2_income_epoch_hourly", "w3_spike_filter",
-    "w4_top7_customers", "w5_recent_orders_per_customer",
-    # §2 join family (J1-J10, P8)
-    "j1_latest_order_per_customer", "j2_region_acctbal_rollup",
-    "j3_order_lineitem_agg", "j4_min_runner_epoch", "o3_ranked_nations",
-    "j6_customers_inactive", "j7_customers_active", "j9_asof_last_signup",
-    "j10_customer_order_stats",
-    # §2 aggregate family (A1-A10)
-    "a1_pricing_summary", "a6_distinct_segments", "a8_group_collect",
-    "a9_daily_rollup", "a10_trailing_delta",
-    # §2 output / set family (O2, U1, U3; U2 via j6)
+    # --- §2 spine (28, all driver-green in r1–r3) ---
+    # time-series / window family (W1-W6, T3)
+    "w1_user_income", "w2_income_epoch_hourly",
+    # join family (J1-J10, P8)
+    "j1_latest_order_per_customer", "j3_order_lineitem_agg",
+    "j9_asof_last_signup",
+    # aggregate family (A1-A10)
+    "a1_pricing_summary",
+    # output / set family (O1-O3, U1-U3)
     "o2_pagination", "u1_union_nations", "u3_missing_days",
-    # §2 scalar-function family (F1-F10) + predicate kernel (P1-P7)
-    "f_scalar_kernel", "f6_ratio_block", "f10_json_extract",
-    "p_predicate_kernel",
-    # §2 sink family (K1/K2/K4, T5)
-    "k1_upsert_sink", "k2_insert_ignore_sink", "k4_json_envelope",
-    # §2 connector family (S1-S3)
+    # scalar-function family (F1-F10) + predicate kernel (P1-P7)
+    "f_scalar_kernel", "f10_json_extract", "p_predicate_kernel",
+    # sink family (K1/K2/K4, T5)
+    "k1_upsert_sink",
+    # connector family (S1-S3)
     "s1_s2_connector_normalize",
-    # §2 incremental / temporal family (T1/T2/T3/T4/T5; the soak is
-    # the 10-cycle composed production loop and strictly supersedes
-    # inc_income_3runs' contracts — that query stays in the catalog
-    # under the local 330-query gate)
+    # incremental / temporal family (T1-T5; the soak is the 10-cycle
+    # composed production loop)
     "pipeline_warehouse_soak", "t2_bounded_catchup", "t4_backfill_repair",
-    # §2 streaming (T6)
-    "stream_windowed_counts", "stream_stateful_income",
+    # streaming (T6) + CDC sink
+    "stream_windowed_counts", "stream_stateful_income", "stream_cdc_apply",
     # text analysis
-    "text_token_stats", "text_quality", "text_langid", "text_fingerprints",
+    "text_quality",
     # dedup ladder
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_cc_clusters", "pipeline_corpus_clean",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
+    "pipeline_corpus_clean",
     # similarity / ANN
-    "sim_cosine_topk", "sim_ann_lsh_pairs", "sim_ivf_topk",
-    "dedup_embedding_cosine",
-    # multimodal — real BMP codec end-to-end (byte-features plumbing
-    # remains oracle-checked in the full local gate)
+    "sim_cosine_topk", "sim_ivf_topk",
+    # multimodal — real BMP codec end-to-end
     "mm_bmp_decode",
-    # CDC sink (T5 streaming shape)
-    "stream_cdc_apply",
+    # --- round-4 rotation (22, never driver-checked before) ---
+    # connectors S4/S6/S7
+    "s4_subgraph_scan", "s6_mev_block_stats", "s7_pon_eligibility",
+    # sink-adjacent: snapshot time travel (K5), surrogate keys (K8)
+    "k5_snapshot_time_travel", "k8_surrogate_keys",
+    # dedup tier ladder: lossless + capped prefix-filter, containment
+    "dedup_prefix_filter_pairs", "dedup_prefix_filter_pairs_capped",
+    "dedup_containment_pairs",
+    # corpus pipelines
+    "corpus_mix_allocation", "corpus_vocab_coverage_curve",
+    # window / rank family — every r4 two-phase-window conversion
+    "w10_topk_with_ties", "w11_cume_dist", "w15_pareto_skyline",
+    "ts_rfm_segmentation", "ml_caliper_match_att", "ml_lorenz_curve_points",
+    "ml_auc_exact", "ml_kendall_tau_b", "a_histogram_equi_depth",
+    "a_abc_classification", "a_median_exact_global", "text_zipf_slope",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -145,6 +145,14 @@ def ml_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         out="rnk",
         descending=False,
+        # double-valued rank: the [0,1] score maps monotonically onto
+        # an integral milli-grid so step (A)'s distinct-value prefix
+        # chunks instead of funneling near-unique scores through one
+        # window (scaling by a constant is IEEE-monotone; floor keeps
+        # equal scores in one bucket)
+        value_chunk_col=F.expr(
+            "cast(floor(quality_score * 1000) as bigint)"
+        ),
     )
     agg = r.agg(
         F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0)).alias(

@@ -125,14 +125,27 @@ def k8_surrogate_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    # two-phase rank over the composite order: rank by a single
-    # sortable struct is not supported, so rank within segment then
-    # offset by segment — both phases chunked.
+    # two-phase rank over the composite (segment, key) order. A string
+    # concat value would be near-UNIQUE, putting the decomposition's
+    # distinct-value prefix back on one partition (r4 audit) — so the
+    # composite order is packed into one INTEGRAL value instead:
+    # segment index (from the 5-row distinct-segment table — metadata
+    # window) in the high bits, natural key below. Integral values
+    # ride the fully chunked (A) prefix.
+    from pyspark.sql import Window
+
+    segs = c.select("c_mktsegment").distinct()
+    seg_idx = segs.withColumn(
+        "__seg_idx",
+        F.row_number().over(Window.orderBy("c_mktsegment")).cast("long"),
+    )
+    cc = c.join(F.broadcast(seg_idx), "c_mktsegment").withColumn(
+        "__ordv",
+        F.col("__seg_idx") * F.lit(1 << 40) + F.col("c_custkey"),
+    )
     ranked = skew_resistant_rank(
-        c.withColumn(
-            "__ord", F.concat_ws("|", F.col("c_mktsegment"), F.format_string("%012d", F.col("c_custkey")))
-        ),
-        "__ord",
+        cc,
+        "__ordv",
         "c_custkey",
         out="surrogate_id",
         descending=False,

@@ -10,10 +10,11 @@ label generation, cross-system key reconciliation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import global_prefix_extrema
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -84,8 +85,16 @@ def w15_pareto_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").cast("long").alias("s_max"),
         F.count(F.lit(1)).cast("long").alias("n_points"),
     )
-    w = Window.orderBy(F.desc("a")).rowsBetween(Window.unboundedPreceding, -1)
-    pref = byx.withColumn("best_above", F.max("s_max").over(w))
+    # exclusive prefix-max in descending balance order — two-phase
+    # (chunked) via the negated-key trick: strictly-before by -a asc
+    # == strictly-above by a desc; distinct balances are unique so no
+    # tie order exists to preserve
+    pref = global_prefix_extrema(
+        byx.withColumn("__na", -F.col("a")),
+        id_col="__na",
+        value="s_max",
+        out_prev="best_above",
+    ).drop("__na", "next_min")
     return (
         pref.filter(
             F.col("best_above").isNull() | (F.col("s_max") > F.col("best_above"))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import skew_resistant_rank
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -72,8 +73,13 @@ def text_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     cnt = t.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy(F.desc("c"), "word")
-    rk = cnt.select(F.row_number().over(w).cast("long").alias("r"), "c")
+    # vocabulary-sized global rank — two-phase, chunked by the 2-char
+    # word prefix (vocabulary grows with the corpus; same shape as
+    # corpus_vocab_coverage_curve)
+    rk = skew_resistant_rank(
+        cnt, value="c", id_col="word", descending=True,
+        chunk_col=F.substring("word", 1, 2), out="r",
+    ).select(F.col("r").cast("long").alias("r"), "c")
     q = rk.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000)
         .cast("long")

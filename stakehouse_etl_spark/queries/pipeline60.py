@@ -8,10 +8,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import skew_resistant_rank
 from stakehouse_etl_spark.queries.registry import register
 
 _RFM_CTE = """
@@ -111,16 +112,17 @@ def ml_kendall_tau_b_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_t = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rk = base.select(
-        F.row_number()
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("long")
-        .alias("r_rank"),
-        F.row_number()
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .cast("long")
-        .alias("m_rank"),
+    # two global row_numbers over the O(customers) table — two-phase
+    # decompositions, never a single-partition window (same fix as
+    # ts_rfm_segmentation)
+    rk = skew_resistant_rank(
+        base, value="recency_days", id_col="o_custkey",
+        descending=False, out="r_rank",
     )
+    rk = skew_resistant_rank(
+        rk, value="monetary_cents", id_col="o_custkey",
+        descending=False, out="m_rank",
+    ).select("r_rank", "m_rank")
     sc = rk.join(F.broadcast(n_t)).select(
         (6 - F.expr("(r_rank * 5 - 1) div n + 1")).alias("r"),
         F.expr("(m_rank * 5 - 1) div n + 1").alias("m"),

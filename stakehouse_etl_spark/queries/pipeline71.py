@@ -7,10 +7,14 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.windows import (
+    global_prefix_sum,
+    skew_resistant_rank,
+)
 from stakehouse_etl_spark.queries.registry import register
 
 
@@ -70,12 +74,17 @@ def a_abc_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
-    rk = rev.withColumn("cum", F.sum("cents").over(w).cast("long")).join(
-        F.broadcast(tot)
+    # (desc cents, partkey) cumulative over the O(parts) table — rank
+    # then prefix-sum by the dense rank, both two-phase, no
+    # single-partition window
+    rk = skew_resistant_rank(
+        rev, value="cents", id_col="l_partkey", descending=True, out="__i"
+    )
+    rk = (
+        global_prefix_sum(rk, id_col="__i", value="cents", out="cum")
+        .drop("__i")
+        .join(F.broadcast(tot))
     )
     excl = F.col("cum") - F.col("cents")
     cls = rk.select(

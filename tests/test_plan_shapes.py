@@ -251,11 +251,15 @@ def test_ks_two_sample_no_rowscale_global_window(spark):
     exchange count for the whole statistic."""
     plan = plan_of(spark, "ml_ks_two_sample")
     assert "Cartesian" not in plan
-    # distinct-value collapse + 2 prefix passes (each: chunk window +
-    # chunk-totals + offsets join) + totals broadcast + final agg;
-    # the static plan double-counts broadcast subtrees (same caveat
-    # as the BM25 pin), hence the generous bound.
-    assert count_exchanges(plan) <= 14, plan
+    # distinct-value collapse + 2 prefix passes, each now RECURSIVE
+    # (r4: global_prefix_sum levels=2 — the chunk-total prefix itself
+    # chunks, adding a metadata-sized window+agg+join layer per pass)
+    # + totals broadcast + final agg; the static plan double-counts
+    # broadcast subtrees (same caveat as the BM25 pin), hence the
+    # generous bound. The extra exchanges vs the r3 pin (14) all
+    # operate on n/chunk_width² chunk-total tables, not row-scale
+    # data.
+    assert count_exchanges(plan) <= 30, plan
 
 
 def test_decision_stump_take_nothing_global(spark):

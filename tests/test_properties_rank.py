@@ -62,6 +62,59 @@ def test_global_prefix_sum_equals_naive(spark, rows, width, inclusive):
     assert got == want
 
 
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_strategy, width=widths, inclusive=st.booleans(),
+       levels=st.sampled_from([1, 2, 3]))
+def test_global_prefix_sum_descending_and_levels(
+    spark, rows, width, inclusive, levels
+):
+    """DESC ordering and recursion depth both equal the naive window."""
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.cum
+        for r in global_prefix_sum(
+            df, id_col="id", value="v", out="cum", inclusive=inclusive,
+            chunk_width=width, descending=True, levels=levels,
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(rows, reverse=True):
+        want[i] = acc + v if inclusive else acc
+        acc += v
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=5000),
+            # limited-denominator fractions → exact doubles, heavy ties
+            st.integers(min_value=-12, max_value=12).map(lambda n: n / 4),
+        ),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    width=widths,
+    desc=st.booleans(),
+)
+def test_skew_resistant_rank_double_value_chunk_col(spark, rows, width, desc):
+    """Non-integral rank values with an explicit monotone integral
+    value_chunk_col ride the fully chunked (A) prefix and still equal
+    the naive rank (floor(4v) is monotone and exact for /4 grids)."""
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.rank
+        for r in skew_resistant_rank(
+            df, value="v", id_col="id", out="rank", descending=desc,
+            chunk_width=width,
+            value_chunk_col=F.expr("cast(floor(v * 4) as bigint)"),
+        ).collect()
+    }
+    key = (lambda t: (-t[1], t[0])) if desc else (lambda t: (t[1], t[0]))
+    want = {t[0]: i + 1 for i, t in enumerate(sorted(rows, key=key))}
+    assert got == want
+
+
 # rows with NULLable values — extrema must skip NULLs like max/min do
 extrema_rows = st.lists(
     st.tuples(
