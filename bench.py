@@ -53,25 +53,36 @@ REGRESSION_RATIO = 1.2
 
 
 def _prev_round_queries(sf: float | None) -> tuple[str | None, dict]:
-    """Latest recorded BENCH_r*.json at the same sf, or (None, {})."""
+    """Most recent BENCH_r*.json recorded at the SAME sf, or (None, {}).
+
+    Walks rounds in DESCENDING order and takes the first usable file
+    (ADVICE r4): if the latest round was benched at a different sf or
+    is unparsable, the guard falls back to the newest same-sf baseline
+    instead of silently disabling — and says what it skipped."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    cands: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, p)
-    if best is None:
-        return None, {}
-    try:
-        rec = json.load(open(best[1]))
-        parsed = rec.get("parsed", rec)
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        name = os.path.basename(p)
+        try:
+            rec = json.load(open(p))
+            parsed = rec.get("parsed", rec)
+        except Exception as e:
+            print(f"bench: skipping unparsable {name}: {e}", file=sys.stderr)
+            continue
         if sf is not None and parsed.get("sf") not in (None, sf):
-            return None, {}
-        return os.path.basename(best[1]), dict(parsed.get("queries", {}))
-    except Exception:
-        return None, {}
+            print(
+                f"bench: skipping {name} (sf={parsed.get('sf')} != {sf})",
+                file=sys.stderr,
+            )
+            continue
+        return name, dict(parsed.get("queries", {}))
+    print("bench: no prior-round baseline found; regression guard off",
+          file=sys.stderr)
+    return None, {}
 
 
 def run() -> None:

@@ -278,10 +278,12 @@ def write_cdc(
 ) -> None:
     """Apply one CDC batch (upserts + delete tombstones) to the table.
 
-    Within the batch the LAST op per key (by ``seq_cols``) decides:
-    delete removes the key, anything else (including a NULL op —
-    malformed change records upsert rather than silently vanishing)
-    upserts the row. Same single-shuffle merge shape as
+    Within the batch the LAST op per key (by ``seq_cols``, with a
+    final deterministic ``op_col`` desc tiebreaker mirrored in
+    ``apply_cdc_delta`` so equal-seq ties resolve identically in both
+    arms and across runs) decides: delete removes the key, anything
+    else (including a NULL op — malformed change records upsert rather
+    than silently vanishing) upserts the row. Same single-shuffle merge shape as
     :func:`write_upsert`, plus one anti-join for the tombstones — the
     plain-Parquet rendering of Delta ``MERGE ... WHEN MATCHED AND
     op = 'D' THEN DELETE``. Batches must be applied in change order
@@ -295,7 +297,9 @@ def write_cdc(
     rather than left stale.
     """
     _recover(spark, path, len(partition_cols or []))
-    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col)
+    )
     compact = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

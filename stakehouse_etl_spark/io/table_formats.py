@@ -139,8 +139,15 @@ def apply_cdc_delta(
     a normal CDC batch carries multiple ops for one key, and Delta
     MERGE raises ``multiple source rows matched`` at runtime on a
     key-duplicate source — the compaction is what makes the merge
-    legal at all."""
-    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+    legal at all.
+
+    Ordering carries a final ``op_col`` tiebreaker (desc, NULLs last —
+    identical in ``write_cdc``): with it, a key whose two ops share
+    equal seq values resolves the same way in both arms and across
+    runs, instead of by physical row order (ADVICE r4)."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col)
+    )
     compact = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -429,15 +429,48 @@ def prefix_filter_jaccard_pairs(
     )
     if max_prefix_df is not None:
         prefix = prefix.filter(F.col("df") <= max_prefix_df)
-    prefix = prefix.select(id_col, "shingle")
-    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
-    candidates = (
-        pa.join(pb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    prefix = prefix.select(id_col, "shingle", "pos", "n_sh")
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("pos").alias("__pa"),
+        F.col("n_sh").alias("__na"),
     )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("pos").alias("__pb"),
+        F.col("n_sh").alias("__nb"),
+    )
+    joined = pa.join(pb, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    # LENGTH filter (lossless in BOTH arms): J >= t forces
+    # t·max(n_a,n_b) <= min(n_a,n_b) (inter <= min, union >= max), so
+    # any pair verify would keep passes this regardless of which
+    # postings generated it — candidates that can't possibly verify
+    # never reach the distinct or the set join. Integer cross-multiply.
+    joined = joined.filter(
+        F.least("__na", "__nb") * 100
+        >= F.greatest("__na", "__nb") * F.lit(threshold_pct)
+    )
+    if max_prefix_df is None:
+        # POSITIONAL filter (PPJoin, lossless only UNCAPPED): for the
+        # MINIMAL shared token w of a true pair, w sits inside both
+        # prefixes (same pigeonhole as the prefix bound) and no shared
+        # token precedes it, so inter <= 1 + min(n_a-pos_a, n_b-pos_b)
+        # at w's posting row. J >= t  ⟺  inter >= ceil(t·(n_a+n_b)/(1+t)),
+        # so the w-row of every true pair passes this bound and keeping
+        # pairs with ANY passing row loses nothing. Under the df cap
+        # w's posting may be dropped while a later (bound-failing)
+        # shared posting survives — so the capped arm skips this filter
+        # to keep its any-surviving-posting oracle contract.
+        ubound = F.lit(1) + F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        )
+        joined = joined.filter(
+            ubound * F.lit(100 + threshold_pct)
+            >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
+        )
+    candidates = joined.select("id_a", "id_b").distinct()
     sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),

@@ -56,11 +56,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     # target × maxSplitBytes ≤ target × maxPartitionBytes, so at or
     # above that floor the scan plans ≥ target splits no matter how
     # the files pack.
+    # The floor argument only holds when sizeInBytes IS scan bytes,
+    # i.e. the plan is rooted at a single file-source relation: a
+    # join-rooted plan MULTIPLIES child sizes (SizeInBytesOnly stats),
+    # so inputFiles() from both sides could pass the count check while
+    # the inflated product passes the floor and the actual partition
+    # count — shuffle/AQE-determined — sits below target (ADVICE r4).
     try:
-        if len(df.inputFiles()) >= target:
-            total = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if (
+            plan.collectLeaves().size() == 1
+            and len(df.inputFiles()) >= target
+        ):
+            total = int(plan.stats().sizeInBytes())
             # byte-valued (units already resolved) via the session's
             # SQLConf, not the string conf (which may read "128MB")
             max_pb = int(

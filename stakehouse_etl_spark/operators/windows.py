@@ -694,10 +694,11 @@ def global_prefix_extrema(
     out_prev: str = "prev_max",
     out_next: str = "next_min",
     chunk_width: int = 64,
+    levels: int = 2,
 ) -> DataFrame:
     """Per-row ``MAX(value)`` over all rows STRICTLY BEFORE (by
     ``id_col`` asc) and ``MIN(value)`` over all rows STRICTLY AFTER —
-    with NO single-partition window. Value-identical to::
+    with NO row-scale single-partition window. Value-identical to::
 
         max(value) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING TO -1)
         min(value) OVER (ORDER BY id ROWS 1 TO UNBOUNDED FOLLOWING)
@@ -708,40 +709,73 @@ def global_prefix_extrema(
     NULLs, same as the window form) is exactly prefix-max /
     suffix-min. Used by caliper matching (nearest control by spend).
 
-    Same two-phase shape as :func:`global_prefix_sum`: bounded
-    within-chunk windows over ``id div chunk_width`` partitions, then
-    exclusive prefix-max / suffix-min over the metadata-sized
-    chunk-extrema table, broadcast back and combined with
-    ``greatest`` / ``least`` (which skip NULLs, preserving agg
-    semantics when a whole chunk prefix is NULL).
+    Same recursive two-phase shape as :func:`global_prefix_sum`
+    (prefix-max / suffix-min decompose over chunks exactly like sum):
+    bounded within-chunk windows over ``id div chunk_width``
+    partitions, then the chunk-extrema table — which grows linearly
+    with the input, n/chunk_width rows — recurses through the same
+    decomposition ``levels`` deep, so the only single-partition window
+    sees n/chunk_width**levels rows. The chunk extrema join back with
+    NO broadcast hint: AQE broadcasts while the table fits and falls
+    back to a keyed shuffle join when it doesn't. ``greatest`` /
+    ``least`` skip NULLs, preserving agg semantics when a whole chunk
+    prefix is NULL.
     """
-    chunk = F.expr(f"{id_col} div {chunk_width}")
-    t = df.withColumn("__chunk", chunk)
-    wb = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+    return _prefix_extrema(
+        df, id_col, value, value, out_prev, out_next, chunk_width, levels
+    )
+
+
+def _prefix_extrema(
+    df: DataFrame,
+    id_col: str,
+    vmax: str,
+    vmin: str,
+    out_prev: str,
+    out_next: str,
+    chunk_width: int,
+    levels: int,
+) -> DataFrame:
+    """Recursive core of :func:`global_prefix_extrema`: exclusive
+    prefix-max over ``vmax`` and exclusive suffix-min over ``vmin``
+    (the chunk table carries per-chunk max and min as SEPARATE
+    columns, so the recursion needs both). Temp names carry the
+    recursion depth so a level's columns never collide with its
+    parent's."""
+    lv = levels
+    ch, pl, nl, cmx, cmn, po, no, oc = (
+        f"__xch{lv}", f"__xpl{lv}", f"__xnl{lv}", f"__xmx{lv}",
+        f"__xmn{lv}", f"__xpo{lv}", f"__xno{lv}", f"__xoc{lv}",
+    )
+    t = df.withColumn(ch, F.expr(f"{id_col} div {chunk_width}"))
+    wb = Window.partitionBy(ch).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wf = Window.partitionBy("__chunk").orderBy(id_col).rowsBetween(
+    wf = Window.partitionBy(ch).orderBy(id_col).rowsBetween(
         1, Window.unboundedFollowing
     )
-    local = t.withColumn("__pl", F.max(value).over(wb)).withColumn(
-        "__nl", F.min(value).over(wf)
+    local = t.withColumn(pl, F.max(vmax).over(wb)).withColumn(
+        nl, F.min(vmin).over(wf)
     )
-    totals = t.groupBy("__chunk").agg(
-        F.max(value).alias("__cmx"), F.min(value).alias("__cmn")
+    totals = t.groupBy(ch).agg(
+        F.max(vmax).alias(cmx), F.min(vmin).alias(cmn)
     )
-    wpb = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
-    wpf = Window.orderBy("__chunk").rowsBetween(1, Window.unboundedFollowing)
-    offs = totals.select(
-        "__chunk",
-        F.max("__cmx").over(wpb).alias("__po"),
-        F.min("__cmn").over(wpf).alias("__no"),
-    )
-    offs2 = offs.withColumnRenamed("__chunk", "__oc")
-    return (
-        local.join(
-            F.broadcast(offs2), F.col("__chunk").eqNullSafe(F.col("__oc"))
+    if levels > 1:
+        offs = _prefix_extrema(
+            totals, ch, cmx, cmn, po, no, chunk_width, levels - 1
+        ).select(ch, po, no)
+    else:
+        wpb = Window.orderBy(ch).rowsBetween(Window.unboundedPreceding, -1)
+        wpf = Window.orderBy(ch).rowsBetween(1, Window.unboundedFollowing)
+        offs = totals.select(
+            ch,
+            F.max(cmx).over(wpb).alias(po),
+            F.min(cmn).over(wpf).alias(no),
         )
-        .withColumn(out_prev, F.greatest("__pl", "__po"))
-        .withColumn(out_next, F.least("__nl", "__no"))
-        .drop("__chunk", "__pl", "__nl", "__po", "__no", "__oc")
+    offs2 = offs.withColumnRenamed(ch, oc)
+    return (
+        local.join(offs2, F.col(ch).eqNullSafe(F.col(oc)))
+        .withColumn(out_prev, F.greatest(pl, po))
+        .withColumn(out_next, F.least(nl, no))
+        .drop(ch, pl, nl, po, no, oc)
     )

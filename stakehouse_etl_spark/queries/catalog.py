@@ -174,21 +174,22 @@ DRIVER_PRIORITY = [
     "sim_cosine_topk", "sim_ivf_topk",
     # multimodal — real BMP codec end-to-end
     "mm_bmp_decode",
-    # --- round-4 rotation (22, never driver-checked before) ---
-    # connectors S4/S6/S7
-    "s4_subgraph_scan", "s6_mev_block_stats", "s7_pon_eligibility",
-    # sink-adjacent: snapshot time travel (K5), surrogate keys (K8)
-    "k5_snapshot_time_travel", "k8_surrogate_keys",
-    # dedup tier ladder: lossless + capped prefix-filter, containment
-    "dedup_prefix_filter_pairs", "dedup_prefix_filter_pairs_capped",
-    "dedup_containment_pairs",
-    # corpus pipelines
-    "corpus_mix_allocation", "corpus_vocab_coverage_curve",
-    # window / rank family — every r4 two-phase-window conversion
-    "w10_topk_with_ties", "w11_cume_dist", "w15_pareto_skyline",
-    "ts_rfm_segmentation", "ml_caliper_match_att", "ml_lorenz_curve_points",
-    "ml_auc_exact", "ml_kendall_tau_b", "a_histogram_equi_depth",
-    "a_abc_classification", "a_median_exact_global", "text_zipf_slope",
+    # --- round-5 rotation (22, never driver-checked in r1–r4) ---
+    # every remaining bench-flagged query the external gate has never
+    # touched: the timed plans should also be the hash-verified ones
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q18_large_orders",
+    "pipeline_index_apr", "ts_sessionize", "ts_funnel_conversion",
+    "j11_range_join_bucketed", "w1_skew_hotkey",
+    "w1_income_partitioned_prune", "corpus_pack_sequences",
+    "corpus_passage_dedup", "corpus_shard_assign", "text_bm25_topk",
+    # V2 DataSource + incremental-view family
+    "stream_datasource_e2e", "stream_incremental_dedup",
+    "inc_agg_merge", "inc_cdc_apply",
+    # source formats + schema evolution
+    "src_csv_roundtrip", "src_schema_evolution",
+    # null-aware anti-join rewrite; iterative graph operator
+    "j24_null_aware_not_in", "graph_pagerank_2iter",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

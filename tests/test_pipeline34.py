@@ -5,6 +5,8 @@ against a naive Python reimplementation."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.operators.dedup import (
@@ -62,6 +64,34 @@ def test_prefix_filter_matches_bruteforce(spark):
             for r in prefix_filter_jaccard_pairs(docs, threshold_pct=t).collect()
         }
         assert pf == exact, f"threshold {t}: prefix filter lost/added pairs"
+
+
+_words = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+_corpus = st.lists(
+    st.lists(_words, min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus, t=st.sampled_from([40, 70, 90]))
+def test_prefix_filter_lossless_property(spark, texts, t):
+    """Randomized losslessness proof of the full filter stack — prefix
+    pigeonhole + length filter + PPJoin positional filter (r5) — vs the
+    brute-force all-pairs join. Tiny vocabulary forces heavy shingle
+    collisions, exactly where a wrong positional bound would drop
+    true pairs."""
+    docs = _mkdocs(spark, texts)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(docs, threshold_pct=t).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(docs, threshold_pct=t).collect()
+    }
+    assert pf == exact
 
 
 def test_anomaly_flag_matches_naive(spark, sf_dir):

@@ -128,13 +128,13 @@ extrema_rows = st.lists(
 
 
 @settings(max_examples=12, deadline=None)
-@given(rows=extrema_rows, width=widths)
-def test_global_prefix_extrema_equals_naive(spark, rows, width):
+@given(rows=extrema_rows, width=widths, levels=st.sampled_from([1, 2, 3]))
+def test_global_prefix_extrema_equals_naive(spark, rows, width, levels):
     df = spark.createDataFrame(rows, "id long, v long")
     got = {
         r.id: (r.prev_max, r.next_min)
         for r in global_prefix_extrema(
-            df, id_col="id", value="v", chunk_width=width
+            df, id_col="id", value="v", chunk_width=width, levels=levels
         ).collect()
     }
     srt = sorted(rows)

@@ -142,6 +142,22 @@ def test_cdc_null_op_upserts(spark, workdir):
     assert got == {1: 11, 2: 20}  # NULL op = upsert, not silent drop
 
 
+def test_cdc_equal_seq_tie_is_deterministic(spark, workdir):
+    """A key carrying a U and a D with the SAME seq value resolves by
+    the op-column tiebreaker (desc: 'U' > 'D'), not physical row order
+    (ADVICE r4) — so write_cdc and apply_cdc_delta agree run-to-run."""
+    for attempt in range(3):
+        path = os.path.join(workdir, f"t{attempt}")
+        # both physical orders of the tied pair
+        rows = [(1, 1, "D", None), (1, 1, "U", 10), (2, 1, "U", 20), (2, 1, "D", None)]
+        batch = spark.createDataFrame(
+            rows, "k long, seq long, op string, v long"
+        ).repartition(4)
+        write_cdc(spark, batch, path, keys=["k"], seq_cols=["seq"])
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {1: 10, 2: 20}
+
+
 def test_cdc_unpartitioned_never_collects(spark, workdir, monkeypatch):
     path = os.path.join(workdir, "t")
     seed = spark.createDataFrame(
