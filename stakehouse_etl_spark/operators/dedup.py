@@ -163,6 +163,23 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _per_doc_state(sh: DataFrame, id_col: str) -> DataFrame:
+    """ONE groupBy producing everything the LSH tier needs per doc:
+    the 16 signature mins, the sorted shingle set (for the set-based
+    candidate verify), and the shingle count. Collapsing the three
+    former groupBys (signatures + both verify sides) into one shuffle
+    means the exploded shingle table is consumed ONCE — at 100 TB the
+    persisted intermediate shrinks from the exploded rows (~shingle
+    count × doc bytes) to one row per doc."""
+    hashed = sh.withColumn("h", hash32(F.col("shingle")))
+    perms = minhash_signature_cols(F.col("h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(p).alias(f"mh_{j}") for j, p in enumerate(perms)],
+        F.sort_array(F.collect_list("shingle")).alias("__set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -173,7 +190,11 @@ def minhash_signatures(
 
 def _banded(sh: DataFrame, id_col: str) -> DataFrame:
     """(id, band_idx, band_key) rows — one per doc per band."""
-    sig = _signatures_from_shingles(sh, id_col)
+    return _banded_from_sig(_signatures_from_shingles(sh, id_col), id_col)
+
+
+def _banded_from_sig(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) from any frame carrying mh_0..mh_15."""
     band_structs = F.array(
         *[
             F.struct(
@@ -210,10 +231,16 @@ def _band_candidates(
     subsequent self-join reuses the same partitioning (no extra
     exchange on the filtered side).
     """
+    return _candidates_from_banded(_banded(sh, id_col), id_col, max_bucket)
+
+
+def _candidates_from_banded(
+    banded: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
     from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
 
     banded = drop_oversize_buckets(
-        _banded(sh, id_col), ["band_idx", "band_key"], max_bucket
+        banded, ["band_idx", "band_key"], max_bucket
     )
     ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
@@ -287,33 +314,37 @@ def minhash_lsh_pairs(
     a tiny fraction of all pairs; the exact-Jaccard rescoring join runs
     only on them (left-semi pushdown of the candidate set).
     """
-    # The exploded shingle table feeds THREE consumers (signatures,
-    # and both sides of the candidate-intersection join); without a
-    # persist each consumer re-runs the tokenize/shingle/md5 subtree.
-    # MEMORY_AND_DISK: spills at scale, LRU-evicted when idle — at
-    # 100 TB you would persist this (or the signatures) as a real
-    # intermediate table anyway.
-    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
-    candidates = _band_candidates(sh, id_col, max_bucket)
-    # Exact-verify CANDIDATES ONLY, set-based (same shape as the
-    # prefix-filter tier's verification): one groupBy folds each doc's
-    # shingles into a sorted array, the bounded candidate list joins a
-    # set onto each side, and `array_intersect` counts the overlap
-    # inside codegen. Two shuffles on the verify path instead of the
-    # previous exploded double-join's three, and the corpus-wide
-    # all-pairs join of plain jaccard_pairs never materializes — the
-    # entire point of LSH at 100 TB. (Per-doc arrays are bounded by
-    # the doc's own size — the same row that already held its text.)
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("__set"),
-        F.count(F.lit(1)).alias("n_sh"),
+    # ONE pass over the exploded shingles: a single groupBy computes
+    # the signature mins AND the sorted shingle set AND the count
+    # (previously three separate groupBys — signatures plus both
+    # verify sides — each re-shuffling the exploded table). The
+    # persisted intermediate is the per-doc state (one row per doc),
+    # not the exploded shingles (one row per shingle) — at 100 TB
+    # that's the difference between caching ~10× the corpus and
+    # caching ~1× of it; at bench scale it removes two row-scale
+    # shuffles per run. MEMORY_AND_DISK: spills at scale; at 100 TB
+    # you would persist this as a real intermediate table anyway.
+    per_doc = persist_tracked(
+        _per_doc_state(doc_shingles(df, text_col, id_col, k), id_col)
     )
-    sa = sets.select(
+    candidates = _candidates_from_banded(
+        _banded_from_sig(per_doc, id_col), id_col, max_bucket
+    )
+    # Exact-verify CANDIDATES ONLY, set-based (same shape as the
+    # prefix-filter tier's verification): the bounded candidate list
+    # joins a sorted set onto each side, and `array_intersect` counts
+    # the overlap inside codegen. The candidate side is tiny after
+    # banding+cap, so AQE broadcasts it into both per-doc joins — the
+    # corpus-wide all-pairs join of plain jaccard_pairs never
+    # materializes; that's the entire point of LSH at 100 TB. (Per-doc
+    # arrays are bounded by the doc's own size — the same row that
+    # already held its text.)
+    sa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("__set").alias("__set_a"),
         F.col("n_sh").alias("n_a"),
     )
-    sb = sets.select(
+    sb = per_doc.select(
         F.col(id_col).alias("id_b"),
         F.col("__set").alias("__set_b"),
         F.col("n_sh").alias("n_b"),
@@ -410,26 +441,46 @@ def prefix_filter_jaccard_pairs(
     shingles are near-contentless boilerplate). None (default) keeps
     the query's lossless-vs-oracle contract for ground-truth use.
     """
-    from pyspark.sql import Window
-
-    # Consumed by the frequency count, the ranked prefix, and the
-    # verification sets — persist against triple recompute.
-    sh = persist_tracked(doc_shingles(df, text_col, id_col, k))
+    # ONE per-doc aggregation carries the whole operator's state: the
+    # doc's shingles as structs (df, shingle) sorted rarest-first —
+    # the same deterministic global order the former row_number window
+    # imposed — plus the count. The prefix postings fall out of a
+    # narrow posexplode(slice(...)) over the persisted array (no
+    # per-doc window shuffle), and the verification sets are a
+    # transform over the same array (no second and third groupBy).
+    # Three shuffles total before the self-join (df count, the
+    # shingle-keyed join, one per-doc groupBy) versus five in the
+    # window form — and the persisted intermediate is one row per doc.
+    sh = doc_shingles(df, text_col, id_col, k)
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "shingle")
-    per_doc = Window.partitionBy(id_col).orderBy("df", "shingle")
-    ranked = ranked.withColumn("pos", F.row_number().over(per_doc)).withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    per_doc = persist_tracked(
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("__arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
-    # prefix length p = n - ceil(t*n) + 1, integer form.
+    # prefix length p = n - ceil(t*n) + 1, integer form (>= 1 for any
+    # threshold <= 100, so the slice is never empty).
     ceil_tn = (F.col("n_sh") * threshold_pct + 99) / 100
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - ceil_tn.cast("long") + 1
+    p_len = F.col("n_sh") - ceil_tn.cast("long") + 1
+    prefix = per_doc.select(
+        id_col,
+        "n_sh",
+        F.posexplode(F.slice("__arr", F.lit(1), p_len)).alias("__p0", "__e"),
+    ).select(
+        id_col,
+        "n_sh",
+        (F.col("__p0") + 1).alias("pos"),
+        F.col("__e.df").alias("df"),
+        F.col("__e.shingle").alias("shingle"),
     )
     if max_prefix_df is not None:
         prefix = prefix.filter(F.col("df") <= max_prefix_df)
-    prefix = prefix.select(id_col, "shingle", "pos", "n_sh")
     pa = prefix.select(
         F.col(id_col).alias("id_a"),
         "shingle",
@@ -471,9 +522,12 @@ def prefix_filter_jaccard_pairs(
             >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
         )
     candidates = joined.select("id_a", "id_b").distinct()
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
+    # Verification sets come straight off the persisted per-doc array
+    # (shingle order is irrelevant to array_intersect's SIZE).
+    sets = per_doc.select(
+        id_col,
+        F.transform("__arr", lambda e: e["shingle"]).alias("sh_set"),
+        "n_sh",
     )
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")

@@ -23,11 +23,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
+# Below this many (deduped, directed) edge rows the component
+# resolution runs as a single driver-side union-find instead of the
+# iterative distributed loop: each distributed pass costs 3-4 stages
+# of fixed latency, and a ≤100k-row edge list is a few MB — the same
+# bounded-metadata class as a broadcast threshold. Near-dup edge sets
+# are a tiny fraction of the corpus (they ARE the duplicate clusters),
+# so in practice even 100 TB runs often take this path; genuinely
+# large graphs fall through to pointer jumping unchanged.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _driver_components(pairs: list[tuple]) -> dict:
+    """Union-find with min-root labels over collected (a, b) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the MIN id as the root — the component label contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_max_edges: int | None = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Resolve undirected components; returns (node, component) with
     component = min node id reachable from the node.
@@ -42,6 +79,26 @@ def connected_components(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    # sym is materialized by the eager checkpoint, so this count reads
+    # cached partition sizes — no recompute.
+    if driver_max_edges is not None and sym.count() <= driver_max_edges:
+        rows = sym.collect()
+        if any(a is None or b is None for a, b in rows):
+            raise ValueError(
+                "connected_components: NULL node ids in the edge list"
+            )
+        comp = _driver_components([(r[0], r[1]) for r in rows])
+        node_type = sym.schema["a"].dataType
+        spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(sorted(comp.items()), schema)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

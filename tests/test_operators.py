@@ -307,8 +307,40 @@ def test_connected_components_fails_loud_on_iteration_exhaustion(spark):
         [(i, i + 1) for i in range(40)], "a long, b long"
     )
     # a 40-edge chain needs ~log2(40) ≈ 6 pointer-jumping passes
+    # (driver_max_edges=None forces the distributed loop under test)
     with pytest.raises(RuntimeError, match="not converged"):
-        connected_components(chain, src="a", dst="b", max_iter=2)
+        connected_components(
+            chain, src="a", dst="b", max_iter=2, driver_max_edges=None
+        )
     # and with enough passes it resolves to one component
-    comp = connected_components(chain, src="a", dst="b", max_iter=20)
+    comp = connected_components(
+        chain, src="a", dst="b", max_iter=20, driver_max_edges=None
+    )
     assert comp.select("component").distinct().count() == 1
+
+
+def test_connected_components_driver_distributed_parity(spark):
+    """The size-gated driver union-find fast path and the distributed
+    pointer-jumping loop must label identically — chains (deep), stars
+    (wide), reversed/duplicate edges, and a singleton pair."""
+    from stakehouse_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)]          # chain 0..15
+        + [(100, 100 + i) for i in range(1, 8)]  # star at 100
+        + [(201, 200), (200, 201), (201, 200)]   # dup + reversed
+        + [(300, 301)],
+        "a long, b long",
+    )
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(edges, src="a", dst="b").collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, src="a", dst="b", driver_max_edges=None
+        ).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 100, 200, 300}
