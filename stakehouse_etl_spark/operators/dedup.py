@@ -503,24 +503,29 @@ def prefix_filter_jaccard_pairs(
         F.least("__na", "__nb") * 100
         >= F.greatest("__na", "__nb") * F.lit(threshold_pct)
     )
-    if max_prefix_df is None:
-        # POSITIONAL filter (PPJoin, lossless only UNCAPPED): for the
-        # MINIMAL shared token w of a true pair, w sits inside both
-        # prefixes (same pigeonhole as the prefix bound) and no shared
-        # token precedes it, so inter <= 1 + min(n_a-pos_a, n_b-pos_b)
-        # at w's posting row. J >= t  ⟺  inter >= ceil(t·(n_a+n_b)/(1+t)),
-        # so the w-row of every true pair passes this bound and keeping
-        # pairs with ANY passing row loses nothing. Under the df cap
-        # w's posting may be dropped while a later (bound-failing)
-        # shared posting survives — so the capped arm skips this filter
-        # to keep its any-surviving-posting oracle contract.
-        ubound = F.lit(1) + F.least(
-            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
-        )
-        joined = joined.filter(
-            ubound * F.lit(100 + threshold_pct)
-            >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
-        )
+    # POSITIONAL filter (PPJoin): for the MINIMAL shared token w of a
+    # true pair, w sits inside both prefixes (same pigeonhole as the
+    # prefix bound) and no shared token precedes it, so
+    # inter <= 1 + min(n_a-pos_a, n_b-pos_b) at w's posting row.
+    # J >= t  ⟺  inter >= ceil(t·(n_a+n_b)/(1+t)), so the w-row of
+    # every true pair passes this bound — keeping pairs with ANY
+    # passing row loses nothing, and the UNCAPPED arm stays lossless.
+    # Under the df cap, w's posting may be dropped while a later
+    # (bound-failing) shared posting survives, so the capped arm CAN
+    # lose such a pair — the capped query's oracle mirrors this exact
+    # predicate (positions from the full rarest-first order, cap
+    # applied after), keeping the capped tier value-exact while
+    # strictly cheaper than the lossless arm (without the positional
+    # filter the capped arm was MORE expensive wherever the cap
+    # wasn't yet binding — measured at sf1: 29 s capped vs 19 s
+    # lossless).
+    ubound = F.lit(1) + F.least(
+        F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+    )
+    joined = joined.filter(
+        ubound * F.lit(100 + threshold_pct)
+        >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
+    )
     candidates = joined.select("id_a", "id_b").distinct()
     # Verification sets come straight off the persisted per-doc array
     # (shingle order is irrelevant to array_intersect's SIZE).

@@ -79,14 +79,20 @@ rp AS (
   FROM s2 JOIN dfq USING (shingle) JOIN c USING (doc_id)
 ),
 pfx AS (
-  SELECT doc_id, shingle FROM rp
+  SELECT doc_id, shingle, pos, n_sh FROM rp
   WHERE pos <= n_sh - (n_sh * 70 + 99) // 100 + 1
     AND df <= {PREFIX_DF_CAP}
 ),
 cand AS (
+  -- PPJoin positional bound, mirrored from the Spark arm: positions
+  -- are from the FULL rarest-first order (pos assigned before the df
+  -- cap drops postings), and a pair survives iff ANY surviving shared
+  -- posting passes it.
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pfx a JOIN pfx b USING (shingle)
   WHERE a.doc_id < b.doc_id
+    AND (1 + least(a.n_sh - a.pos, b.n_sh - b.pos)) * 170
+        >= (a.n_sh + b.n_sh) * 70
 ),
 iv AS (
   SELECT cand.id_a, cand.id_b, count(*) AS inter
