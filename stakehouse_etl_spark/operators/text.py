@@ -128,9 +128,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     high. The exact weights are a default policy, not a law.
     """
     t = F.col(text_col)
-    n_tok = token_count(t)
+    # Tokenize ONCE: the split feeds four expressions below, and
+    # higher-order-function subtrees are interpreted (no codegen CSE),
+    # so inlining tokens(t) everywhere re-splits the text per
+    # reference. A materialized column is bound once per projection
+    # and the chained projects collapse into one codegen stage.
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
     n_chars = F.length(t)
-    stop = stopword_count(t)
+    stop = F.size(F.filter(toks, _membership_counter(STOPWORDS_EN)))
     punct = punct_count(t)
     stop_ratio = stop / n_tok
     punct_ratio = punct / n_chars
@@ -139,14 +145,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * stop_ratio
         + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5))
     )
-    return df.withColumns(
-        {
-            "n_tokens": n_tok.cast("long"),
-            "n_distinct_tokens": distinct_token_count(t).cast("long"),
-            "stopword_ratio": stop_ratio,
-            "punct_ratio": punct_ratio,
-            "quality_score": score,
-        }
+    return (
+        df.withColumn("__toks", tokens(t))
+        .withColumns(
+            {
+                "n_tokens": n_tok.cast("long"),
+                "n_distinct_tokens": F.size(F.array_distinct(toks)).cast(
+                    "long"
+                ),
+                "stopword_ratio": stop_ratio,
+                "punct_ratio": punct_ratio,
+                "quality_score": score,
+            }
+        )
+        .drop("__toks")
     )
 
 

@@ -9,13 +9,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/8 unit + property tests =="
+echo "== 1/9 unit + property tests =="
 python -m pytest tests/ -q
 
-echo "== 2/8 oracle gate, sf0.01 (the driver's rung) =="
+echo "== 2/9 oracle gate, sf0.01 (the driver's rung) =="
 python tools/check.py /root/testdata/sf0.01
 
-echo "== 3/8 bench (sf0.1 headline suite) =="
+echo "== 3/9 bench (sf0.1 headline suite) =="
 python bench.py
 
 if [[ "${1:-}" == "--quick" ]]; then
@@ -23,23 +23,26 @@ if [[ "${1:-}" == "--quick" ]]; then
     exit 0
 fi
 
-echo "== 4/8 oracle gates, sf0.001 + sf0.1 =="
+echo "== 4/9 oracle gates, sf0.001 + sf0.1 =="
 python tools/check.py /root/testdata/sf0.001
 python tools/check.py /root/testdata/sf0.1
 
-echo "== 5/8 local scale rungs (generate if missing) =="
+echo "== 5/9 single-partition-window audit (exit 1 on any ROW-SCALE) =="
+python tools/window_audit.py /root/testdata/sf0.01
+
+echo "== 6/9 local scale rungs (generate if missing) =="
 for sf in 0.1 1 3; do
     [[ -d "localdata/sf${sf}" ]] || python tools/gen_testdata.py "${sf}"
 done
 python tools/scaling.py --bench
 
-echo "== 6/8 warehouse soak (sf0.1) =="
+echo "== 7/9 warehouse soak (sf0.1) =="
 python tools/soak.py /root/testdata/sf0.1 10
 
-echo "== 7/8 streaming throughput =="
+echo "== 8/9 streaming throughput =="
 python tools/stream_bench.py 500000 5
 
-echo "== 8/8 serving load test =="
+echo "== 9/9 serving load test =="
 python tools/loadtest.py
 
 echo "all verification stages complete."
