@@ -1,0 +1,328 @@
+"""Data-pipeline queries, wave 73: maximal duplicated-span detection.
+
+The substring-granular dedup stage of an LLM training-data pipeline
+(Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better"): instead of doc-level (MinHash tiers) or fixed-chunk
+(``corpus_passage_dedup``) decisions, find the MAXIMAL token spans
+that are duplicated across documents, inventory them per document,
+and scrub all but the first-claimant occurrence.
+
+The exact suffix-array construction of the paper is replaced by a
+k-token-gram anchor equivalent that Spark can run as three linear
+shuffles: any duplicated span of length >= k is covered by duplicated
+k-grams at every offset inside it, so merging adjacent duplicated
+k-gram positions (classic islands pass, per-document window)
+reconstructs exactly the maximal duplicated regions at k-token
+resolution — no pairwise doc join, no suffix array.
+
+Scale shape (100 TB): positional grams are one explode (k*n work per
+doc, expression-level); the gram frequency table is one hash shuffle
+on the gram fingerprint (high cardinality, even); the join back is a
+second shuffle reusing that key; the islands window partitions by
+doc_id — row-parallel, never a global window. Reference anchor for
+the dedup-tier contract: operators/dedup.py:373 (tier ladder notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.caches import persist_tracked
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.operators.text import fan_out, tokens
+from stakehouse_etl_spark.queries.registry import register
+
+# Span resolution: a duplicated region is reported iff it spans at
+# least SPAN_K whitespace tokens (the paper uses 50 BPE tokens at web
+# scale; 5 keeps sf0.01 spans non-degenerate on ~60-token synthetic
+# docs while exercising the identical plan).
+SPAN_K = 5
+
+_TOKS_CTE = """
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+# Positional k-grams: pos is 0-based; DuckDB list slicing is 1-based
+# inclusive, so gram at pos i covers toks[i+1 .. i+K].
+_GRAMS_CTE = f"""
+g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(toks[u.i + 1 : u.i + {SPAN_K}], ' ')) AS gram
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(len(toks) - {SPAN_K} + 1, 0))) AS i
+  ) u
+)
+"""
+
+# Islands pass over duplicated gram positions: intervals [pos, pos+K-1]
+# sorted by pos merge iff the next start is within K of the previous
+# (fixed-length intervals => lag alone is exact; no running-max
+# needed). sum() OVER defaults to UNBOUNDED PRECEDING..CURRENT ROW in
+# both engines, and pos is unique per doc so RANGE == ROWS.
+_ISLANDS_SQL = f"""
+o2 AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN ppos IS NOT NULL AND pos > ppos + {SPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM o2
+),
+sp AS (
+  SELECT doc_id, island,
+         min(pos) AS s, max(pos) + {SPAN_K} - 1 AS e
+  FROM isl GROUP BY 1, 2
+)
+"""
+
+
+def _positional_grams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc token frame, exploded (doc_id, pos, gram) frame).
+
+    The gram is an md5 fingerprint of the k-token window starting at
+    0-based ``pos`` — reproduced verbatim in the oracle CTE above.
+    """
+    t = fan_out(docs).select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    # sequence(0, -1) would generate a DESCENDING range for docs
+    # shorter than K tokens — guard to an empty array instead.
+    gram_structs = F.when(
+        n >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_K),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i + 1, SPAN_K))
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
+    g = t.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    return t, g
+
+
+def _merge_islands(occ: DataFrame) -> DataFrame:
+    """Merge duplicated gram positions into maximal spans [s, e].
+
+    Fixed-length intervals sorted by start merge iff the next start is
+    <= previous start + K, so a lag-based break flag is exact (the
+    generic islands running-max is unnecessary). The window partitions
+    by doc_id — per-document, row-parallel at any scale.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + SPAN_K, 1).otherwise(0)
+    return (
+        occ.withColumn("island", F.sum(brk).over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + SPAN_K - 1).alias("e"),
+        )
+    )
+
+
+@register(
+    "dedup_span_inventory",
+    tags=("dedup", "text", "spans"),
+    bench=True,
+    oracle=f"""
+WITH {_TOKS_CTE}, {_GRAMS_CTE},
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+{_ISLANDS_SQL},
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+  FROM sp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(a.max_span_len, 0) AS BIGINT) AS max_span_len,
+       CASE WHEN len(t.toks) > 0
+            THEN CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+            ELSE CAST(0 AS DOUBLE) END AS dup_frac
+FROM t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document inventory of MAXIMAL cross-document duplicated
+    token spans at SPAN_K-gram resolution: how many distinct
+    duplicated regions, how many tokens they cover, and the longest.
+
+    A gram is duplicated iff it occurs in >= 2 DISTINCT documents
+    (within-doc repetition is repetition, not duplication — that is
+    ``text_repetition_metrics``'s lane). Adjacent/overlapping
+    duplicated gram positions merge into maximal spans, so a 40-token
+    boilerplate block shared by two docs reports as ONE span of ~40
+    tokens, not 36 overlapping grams — the signal doc-level and
+    fixed-chunk dedup both miss.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t, g = _positional_grams(docs)
+    g = persist_tracked(g)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = _merge_islands(g.join(dup, "gram").select("doc_id", "pos"))
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("max_span_len"),
+    )
+    n_tokens = F.size("toks").cast("long")
+    return (
+        t.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("max_span_len"), F.lit(0))
+            .cast("long")
+            .alias("max_span_len"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "corpus_span_scrub",
+    tags=("corpus", "dedup", "spans"),
+    oracle=f"""
+WITH {_TOKS_CTE}, {_GRAMS_CTE},
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+occ AS (
+  SELECT doc_id, pos FROM g JOIN firsts USING (gram)
+  WHERE first_doc < doc_id
+),
+{_ISLANDS_SQL},
+cov AS (
+  SELECT sp.doc_id, CAST(u.p AS BIGINT) AS p
+  FROM sp, LATERAL (SELECT unnest(range(s, e + 1)) AS p) u
+),
+tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, toks[u.i + 1] AS tok
+  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i) u
+),
+kept AS (
+  SELECT k.doc_id, k.tpos, k.tok
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.p
+  WHERE c.p IS NULL
+),
+reb AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tpos)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+       r.cleaned_fp AS cleaned_fp
+FROM t LEFT JOIN reb r USING (doc_id)
+""",
+)
+def corpus_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first span scrub: every maximal duplicated span is removed
+    from all documents EXCEPT the gram's first claimant (min doc_id —
+    ingestion order), and the surviving text is fingerprinted.
+
+    This is the paper's dedup policy (keep one occurrence of each
+    duplicated substring, drop the rest) expressed corpus-wide in four
+    linear shuffles: gram -> first claimant, join-back filtered to
+    later claimants, per-doc islands merge, and an anti-join of token
+    positions against the exploded covered ranges. Reassembly is
+    order-explicit (sorted by token position), never collect arrival
+    order. Docs that survive intact keep ``n_scrubbed = 0`` and a
+    fingerprint of their full normalized token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t, g = _positional_grams(docs)
+    t = persist_tracked(t)
+    g = persist_tracked(g)
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    occ = (
+        g.join(firsts, "gram")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    # Merged spans are disjoint per doc, so the exploded positions are
+    # already distinct — no dedup needed before the anti-join.
+    # Disambiguated join columns: cov shares lineage with tok through
+    # `t`, so equi-keys must be renamed, not referenced positionally.
+    cov = _merge_islands(occ).select(
+        F.col("doc_id").alias("c_doc"),
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok")
+    ).select("doc_id", F.col("tpos").cast("long").alias("tpos"), "tok")
+    kept = tok.join(
+        cov,
+        (tok["doc_id"] == cov["c_doc"]) & (tok["tpos"] == cov["p"]),
+        "left_anti",
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_fp"),
+    )
+    n_tokens = F.size("toks").cast("long")
+    return (
+        t.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_scrubbed"),
+            "cleaned_fp",
+        )
+    )
