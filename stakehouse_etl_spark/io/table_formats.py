@@ -163,9 +163,15 @@ def apply_cdc_delta(
     (
         tbl.alias("t")
         .merge(compact.alias("s"), _merge_cond(keys))
-        .whenMatchedDelete(condition=f"s.{op_col} = '{delete_val}'")
-        .whenMatchedUpdateAll(condition=f"s.{op_col} <> '{delete_val}'")
-        .whenNotMatchedInsertAll(condition=f"s.{op_col} <> '{delete_val}'")
+        # Null-safe compares: write_cdc treats a NULL op as an upsert
+        # (test_cdc_null_op_upserts); plain = / <> would evaluate to
+        # NULL for those rows and fire NO clause, silently dropping
+        # them from this arm only (review r5).
+        .whenMatchedDelete(condition=f"s.{op_col} <=> '{delete_val}'")
+        .whenMatchedUpdateAll(condition=f"NOT (s.{op_col} <=> '{delete_val}')")
+        .whenNotMatchedInsertAll(
+            condition=f"NOT (s.{op_col} <=> '{delete_val}')"
+        )
         .execute()
     )
 

@@ -450,8 +450,21 @@ def prefix_filter_jaccard_pairs(
     # transform over the same array (no second and third groupBy).
     # Three shuffles total before the self-join (df count, the
     # shingle-keyed join, one per-doc groupBy) versus five in the
-    # window form — and the persisted intermediate is one row per doc.
-    sh = doc_shingles(df, text_col, id_col, k)
+    # window form — and the persisted intermediates are one row per
+    # doc. sh has TWO consumers (the dfreq groupBy and the join back),
+    # so the scan/tokenize/shingle subtree must not recompute per
+    # consumer (review r5): persist the COMPACT per-doc shingle-array
+    # frame (map-only, no per-shingle row blowup) and re-derive the
+    # exploded pairs from the cached arrays — a narrow explode, not a
+    # second corpus scan.
+    arrs = persist_tracked(
+        fan_out(df).select(
+            F.col(id_col), shingles(F.col(text_col), k).alias("__sh_arr")
+        )
+    )
+    sh = arrs.select(
+        F.col(id_col), F.explode("__sh_arr").alias("shingle")
+    ).filter(F.col("shingle") != "")
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = persist_tracked(

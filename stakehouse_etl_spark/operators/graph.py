@@ -113,14 +113,18 @@ def connected_components(
     # one pass, returning under-merged components); for any other id
     # type fall back to the join-based changed-row count.
     numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
-    if not numeric_ids:
-        # The numeric path detects NULL ids via the NULL aggregate; the
-        # join-based path would silently drop NULL-keyed comparisons
-        # (NULL != NULL filters out) and "converge" — check upfront.
-        if labels.filter(F.col("node").isNull()).limit(1).count() > 0:
-            raise ValueError(
-                "connected_components: NULL node ids in the edge list"
-            )
+    # NULL ids break BOTH distributed paths, and not loudly: NULL-keyed
+    # joins silently drop propagation (a NULL node's neighbors
+    # under-merge), the join-based convergence check filters NULL !=
+    # NULL comparisons out, and the numeric sum identity only goes NULL
+    # when EVERY label is NULL — a single NULL id among millions slips
+    # through it (review r5). Probe upfront for every path, matching
+    # the driver fast path's ValueError, so behavior is not
+    # size-dependent. One LIMIT-1 probe over the checkpointed labels.
+    if labels.filter(F.col("node").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "connected_components: NULL node ids in the edge list"
+        )
     prev_sum = None
     for _ in range(max_iter):
         neighbor = (

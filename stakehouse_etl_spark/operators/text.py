@@ -133,7 +133,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # so inlining tokens(t) everywhere re-splits the text per
     # reference. A materialized column is bound once per projection
     # and the chained projects collapse into one codegen stage.
-    toks = F.col("__toks")
+    # Collision-checked temp name: withColumn would silently REPLACE a
+    # caller's same-named column and drop() would then destroy it
+    # (review r5).
+    tmp = "__toks"
+    while tmp in df.columns:
+        tmp = "_" + tmp
+    toks = F.col(tmp)
     n_tok = F.size(toks)
     n_chars = F.length(t)
     stop = F.size(F.filter(toks, _membership_counter(STOPWORDS_EN)))
@@ -146,7 +152,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5))
     )
     return (
-        df.withColumn("__toks", tokens(t))
+        df.withColumn(tmp, tokens(t))
         .withColumns(
             {
                 "n_tokens": n_tok.cast("long"),
@@ -158,7 +164,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "quality_score": score,
             }
         )
-        .drop("__toks")
+        .drop(tmp)
     )
 
 

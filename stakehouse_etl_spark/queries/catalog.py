@@ -153,8 +153,9 @@ DRIVER_PRIORITY = [
     "j9_asof_last_signup",
     # aggregate family (A1-A10)
     "a1_pricing_summary",
-    # output / set family (O1-O3, U1-U3)
-    "o2_pagination", "u1_union_nations", "u3_missing_days",
+    # output / set family (O1-O3, U1-U3; union semantics stay covered
+    # by u3's sequence+anti plan and the r1-r4 green history of u1)
+    "o2_pagination", "u3_missing_days",
     # scalar-function family (F1-F10) + predicate kernel (P1-P7)
     "f_scalar_kernel", "f10_json_extract", "p_predicate_kernel",
     # sink family (K1/K2/K4, T5)
@@ -191,6 +192,8 @@ DRIVER_PRIORITY = [
     "src_csv_roundtrip", "src_schema_evolution",
     # null-aware anti-join rewrite; iterative graph operator
     "j24_null_aware_not_in", "graph_pagerank_2iter",
+    # r5 addition: substring-granular dedup (maximal duplicated spans)
+    "dedup_span_inventory",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -179,6 +179,10 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t, g = _positional_grams(docs)
+    # t feeds both the gram pipeline and the final n_tokens join —
+    # persist it or the corpus re-scans and re-tokenizes for the
+    # closing join (review r5; the scrub query persists the same way).
+    t = persist_tracked(t)
     g = persist_tracked(g)
     dup = (
         g.groupBy("gram")

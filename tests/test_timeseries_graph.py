@@ -155,3 +155,20 @@ def test_cc_string_ids_chain_converges(spark):
     out = connected_components(edges)
     got = rows(out, "node", "component")
     assert got == sorted((n, "doc_a") for n in names)
+
+
+def test_cc_null_ids_raise_in_every_path(spark):
+    # Review r5: the driver fast path raised on NULL ids but the
+    # distributed numeric path's sum-based NULL detection only fires
+    # when EVERY label is NULL — one NULL among many slipped through
+    # and silently under-merged. Both paths must fail loud, so the
+    # behavior is not input-size-dependent.
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, 5)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="NULL node ids"):
+        connected_components(edges)  # driver fast path
+    with pytest.raises(ValueError, match="NULL node ids"):
+        connected_components(edges, driver_max_edges=None)  # distributed
