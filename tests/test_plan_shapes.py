@@ -310,3 +310,26 @@ def test_hhi_two_grouped_passes_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan  # dims must broadcast
     assert "Cartesian" not in plan
+
+
+def test_span_inventory_no_cartesian_no_global_window(spark):
+    # The islands merge must window on doc_id (row-parallel), never a
+    # single-partition global window, and the dup-gram join is an
+    # equi-join on the gram fingerprint — no cartesian anywhere.
+    plan = plan_of(spark, "dedup_span_inventory")
+    assert "CartesianProduct" not in plan, plan
+    assert not (
+        "SinglePartition" in plan and "Window" in plan
+    ), plan
+
+
+def test_span_scrub_no_cartesian_reads_two_columns(spark):
+    # The scrub touches only (doc_id, text): column pruning must reach
+    # the documents scan — reading lang/source/n_chars at 100 TB would
+    # double the scan bytes for nothing.
+    plan = plan_of(spark, "corpus_span_scrub")
+    assert "CartesianProduct" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
