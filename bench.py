@@ -132,11 +132,25 @@ def run() -> None:
     regressions: dict[str, dict] = {}
     for name, cur in timings.items():
         p = prev.get(name)
-        if p and p > 0 and cur / p > REGRESSION_RATIO:
+        # Noise-robust guard: medians of sub-second queries swing
+        # ±30-50% with machine load (two back-to-back r5 runs flagged
+        # DISJOINT "regression" sets), so the guard compares the
+        # BEST-of-N sample — a real plan regression raises the floor,
+        # contention doesn't — and requires a 0.3 s absolute delta so
+        # a 0.35→0.45 s wiggle can't trip the ratio. Reported medians
+        # stay the round-over-round comparable series.
+        best = min(samples[name])
+        if (
+            p
+            and p > 0
+            and best / p > REGRESSION_RATIO
+            and best - p > 0.3
+        ):
             regressions[name] = {
                 "prev": p,
                 "cur": cur,
-                "ratio": round(cur / p, 3),
+                "best": round(best, 3),
+                "ratio": round(best / p, 3),
             }
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
