@@ -84,13 +84,26 @@ def main(argv: list[str]) -> int:
                 spark.read.parquet(p).count()
             except Exception:
                 pass
+        # Best-of-N cells (SPARK_GRAFT_SCALING_RUNS, default 2):
+        # single-shot timings at the local rungs are bimodal — the
+        # same query in the same session swings ±70% with GC phase and
+        # box load (measured r5: capped-prefix sf1 24.0 s then 14.5 s
+        # back-to-back). The MIN is the stable compute-bound estimate;
+        # growth ratios computed from mins compare plans, not noise.
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
         for name in names:
             q = QUERIES[name]
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out.setdefault(name, {})[key] = round(time.perf_counter() - t0, 3)
-            release_tracked()
-            spark.catalog.clearCache()
+            best = None
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+                release_tracked()
+                spark.catalog.clearCache()
+            out.setdefault(name, {})[key] = round(best, 3)
     for name, row in out.items():
         if row.get("sf0.01") and row.get("sf0.1"):
             row["ratio_10x"] = round(row["sf0.1"] / row["sf0.01"], 2)
