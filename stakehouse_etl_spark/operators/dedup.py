@@ -333,22 +333,29 @@ def minhash_lsh_pairs(
     # Exact-verify CANDIDATES ONLY, set-based (same shape as the
     # prefix-filter tier's verification): the bounded candidate list
     # joins a sorted set onto each side, and `array_intersect` counts
-    # the overlap inside codegen. The candidate side is tiny after
-    # banding+cap, so AQE broadcasts it into both per-doc joins — the
-    # corpus-wide all-pairs join of plain jaccard_pairs never
-    # materializes; that's the entire point of LSH at 100 TB. (Per-doc
-    # arrays are bounded by the doc's own size — the same row that
-    # already held its text.)
+    # the overlap inside codegen — the corpus-wide all-pairs join of
+    # plain jaccard_pairs never materializes; that's the entire point
+    # of LSH at 100 TB.
+    # SHUFFLE_HASH pin on the per-doc set sides: left free, AQE
+    # judges this side by its COMPRESSED shuffle bytes — repetitive
+    # token sets compress so well that a multi-GB deserialized hash
+    # relation sneaks under the 10 MB broadcast threshold and OOMs
+    # the driver (measured r5 at sf10 inside pipeline_corpus_clean).
+    # Shuffled-hash keeps the per-task build at docs/partitions rows
+    # (bounded — the set table is DOC-scale, and AQE sizes partitions
+    # with the data), avoids any driver-side materialization, and
+    # skips the row-scale array sorts a MERGE pin would pay (measured
+    # r5: MERGE tripled the lossless prefix tier at sf3).
     sa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("__set").alias("__set_a"),
         F.col("n_sh").alias("n_a"),
-    )
+    ).hint("SHUFFLE_HASH")
     sb = per_doc.select(
         F.col(id_col).alias("id_b"),
         F.col("__set").alias("__set_b"),
         F.col("n_sh").alias("n_b"),
-    )
+    ).hint("SHUFFLE_HASH")
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
@@ -542,6 +549,10 @@ def prefix_filter_jaccard_pairs(
     candidates = joined.select("id_a", "id_b").distinct()
     # Verification sets come straight off the persisted per-doc array
     # (shingle order is irrelevant to array_intersect's SIZE).
+    # SHUFFLE_HASH pin: same rationale as minhash_lsh_pairs' verify —
+    # the doc-scale set side must never broadcast (compressed-size
+    # trap, r5 sf10 driver OOM), and shuffled-hash avoids the array
+    # sorts a MERGE pin would pay.
     sets = per_doc.select(
         id_col,
         F.transform("__arr", lambda e: e["shingle"]).alias("sh_set"),
@@ -549,10 +560,10 @@ def prefix_filter_jaccard_pairs(
     )
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
-    )
+    ).hint("SHUFFLE_HASH")
     sb = sets.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
-    )
+    ).hint("SHUFFLE_HASH")
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
@@ -779,16 +790,17 @@ def incremental_minhash_dedup(
         F.sort_array(F.collect_list("shingle")).alias("__set"),
         F.count(F.lit(1)).alias("n_sh"),
     )
+    # SHUFFLE_HASH pin: same rationale as minhash_lsh_pairs' verify (r5).
     so = sets.select(
         F.col(id_col).alias("id_old"),
         F.col("__set").alias("__set_o"),
         F.col("n_sh").alias("n_old"),
-    )
+    ).hint("SHUFFLE_HASH")
     sn = sets.select(
         F.col(id_col).alias("id_new"),
         F.col("__set").alias("__set_n"),
         F.col("n_sh").alias("n_new"),
-    )
+    ).hint("SHUFFLE_HASH")
     drops = (
         cand.join(so, "id_old")
         .join(sn, "id_new")

@@ -15,6 +15,11 @@ k-gram positions (classic islands pass, per-document window)
 reconstructs exactly the maximal duplicated regions at k-token
 resolution — no pairwise doc join, no suffix array.
 
+Three queries: the per-doc span inventory, the corpus-wide keep-first
+scrub, and the incremental form (a new batch scrubbed against the
+stored corpus gram index — the shape a steady-state ingest loop
+actually runs).
+
 Scale shape (100 TB): positional grams are one explode (k*n work per
 doc, expression-level); the gram frequency table is one hash shuffle
 on the gram fingerprint (high cardinality, even); the join back is a
@@ -221,6 +226,69 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scrub_tail(t: DataFrame, occ: DataFrame) -> DataFrame:
+    """Shared scrub tail: duplicated gram positions ``occ`` → merged
+    spans → anti-join of token positions against the exploded covered
+    ranges → order-explicit reassembly + fingerprint, one row per doc
+    of ``t`` (docs with nothing scrubbed keep a full-stream
+    fingerprint via the left join's NULL → handled by callers).
+    """
+    # Merged spans are disjoint per doc, so the exploded positions are
+    # already distinct — no dedup needed before the anti-join.
+    # Disambiguated join columns: cov shares lineage with tok through
+    # `t`, so equi-keys must be renamed, not referenced positionally.
+    # MERGE pin: cov is ROW-SCALE (one row per covered token), but
+    # AQE sizes this join from the pre-explode shuffle stats (one row
+    # per merged island) and auto-broadcasts — the explode multiplies
+    # rows AFTER the stats point, and the broadcast build OOMs the
+    # driver at sf10 (measured r5). SHUFFLE_HASH fails the same way
+    # per-task (hash builds don't spill); sort-merge is the only arm
+    # of the join ladder that spills, i.e. survives any scale.
+    cov = _merge_islands(occ).select(
+        F.col("doc_id").alias("c_doc"),
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+    ).hint("MERGE")
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok")
+    ).select("doc_id", F.col("tpos").cast("long").alias("tpos"), "tok")
+    kept = tok.join(
+        cov,
+        (tok["doc_id"] == cov["c_doc"]) & (tok["tpos"] == cov["p"]),
+        "left_anti",
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_fp"),
+    )
+    n_tokens = F.size("toks").cast("long")
+    return (
+        t.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_scrubbed"),
+            "cleaned_fp",
+        )
+    )
+
+
 @register(
     "corpus_span_scrub",
     tags=("corpus", "dedup", "spans"),
@@ -283,50 +351,102 @@ def corpus_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("first_doc") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
-    # Merged spans are disjoint per doc, so the exploded positions are
-    # already distinct — no dedup needed before the anti-join.
-    # Disambiguated join columns: cov shares lineage with tok through
-    # `t`, so equi-keys must be renamed, not referenced positionally.
-    cov = _merge_islands(occ).select(
-        F.col("doc_id").alias("c_doc"),
-        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+    return _scrub_tail(t, occ)
+
+
+@register(
+    "dedup_span_incremental",
+    tags=("dedup", "spans", "incremental"),
+    oracle=f"""
+WITH {_TOKS_CTE}, {_GRAMS_CTE},
+ci AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+fb AS (
+  SELECT gram, min(doc_id) AS first_b
+  FROM g WHERE doc_id % 2 = 1 GROUP BY gram
+),
+occ AS (
+  SELECT g.doc_id, g.pos
+  FROM g
+  LEFT JOIN ci ON g.gram = ci.gram
+  JOIN fb ON g.gram = fb.gram
+  WHERE g.doc_id % 2 = 1
+    AND (ci.gram IS NOT NULL OR fb.first_b < g.doc_id)
+),
+{_ISLANDS_SQL},
+cov AS (
+  SELECT sp.doc_id, CAST(u.p AS BIGINT) AS p
+  FROM sp, LATERAL (SELECT unnest(range(s, e + 1)) AS p) u
+),
+tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, toks[u.i + 1] AS tok
+  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i) u
+  WHERE doc_id % 2 = 1
+),
+kept AS (
+  SELECT k.doc_id, k.tpos, k.tok
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.p
+  WHERE c.p IS NULL
+),
+reb AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tpos)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+       r.cleaned_fp AS cleaned_fp
+FROM t LEFT JOIN reb r USING (doc_id)
+WHERE t.doc_id % 2 = 1
+""",
+)
+def dedup_span_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span scrub — the production shape of
+    ``corpus_span_scrub``: a NEW batch (odd doc_ids) is scrubbed
+    against the already-ingested corpus (even doc_ids) without ever
+    re-scrubbing the corpus. A batch gram position is duplicated iff
+    its gram exists anywhere in the corpus (the corpus claimant always
+    precedes the batch — ingestion order), or an earlier batch doc
+    first-claimed it within this batch. Corpus docs are never touched
+    or re-emitted.
+
+    Scale shape: at 100 TB the corpus gram set is a PRECOMPUTED index
+    (exactly the band-index pattern of ``incremental_minhash_dedup``
+    — operators/dedup.py:616): maintaining it is one distinct-merge
+    per ingested batch, and this query's per-batch cost is then
+    batch-sized, never corpus×corpus. Here the index is derived
+    inline from the even half so the whole plan is reproducible
+    against one table; every shuffle (index probe, within-batch
+    firsts, islands window, position anti-join) is keyed on the gram
+    fingerprint or doc_id — linear, no pairwise doc join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_span_scrub(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
     )
-    tok = t.select(
-        "doc_id", F.posexplode("toks").alias("tpos", "tok")
-    ).select("doc_id", F.col("tpos").cast("long").alias("tpos"), "tok")
-    kept = tok.join(
-        cov,
-        (tok["doc_id"] == cov["c_doc"]) & (tok["tpos"] == cov["p"]),
-        "left_anti",
-    )
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("tpos", "tok"))
-                    ),
-                    lambda st: st["tok"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_fp"),
-    )
-    n_tokens = F.size("toks").cast("long")
-    return (
-        t.select("doc_id", n_tokens.alias("n_tokens"))
-        .join(reb, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (
-                F.col("n_tokens")
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_scrubbed"),
-            "cleaned_fp",
+
+
+def incremental_span_scrub(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Scrub the batch's cross-duplicated spans against (a) the
+    corpus gram set and (b) earlier claimants within the batch.
+    Corpus rows are never re-emitted. See ``dedup_span_incremental``.
+    """
+    tb, gb = _positional_grams(batch)
+    tb = persist_tracked(tb)
+    gb = persist_tracked(gb)
+    _, gc = _positional_grams(corpus)
+    ci = gc.select("gram").distinct().withColumn("in_corpus", F.lit(1))
+    fb = gb.groupBy("gram").agg(F.min("doc_id").alias("first_b"))
+    occ = (
+        gb.join(ci, "gram", "left")
+        .join(fb, "gram")
+        .filter(
+            F.col("in_corpus").isNotNull()
+            | (F.col("first_b") < F.col("doc_id"))
         )
+        .select("doc_id", "pos")
     )
+    return _scrub_tail(tb, occ)

@@ -333,3 +333,28 @@ def test_span_scrub_no_cartesian_reads_two_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_lsh_verify_joins_never_broadcast_the_set_side(spark):
+    # The candidate-verify joins (candidates ⨝ per-doc sorted sets)
+    # must not broadcast the set side: its repetitive arrays compress
+    # under AQE's broadcast threshold while deserializing to a
+    # multi-GB hash relation (r5 sf10 driver OOM in
+    # pipeline_corpus_clean). hint("SHUFFLE_HASH") pins a doc-scale
+    # per-task build instead; the sorts a MERGE pin would add tripled
+    # the lossless prefix tier at sf3.
+    for q in ("dedup_minhash_lsh", "dedup_prefix_filter_pairs"):
+        plan = plan_of(spark, q)
+        assert plan.count("ShuffledHashJoin") >= 2, (q, plan)
+
+
+def test_span_scrub_position_antijoin_is_sort_merge(spark):
+    # The covered-positions anti-join must be sort-merge in BOTH span
+    # scrub queries: cov is row-scale (one row per covered token) but
+    # AQE sizes the join from the PRE-explode island stats and would
+    # auto-broadcast — the broadcast build OOM'd the driver at sf10,
+    # and a shuffled-hash build OOMs per-task (hash maps don't spill).
+    # Sort-merge is the only spilling arm, pinned via hint("MERGE").
+    for q in ("corpus_span_scrub", "dedup_span_incremental"):
+        plan = plan_of(spark, q)
+        assert re.search(r"SortMergeJoin.*LeftAnti", plan), (q, plan)

@@ -14,7 +14,9 @@ from stakehouse_etl_spark.queries.pipeline73 import (
     _merge_islands,
     _positional_grams,
     corpus_span_scrub_q,
+    dedup_span_incremental_q,
     dedup_span_inventory_q,
+    incremental_span_scrub,
 )
 
 
@@ -121,3 +123,50 @@ def test_scrub_keeps_first_claimant_intact(spark, sf_dir):
     ).first()
     if tot["dup"] and tot["dup"] > 0:
         assert tot["scr"] < tot["dup"]
+
+
+def test_incremental_scrub_claim_order(spark):
+    # Corpus (doc 0) owns block A; batch docs 1/3/5: doc 1 repeats A
+    # (scrubbed — corpus always precedes the batch), docs 3 and 5
+    # share block B that the corpus lacks (first batch claimant 3
+    # keeps it, 5 scrubs), and corpus rows never appear in the output.
+    a = " ".join(f"aa{i}" for i in range(8))
+    b = " ".join(f"bb{i}" for i in range(8))
+    rows = [
+        (0, "c0 c1 " + a + " c2"),
+        (1, "x0 " + a + " x1 x2"),
+        (3, "p0 p1 " + b + " p2"),
+        (5, "q0 " + b + " q1 q2 q3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_span_scrub(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_scrubbed"])
+        for r in out.collect()
+    }
+    assert got == {1: (11, 3, 8), 3: (11, 11, 0), 5: (12, 4, 8)}
+
+
+def test_incremental_scrub_query_partitions_tokens(spark, sf_dir):
+    out = dedup_span_incremental_q(spark, sf_dir)
+    assert out.filter("doc_id % 2 = 0").count() == 0
+    assert (
+        out.filter(
+            F.col("n_kept") + F.col("n_scrubbed") != F.col("n_tokens")
+        ).count()
+        == 0
+    )
+    # Dominance: for a batch doc, the incremental policy's scrubbed
+    # position set CONTAINS the global keep-first policy's (any global
+    # first claimant is either even -> in the corpus index, or an
+    # earlier odd doc -> an earlier batch claimant; and the corpus
+    # index additionally scrubs grams whose only even claimant has a
+    # LARGER id). Covered positions are exactly the union of the gram
+    # intervals, monotone in the duplicated-position set.
+    full = corpus_span_scrub_q(spark, sf_dir).select(
+        "doc_id", F.col("n_scrubbed").alias("full_scrubbed")
+    )
+    j = out.join(full, "doc_id")
+    assert j.filter(F.col("n_scrubbed") < F.col("full_scrubbed")).count() == 0

@@ -47,6 +47,10 @@ SHIPPED = [
 LOCAL = [
     os.path.join(REPO, "localdata", d) for d in ("sf0.1", "sf1", "sf3")
 ]
+# sf10 is opt-in (SPARK_GRAFT_SCALING_SF10=1): the top rung costs
+# minutes per query and not every ladder refresh needs it.
+if os.environ.get("SPARK_GRAFT_SCALING_SF10") == "1":
+    LOCAL.append(os.path.join(REPO, "localdata", "sf10"))
 
 DEFAULT = [
     "w1_user_income",
@@ -66,6 +70,12 @@ def main(argv: list[str]) -> int:
     else:
         names = argv or DEFAULT
     rungs = SHIPPED + [d for d in LOCAL if os.path.isdir(d)]
+    # SPARK_GRAFT_SCALING_RUNGS=sf3,sf10 restricts to named rungs so a
+    # top-rung-only refresh doesn't re-pay the full ladder.
+    only = os.environ.get("SPARK_GRAFT_SCALING_RUNGS")
+    if only:
+        keep = {r.strip() for r in only.split(",")}
+        rungs = [d for d in rungs if os.path.basename(d) in keep]
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -94,7 +104,12 @@ def main(argv: list[str]) -> int:
         for name in names:
             q = QUERIES[name]
             best = None
-            for _ in range(n_runs):
+            for run_i in range(n_runs):
+                print(
+                    f"[scaling] {key} {name} run {run_i + 1}/{n_runs}",
+                    file=sys.stderr,
+                    flush=True,
+                )
                 t0 = time.perf_counter()
                 q.fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -111,6 +126,9 @@ def main(argv: list[str]) -> int:
             row["r10_local"] = round(row["local_sf1"] / row["local_sf0.1"], 2)
         if row.get("local_sf1") and row.get("local_sf3"):
             row["r3_local"] = round(row["local_sf3"] / row["local_sf1"], 2)
+        if row.get("local_sf3") and row.get("local_sf10"):
+            # 3.33x data step; at-or-below 3.33 is linear-or-better
+            row["r3.3_local"] = round(row["local_sf10"] / row["local_sf3"], 2)
     print(json.dumps({"queries": out, "rungs": rungs}))
     spark.stop()
     return 0
