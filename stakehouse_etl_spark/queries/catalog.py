@@ -105,6 +105,7 @@ _QUERY_MODULES = [
     "pipeline71",  # ABC Pareto classification
     "pipeline72",  # monthly CAGR
     "pipeline73",  # duplicated-span inventory / keep-first scrub / incremental batch scrub
+    "pipeline74",  # hybrid retrieval fusion: RRF over the BM25 + cosine arms
     "soak",        # r3: 10-cycle incremental warehouse soak (S1->W1->J3->serve)
 ]
 
@@ -122,7 +123,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 386
+EXPECTED_MIN_QUERIES = 387
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "

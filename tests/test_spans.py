@@ -170,3 +170,25 @@ def test_incremental_scrub_query_partitions_tokens(spark, sf_dir):
     )
     j = out.join(full, "doc_id")
     assert j.filter(F.col("n_scrubbed") < F.col("full_scrubbed")).count() == 0
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    import math
+
+    from stakehouse_etl_spark.queries.pipeline74 import (
+        RRF_K,
+        sim_hybrid_rrf_topk_q,
+    )
+
+    rows = sim_hybrid_rrf_topk_q(spark, sf_dir).collect()
+    # union of two top-10 lists
+    assert 10 <= len(rows) <= 20
+    ranks = sorted(r["fused_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["sem_rank"])
+        assert r["rrf_nano"] == math.floor(expect * 1_000_000_000), r
