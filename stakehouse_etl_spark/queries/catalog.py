@@ -188,13 +188,18 @@ DRIVER_PRIORITY = [
     "corpus_passage_dedup", "corpus_shard_assign", "text_bm25_topk",
     # V2 DataSource + incremental-view family
     "stream_datasource_e2e", "stream_incremental_dedup",
-    "inc_agg_merge", "inc_cdc_apply",
+    "inc_cdc_apply",
     # source formats + schema evolution
     "src_csv_roundtrip", "src_schema_evolution",
-    # null-aware anti-join rewrite; iterative graph operator
-    "j24_null_aware_not_in", "graph_pagerank_2iter",
-    # r5 addition: substring-granular dedup (maximal duplicated spans)
-    "dedup_span_inventory",
+    # iterative graph operator
+    "graph_pagerank_2iter",
+    # r5 additions: substring-granular dedup (inventory + the
+    # incremental batch-vs-index scrub) and hybrid retrieval fusion —
+    # newest code surfaces to the external gate first (inc_agg_merge
+    # and j24_null_aware_not_in rotate to a later round; both remain
+    # under the local 387-query gate).
+    "dedup_span_inventory", "dedup_span_incremental",
+    "sim_hybrid_rrf_topk",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
