@@ -136,15 +136,21 @@ def run() -> None:
         # ±30-50% with machine load (two back-to-back r5 runs flagged
         # DISJOINT "regression" sets), so the guard compares the
         # BEST-of-N sample — a real plan regression raises the floor,
-        # contention doesn't — and requires a 0.3 s absolute delta so
-        # a 0.35→0.45 s wiggle can't trip the ratio. Reported medians
-        # stay the round-over-round comparable series.
+        # contention doesn't — and requires an absolute delta beyond
+        # the sample's own spread so a 0.35→0.45 s wiggle can't trip
+        # the ratio. The floor is NOISE-SCALED, not a fixed 0.3 s
+        # (review r5: a fixed floor blinded the guard for every
+        # sub-second query): the delta must exceed this round's own
+        # max-min sample spread for the query plus a 50 ms scheduler
+        # jitter allowance. A stable 0.10→0.35 s regression (spread
+        # ~0.02 s) now flags; a load spike with a wide spread doesn't.
         best = min(samples[name])
+        spread = max(samples[name]) - best
         if (
             p
             and p > 0
             and best / p > REGRESSION_RATIO
-            and best - p > 0.3
+            and best - p > spread + 0.05
         ):
             regressions[name] = {
                 "prev": p,

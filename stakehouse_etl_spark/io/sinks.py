@@ -278,10 +278,11 @@ def write_cdc(
 ) -> None:
     """Apply one CDC batch (upserts + delete tombstones) to the table.
 
-    Within the batch the LAST op per key (by ``seq_cols``, with a
-    final deterministic ``op_col`` desc tiebreaker mirrored in
-    ``apply_cdc_delta`` so equal-seq ties resolve identically in both
-    arms and across runs) decides: delete removes the key, anything
+    Within the batch the LAST op per key (by ``seq_cols``, then an
+    ``op_col`` desc tiebreaker, then a payload-hash tiebreaker —
+    both mirrored in ``apply_cdc_delta`` so even full ties resolve
+    identically in both arms and across runs, never by physical row
+    order) decides: delete removes the key, anything
     else (including a NULL op — malformed change records upsert rather
     than silently vanishing) upserts the row. Same single-shuffle merge shape as
     :func:`write_upsert`, plus one anti-join for the tombstones — the
@@ -297,8 +298,21 @@ def write_cdc(
     rather than left stale.
     """
     _recover(spark, path, len(partition_cols or []))
+    # Final payload-hash tiebreaker: two rows tied on seq_cols AND
+    # op_col (e.g. two equal-seq upserts with different payloads)
+    # would otherwise resolve by physical row order (review r5). The
+    # xxhash64 over the remaining columns in sorted-name order is
+    # content-deterministic across runs and arms; mirrored in
+    # apply_cdc_delta.
+    payload_cols = sorted(
+        c for c in batch.columns
+        if c not in set(keys) | set(seq_cols) | {op_col}
+    )
+    tiebreak = (
+        [F.desc(F.xxhash64(*payload_cols))] if payload_cols else []
+    )
     w = Window.partitionBy(*keys).orderBy(
-        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col)
+        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col), *tiebreak
     )
     compact = (
         batch.withColumn("__rn", F.row_number().over(w))

@@ -141,12 +141,20 @@ def apply_cdc_delta(
     key-duplicate source — the compaction is what makes the merge
     legal at all.
 
-    Ordering carries a final ``op_col`` tiebreaker (desc, NULLs last —
-    identical in ``write_cdc``): with it, a key whose two ops share
-    equal seq values resolves the same way in both arms and across
-    runs, instead of by physical row order (ADVICE r4)."""
+    Ordering carries the same tiebreakers as ``write_cdc``: ``op_col``
+    desc NULLs-last (ADVICE r4), then an xxhash64 over the remaining
+    payload columns in sorted-name order (review r5) — so even two
+    equal-seq SAME-op rows with different payloads resolve identically
+    in both arms and across runs, never by physical row order."""
+    payload_cols = sorted(
+        c for c in changes.columns
+        if c not in set(keys) | set(seq_cols) | {op_col}
+    )
+    tiebreak = (
+        [F.desc(F.xxhash64(*payload_cols))] if payload_cols else []
+    )
     w = Window.partitionBy(*keys).orderBy(
-        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col)
+        *[F.desc(c) for c in seq_cols], F.desc_nulls_last(op_col), *tiebreak
     )
     compact = (
         changes.withColumn("__rn", F.row_number().over(w))

@@ -138,15 +138,16 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 #
 # ROTATION (VERDICT r3 task #5): ~20 slots rotate each round so the
 # external gate eventually touches the whole catalog instead of
-# re-checking the same prefix. Round 4 keeps a 28-query §2 spine
-# (one representative per family) and surfaces 22 queries the driver
-# has NEVER checked (not in CORRECTNESS_r01–r03) — including every
-# query whose plan changed in the r4 single-partition-window
-# hardening, so the external gate validates exactly the changed code.
-# Queries rotated out stay in the catalog under the local 380-query
-# gate (tools/check.py), which runs the same DuckDB methodology.
+# re-checking the same prefix. Round 5 keeps a 27-query §2 spine
+# (one representative per family) and surfaces 23 queries the driver
+# has NEVER checked (not in CORRECTNESS_r01–r04) — newest code first:
+# the round's additions and every query whose plan changed take
+# slots ahead of stable never-checked queries, so the external gate
+# validates exactly the changed code. Queries rotated out stay in
+# the catalog under the local 387-query gate (tools/check.py), which
+# runs the same DuckDB methodology.
 DRIVER_PRIORITY = [
-    # --- §2 spine (28, all driver-green in r1–r3) ---
+    # --- §2 spine (27, all driver-green in r1–r4) ---
     # time-series / window family (W1-W6, T3)
     "w1_user_income", "w2_income_epoch_hourly",
     # join family (J1-J10, P8)
@@ -177,7 +178,7 @@ DRIVER_PRIORITY = [
     "sim_cosine_topk", "sim_ivf_topk",
     # multimodal — real BMP codec end-to-end
     "mm_bmp_decode",
-    # --- round-5 rotation (22, never driver-checked in r1–r4) ---
+    # --- round-5 rotation (23, never driver-checked in r1–r4) ---
     # every remaining bench-flagged query the external gate has never
     # touched: the timed plans should also be the hash-verified ones
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",

@@ -158,6 +158,34 @@ def test_cdc_equal_seq_tie_is_deterministic(spark, workdir):
         assert got == {1: 10, 2: 20}
 
 
+def test_cdc_equal_seq_same_op_tie_is_content_deterministic(spark, workdir):
+    """Two equal-seq SAME-op rows with different payloads (a full tie
+    on seq_cols + op_col) resolve by the payload-hash tiebreaker
+    (review r5), never by physical row order: the winner is whichever
+    payload xxhash64-sorts higher, identical across runs and physical
+    orders."""
+    from pyspark.sql import functions as F
+
+    rows_a = [(1, 1, "U", 10), (1, 1, "U", 20)]
+    expect = None
+    for attempt, rows in enumerate([rows_a, list(reversed(rows_a))] * 2):
+        path = os.path.join(workdir, f"s{attempt}")
+        batch = spark.createDataFrame(
+            rows, "k long, seq long, op string, v long"
+        ).repartition(4)
+        write_cdc(spark, batch, path, keys=["k"], seq_cols=["seq"])
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        if expect is None:
+            expect = got
+            # and it is the hash-ordered winner, not arbitrary
+            hs = spark.createDataFrame(
+                [(10,), (20,)], "v long"
+            ).select("v", F.xxhash64("v").alias("h")).collect()
+            winner = max(hs, key=lambda r: r.h).v
+            assert got == {1: winner}
+        assert got == expect, rows
+
+
 def test_cdc_unpartitioned_never_collects(spark, workdir, monkeypatch):
     path = os.path.join(workdir, "t")
     seed = spark.createDataFrame(

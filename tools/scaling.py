@@ -21,8 +21,22 @@ one to investigate before believing any 1000-executor claim.
 
 Usage: python tools/scaling.py [--bench | query ...]
   --bench runs every bench-flagged catalog query.
+Env knobs:
+  SPARK_GRAFT_SCALING_RUNS   cells are BEST-of-N (default 2) — NOT
+                             single-shot; single-shot local cells are
+                             bimodal (±70% swing with GC phase), so
+                             best-of-N compares plans, not noise.
+                             Pre-r5 SCALING artifacts were single-shot
+                             and read systematically higher.
+  SPARK_GRAFT_SCALING_SF10=1 adds the localdata/sf10 rung (minutes per
+                             query — opt-in).
+  SPARK_GRAFT_SCALING_RUNGS  comma list (e.g. "sf3,sf10") restricting
+                             to named rungs for a top-rung-only pass.
 Prints one JSON line {"queries": {name: {rung: sec, ...,
-"r10_local": r, "r3_local": r}}, "rungs": [...]}.
+"r10_local": r, "r3_local": r, "r3.3_local": r}}, "rungs": [...]}
+(r3.3_local appears when the sf10 rung ran; one measurement hazard to
+know: cells run in ONE session inherit heap residue from heavy
+predecessors — re-measure suspicious cells in a fresh session).
 """
 
 from __future__ import annotations
