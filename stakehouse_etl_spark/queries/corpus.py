@@ -249,9 +249,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Survivors feed the near-dup edge build AND the final anti-join —
     # persist (tracked, released at the caller's action boundary) so
     # the quality-filter scan doesn't run twice.
-    surv = persist_tracked(
-        qdocs.join(F.broadcast(canon), "doc_id", "left_semi")
-    )
+    # No broadcast pin on canon (review r5): the keep-set is
+    # DOC-scale (one row per distinct content), so a hard broadcast
+    # is a guaranteed driver OOM at corpus scale. Left to AQE: a
+    # narrow long column deserializes at ~16 B/row, so the
+    # compressed-size trap can't bite, and AQE still broadcasts it at
+    # bench scale while falling back to a keyed shuffle when big.
+    surv = persist_tracked(qdocs.join(canon, "doc_id", "left_semi"))
     edges = near_dup_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")
     dropped = comp.filter(F.col("component") < F.col("node")).select(
@@ -374,9 +378,15 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")
+    # SHUFFLE_HASH on the doc-text sides, same rationale as the
+    # dedup-tier set verifies (review r5): full text tables are
+    # row-scale and must never be hard-broadcast (the old F.broadcast
+    # pin dies at corpus scale), while leaving AQE free risks the
+    # compressed-size trap on low-entropy text. Per-task text builds
+    # are docs/partitions-bounded; the candidate side streams.
     return (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cand.join(a.hint("SHUFFLE_HASH"), "id_a")
+        .join(b.hint("SHUFFLE_HASH"), "id_b")
         .select(
             "id_a",
             "id_b",
