@@ -152,11 +152,20 @@ def run() -> None:
             and best / p > REGRESSION_RATIO
             and best - p > spread + 0.05
         ):
+            # Both statistics recorded explicitly (ADVICE r5: a bare
+            # "ratio" next to the median "cur" mixed statistics):
+            # ratio_best is what the guard triggers on; ratio_median is
+            # the reader's sanity check. Known tradeoff: a regression
+            # visible only in the median (best-of-N stays fast, e.g.
+            # growing GC pressure) is deliberately NOT flagged — on
+            # this box the median moves ±30-50% with load, so a
+            # median-triggered guard flags noise every round.
             regressions[name] = {
                 "prev": p,
                 "cur": cur,
                 "best": round(best, 3),
-                "ratio": round(best / p, 3),
+                "ratio_best": round(best / p, 3),
+                "ratio_median": round(cur / p, 3),
             }
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)

@@ -126,7 +126,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
           + 0.3·(1 − min(1, punct_ratio·5))
     — long-enough, natural-language-like, low-symbol documents score
     high. The exact weights are a default policy, not a law.
+
+    Raises ``ValueError`` if the input already has any of the output
+    columns (n_tokens, n_distinct_tokens, stopword_ratio, punct_ratio,
+    quality_score) — ``withColumns`` would silently REPLACE them, the
+    same hazard the ``__toks`` temp-name check below closes for the
+    internal column (ADVICE r5). Rename or drop the clash first.
     """
+    out_cols = (
+        "n_tokens",
+        "n_distinct_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+    clash = [c for c in out_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"quality_features would silently overwrite input column(s) "
+            f"{clash}; rename or drop them first"
+        )
     t = F.col(text_col)
     # Tokenize ONCE: the split feeds four expressions below, and
     # higher-order-function subtrees are interpreted (no codegen CSE),

@@ -110,6 +110,14 @@ def sim_hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+    # BOUNDED-GLOBAL-WINDOW EXEMPTION (ADVICE r5): Window.orderBy
+    # without partitionBy plans a single-partition sort, which the
+    # repo's convention forbids on row-scale data — but this input is
+    # the full outer join of two top-k lists (<= 2k = 20 rows by
+    # construction: both arms emit rank <= 10), i.e. metadata-sized at
+    # any corpus scale, same class as the other documented bounded
+    # global sorts (pipeline31.py, pipeline17.py:1410). Covered by
+    # test_plan_shapes.py::test_rrf_global_window_is_k_bounded.
     w = Window.orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
     return sc.select(
         "doc_id",

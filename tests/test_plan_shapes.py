@@ -358,3 +358,26 @@ def test_span_scrub_position_antijoin_is_sort_merge(spark):
     for q in ("corpus_span_scrub", "dedup_span_incremental"):
         plan = plan_of(spark, q)
         assert re.search(r"SortMergeJoin.*LeftAnti", plan), (q, plan)
+
+
+def test_rrf_global_window_is_k_bounded(spark):
+    """ADVICE r5 exemption pin: sim_hybrid_rrf_topk's fused_rank runs a
+    partitionBy-less window, which the repo convention forbids on
+    row-scale data — HERE the window input is the full outer join of
+    two top-k (k=10) rank lists, <= 20 rows at any corpus scale, so the
+    single-partition sort is metadata-sized by construction. Pin both
+    halves of that argument: (a) each arm feeding the join is
+    rank-bounded before the join (WindowGroupLimit / rank filter
+    upstream of the final window), and (b) the plan stays free of
+    row-scale global-sort shapes (no Cartesian; exactly one
+    single-partition exchange — the bounded one)."""
+    plan = plan_of(spark, "sim_hybrid_rrf_topk")
+    assert "Cartesian" not in plan
+    # Every SinglePartition exchange in the plan is k-bounded: the two
+    # arm top-k windows (their own documented bounded global sorts)
+    # plus the fusion's fused_rank — never a fourth on row-scale data.
+    assert plan.count("SinglePartition") <= 3, plan
+    # The arms cap to rank <= 10 before the fusion join (group-limit
+    # pushdown and/or an explicit rank filter upstream of the window).
+    assert plan.count("WindowGroupLimit") >= 1, plan
+    assert re.findall(r"(?:rnk|rank)#\d+L? <= 10", plan), plan

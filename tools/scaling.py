@@ -89,7 +89,15 @@ def main(argv: list[str]) -> int:
     only = os.environ.get("SPARK_GRAFT_SCALING_RUNGS")
     if only:
         keep = {r.strip() for r in only.split(",")}
-        rungs = [d for d in rungs if os.path.basename(d) in keep]
+        # Match on the disambiguated output key (local_sf0.1 vs sf0.1),
+        # not the basename — shipped and localdata rungs share the
+        # basename "sf0.1", and a bare basename filter ran both
+        # (ADVICE r5). A bare "sf0.1" still selects only the shipped
+        # rung; the local twin needs the explicit "local_sf0.1".
+        def _key(d: str) -> str:
+            return ("local_" if d.startswith(REPO) else "") + os.path.basename(d)
+
+        rungs = [d for d in rungs if _key(d) in keep]
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
