@@ -77,13 +77,54 @@ def cosine(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / F.when(denom != 0, denom)
 
 
+# Auto-dispatch threshold for the Arrow matmul arm of cosine_topk:
+# estimated scan bytes × |Q| at which the batch-amortized numpy matmul
+# overtakes the per-pair expression dot. Calibrated on the local
+# ladder (BASELINE.md): at sf0.1 the product is ~8 MB (expression arm
+# wins — no Python worker spin-up), at sf1 ~59 MB and the measured
+# matmul advantage is already >2×, growing to 3.1× at sf10. 32 MB
+# splits the rungs with ~4× margin on both sides.
+ARROW_AUTO_BYTES_DEFAULT = 32 * 1024 * 1024
+
+
+def _auto_arrow(embeddings: DataFrame, n_queries: int) -> bool:
+    """Measurement-driven dispatch (the ``adaptive_cumsum`` pattern,
+    operators/windows.py): read Catalyst's optimized-plan size
+    estimate — file-source leaves report real file bytes, zero jobs
+    run — and pick the Arrow arm when bytes × |Q| crosses the
+    calibrated threshold. Unknown / sentinel estimates (> 2^62, i.e.
+    CBO couldn't estimate) fall back to the plan-transparent
+    expression arm rather than guessing big."""
+    import os
+
+    try:
+        size = int(
+            str(
+                embeddings._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return False
+    if size <= 0 or size > 1 << 62:
+        return False
+    thresh = int(
+        os.environ.get(
+            "SPARK_GRAFT_ARROW_AUTO_BYTES", str(ARROW_AUTO_BYTES_DEFAULT)
+        )
+    )
+    return size * max(1, n_queries) >= thresh
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    use_arrow: bool = False,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: the named query vectors against the
     full corpus. The query side is tiny → broadcast; the scan side
@@ -94,13 +135,20 @@ def cosine_topk(
     numpy matmul instead of the per-pair higher-order-function dot —
     value-identical (int64 matmul is exact at these magnitudes; the
     cosine division uses the same IEEE op order; zero-norm vectors map
-    to NULL via pd.NA) and measured 2.8× faster at the sf10 rung
+    to NULL via pd.NA) and measured 3.1× faster at the sf10 rung
     (BASELINE.md), with the gap growing in |Q| since the matmul
-    amortizes the batch decode across all queries. Default stays the
-    pure-expression form (plan-transparent, zero Python); flip the
-    switch when |corpus|×|Q| dominates the job — this is the one hot
-    path where an Arrow kernel genuinely beats the built-ins.
+    amortizes the batch decode across all queries.
+
+    ``use_arrow=None`` (default) AUTO-DISPATCHES: the Arrow arm when
+    Catalyst's size estimate × |Q| crosses ``_auto_arrow``'s threshold
+    (scale jobs get the 3× arm without opting in), the pure-expression
+    form below it (plan-transparent, zero Python workers for the small
+    scans where worker spin-up dominates). Both arms are
+    parity-locked by tests/test_lsh_caps.py, so dispatch never changes
+    values — only the physical strategy, exactly like AQE.
     """
+    if use_arrow is None:
+        use_arrow = _auto_arrow(embeddings, len(query_ids))
     q = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(
