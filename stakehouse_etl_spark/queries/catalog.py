@@ -106,6 +106,7 @@ _QUERY_MODULES = [
     "pipeline72",  # monthly CAGR
     "pipeline73",  # duplicated-span inventory / keep-first scrub / incremental batch scrub
     "pipeline74",  # hybrid retrieval fusion: RRF over the BM25 + cosine arms
+    "pipeline75",  # span-dedup resolution eval + streaming span scrub
     "soak",        # r3: 10-cycle incremental warehouse soak (S1->W1->J3->serve)
 ]
 
@@ -123,7 +124,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 387
+EXPECTED_MIN_QUERIES = 389
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -138,13 +139,13 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 #
 # ROTATION (VERDICT r3 task #5): ~20 slots rotate each round so the
 # external gate eventually touches the whole catalog instead of
-# re-checking the same prefix. Round 5 keeps a 27-query §2 spine
+# re-checking the same prefix. Round 6 keeps the 27-query §2 spine
 # (one representative per family) and surfaces 23 queries the driver
-# has NEVER checked (not in CORRECTNESS_r01–r04) — newest code first:
+# has NEVER checked (not in CORRECTNESS_r01–r05) — newest code first:
 # the round's additions and every query whose plan changed take
 # slots ahead of stable never-checked queries, so the external gate
 # validates exactly the changed code. Queries rotated out stay in
-# the catalog under the local 387-query gate (tools/check.py), which
+# the catalog under the local 389-query gate (tools/check.py), which
 # runs the same DuckDB methodology.
 DRIVER_PRIORITY = [
     # --- §2 spine (27, all driver-green in r1–r4) ---
@@ -178,29 +179,28 @@ DRIVER_PRIORITY = [
     "sim_cosine_topk", "sim_ivf_topk",
     # multimodal — real BMP codec end-to-end
     "mm_bmp_decode",
-    # --- round-5 rotation (23, never driver-checked in r1–r4) ---
-    # every remaining bench-flagged query the external gate has never
-    # touched: the timed plans should also be the hash-verified ones
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q18_large_orders",
-    "pipeline_index_apr", "ts_sessionize", "ts_funnel_conversion",
-    "j11_range_join_bucketed", "w1_skew_hotkey",
-    "w1_income_partitioned_prune", "corpus_pack_sequences",
-    "corpus_passage_dedup", "corpus_shard_assign", "text_bm25_topk",
-    # V2 DataSource + incremental-view family
-    "stream_datasource_e2e", "stream_incremental_dedup",
-    "inc_cdc_apply",
-    # source formats + schema evolution
-    "src_csv_roundtrip", "src_schema_evolution",
-    # iterative graph operator
-    "graph_pagerank_2iter",
-    # r5 additions: substring-granular dedup (inventory + the
-    # incremental batch-vs-index scrub) and hybrid retrieval fusion —
-    # newest code surfaces to the external gate first (inc_agg_merge
-    # and j24_null_aware_not_in rotate to a later round; both remain
-    # under the local 387-query gate).
-    "dedup_span_inventory", "dedup_span_incremental",
-    "sim_hybrid_rrf_topk",
+    # --- round-6 rotation (23, never driver-checked in r1–r5) ---
+    # r6 additions first (the streaming twin of the span scrub and
+    # the span-resolution recall eval), then the r5 code the gate has
+    # not touched (corpus_span_scrub is the only span-family member
+    # absent from the r5 gate) and the two queries catalog.py:199-201
+    # promised last round, then plan-changed code (the levenshtein
+    # verify tier's joins changed in af2c9c5 — changed code must meet
+    # the external oracle), then stable never-checked waves spanning
+    # TPC-H, rollup/percentile aggregates, temporal, set ops, text,
+    # DQ, ML, portable SQL, graph, and corpus sampling.
+    "stream_span_scrub", "dedup_span_recall_eval",
+    "corpus_span_scrub", "inc_agg_merge", "j24_null_aware_not_in",
+    "mm_wav_decode", "dedup_levenshtein_pairs",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "a_grouping_sets", "a_percentile_kernel",
+    "ts_gap_fill_interpolate", "ts_scd2_history", "j12_asof_tolerance",
+    "u4_intersect_all",
+    "text_tfidf_top_terms", "text_pii_redact",
+    "dq_column_profile", "ml_kmeans_assign",
+    "sql_portable_window_topn", "graph_triangle_count",
+    "corpus_sample_stratified",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

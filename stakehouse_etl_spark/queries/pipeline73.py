@@ -55,15 +55,24 @@ t AS (
 
 # Positional k-grams: pos is 0-based; DuckDB list slicing is 1-based
 # inclusive, so gram at pos i covers toks[i+1 .. i+K].
-_GRAMS_CTE = f"""
-g AS (
+
+
+def _grams_cte_sql(k: int, name: str = "g") -> str:
+    """The positional-gram CTE at an arbitrary resolution ``k`` (the
+    recall eval compares two k's on one corpus; everything else uses
+    the SPAN_K default via the module constant below)."""
+    return f"""
+{name} AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-         md5(array_to_string(toks[u.i + 1 : u.i + {SPAN_K}], ' ')) AS gram
+         md5(array_to_string(toks[u.i + 1 : u.i + {k}], ' ')) AS gram
   FROM t, LATERAL (
-    SELECT unnest(range(0, greatest(len(toks) - {SPAN_K} + 1, 0))) AS i
+    SELECT unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
   ) u
 )
 """
+
+
+_GRAMS_CTE = _grams_cte_sql(SPAN_K)
 
 # Islands pass over duplicated gram positions: intervals [pos, pos+K-1]
 # sorted by pos merge iff the next start is within K of the previous
@@ -91,11 +100,13 @@ sp AS (
 """
 
 
-def _positional_grams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _positional_grams(
+    docs: DataFrame, k: int = SPAN_K
+) -> tuple[DataFrame, DataFrame]:
     """(per-doc token frame, exploded (doc_id, pos, gram) frame).
 
-    The gram is an md5 fingerprint of the k-token window starting at
-    0-based ``pos`` — reproduced verbatim in the oracle CTE above.
+    The gram is an md5 fingerprint of the ``k``-token window starting
+    at 0-based ``pos`` — reproduced verbatim in the oracle CTE above.
     """
     t = fan_out(docs).select(
         "doc_id",
@@ -105,13 +116,13 @@ def _positional_grams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # sequence(0, -1) would generate a DESCENDING range for docs
     # shorter than K tokens — guard to an empty array instead.
     gram_structs = F.when(
-        n >= SPAN_K,
+        n >= k,
         F.transform(
-            F.sequence(F.lit(0), n - SPAN_K),
+            F.sequence(F.lit(0), n - k),
             lambda i: F.struct(
                 i.cast("long").alias("pos"),
                 F.md5(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i + 1, SPAN_K))
+                    F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))
                 ).alias("gram"),
             ),
         ),
@@ -122,7 +133,7 @@ def _positional_grams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return t, g
 
 
-def _merge_islands(occ: DataFrame) -> DataFrame:
+def _merge_islands(occ: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Merge duplicated gram positions into maximal spans [s, e].
 
     Fixed-length intervals sorted by start merge iff the next start is
@@ -131,13 +142,13 @@ def _merge_islands(occ: DataFrame) -> DataFrame:
     by doc_id — per-document, row-parallel at any scale.
     """
     w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.col("pos") > F.lag("pos").over(w) + SPAN_K, 1).otherwise(0)
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
     return (
         occ.withColumn("island", F.sum(brk).over(w))
         .groupBy("doc_id", "island")
         .agg(
             F.min("pos").alias("s"),
-            (F.max("pos") + SPAN_K - 1).alias("e"),
+            (F.max("pos") + k - 1).alias("e"),
         )
     )
 
@@ -434,11 +445,27 @@ def incremental_span_scrub(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     corpus gram set and (b) earlier claimants within the batch.
     Corpus rows are never re-emitted. See ``dedup_span_incremental``.
     """
+    _, gc = _positional_grams(corpus)
+    return span_scrub_against_index(gc.select("gram"), batch)
+
+
+def span_scrub_against_index(
+    gram_index: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """The stored-index form of the incremental scrub: ``gram_index``
+    is the corpus gram set maintained OUTSIDE this call (one
+    distinct-merge per ingested batch — the steady-state loop
+    ``stream_span_scrub`` runs), so per-batch cost never touches
+    corpus rows at all. The index is defensively de-duplicated here:
+    a duplicate gram row would FAN OUT the probe join and double
+    batch positions.
+    """
     tb, gb = _positional_grams(batch)
     tb = persist_tracked(tb)
     gb = persist_tracked(gb)
-    _, gc = _positional_grams(corpus)
-    ci = gc.select("gram").distinct().withColumn("in_corpus", F.lit(1))
+    ci = gram_index.select("gram").distinct().withColumn(
+        "in_corpus", F.lit(1)
+    )
     fb = gb.groupBy("gram").agg(F.min("doc_id").alias("first_b"))
     occ = (
         gb.join(ci, "gram", "left")

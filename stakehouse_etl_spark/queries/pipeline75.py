@@ -1,0 +1,343 @@
+"""Data-pipeline queries, wave 75: span-dedup resolution eval + the
+streaming twin of the incremental span scrub.
+
+1. ``dedup_span_recall_eval`` — quantifies the k-gram resolution
+   tradeoff of the wave-73 span dedup the same way the LSH tier
+   quantified its recall (``dedup_lsh_eval_pr`` / BASELINE.md "Tier
+   A/B"): flagged-token agreement between SPAN_K=5 and a coarser k=8
+   on the same corpus. The k-gram anchor is EXACT at >= k spans by
+   construction, so every position flagged at k=8 must also be
+   flagged at k=5 (an 8-token duplicated window contains duplicated
+   5-grams at every offset) — the eval turns that invariant into a
+   measured containment (expect exactly 1.0) and prices the excess:
+   the fraction of k=5 flags a coarser policy would not scrub.
+
+2. ``stream_span_scrub`` — ``dedup_span_incremental`` is the batch
+   form of the steady-state loop; this wires it through a file-source
+   stream + ``foreachBatch`` (the ``stream_incremental_dedup``
+   pattern): three doc_id-tercile micro-batches arrive in order, each
+   is scrubbed against the STORED corpus gram index
+   (``span_scrub_against_index``), and the index is maintained as one
+   distinct-merge per batch. Because tercile order == doc_id order,
+   the 3-batch streamed output must equal the global keep-first scrub
+   (``corpus_span_scrub``) row-for-row — the stream==batch oracle
+   pattern the repo already uses (``stream_cdc_apply``).
+
+Scale shape: the eval is two runs of the wave-73 gram pipeline (each
+linear shuffles keyed on gram / doc_id) plus one sort-merge full-outer
+join of the two exploded position sets — MERGE-pinned, same
+explode-after-stats AQE trap as the scrub anti-join (pipeline73.py).
+The stream maintains the gram index incrementally: per-batch cost is
+batch-sized (probe of a stored index), never corpus×corpus.
+
+Reference anchor: the reference has no substring dedup or streaming;
+this extends the training-data-pipeline layer (Lee et al. 2021
+policy; reference parity tier contract at operators/dedup.py:373).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stakehouse_etl_spark.caches import persist_tracked
+from stakehouse_etl_spark.io.sources import load_table
+from stakehouse_etl_spark.queries.pipeline73 import (
+    _GRAMS_CTE,
+    _ISLANDS_SQL,
+    _TOKS_CTE,
+    SPAN_K,
+    _merge_islands,
+    _positional_grams,
+    span_scrub_against_index,
+)
+from stakehouse_etl_spark.queries.registry import register
+
+# The coarser resolution the eval compares against SPAN_K (=5). 8 is
+# past the synthetic docs' median boilerplate length, so the excess
+# fraction is non-trivial at every rung.
+SPAN_K_ALT = 8
+
+
+def _covered_cte_sql(k: int, sfx: str) -> str:
+    """Full per-k CTE chain: positional grams -> cross-doc duplicated
+    grams -> islands merge -> exploded covered positions. Mirrors the
+    wave-73 CTEs verbatim with suffixed names so two resolutions can
+    coexist in one statement."""
+    return f"""
+g{sfx} AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(toks[u.i + 1 : u.i + {k}], ' ')) AS gram
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
+  ) u
+),
+dup{sfx} AS (
+  SELECT gram FROM g{sfx} GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+occ{sfx} AS (SELECT doc_id, pos FROM g{sfx} JOIN dup{sfx} USING (gram)),
+o2{sfx} AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+  FROM occ{sfx}
+),
+isl{sfx} AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN ppos IS NOT NULL AND pos > ppos + {k}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM o2{sfx}
+),
+sp{sfx} AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k} - 1 AS e
+  FROM isl{sfx} GROUP BY 1, 2
+),
+cov{sfx} AS (
+  SELECT sp{sfx}.doc_id, CAST(u.p AS BIGINT) AS p
+  FROM sp{sfx}, LATERAL (SELECT unnest(range(s, e + 1)) AS p) u
+)
+"""
+
+
+@register(
+    "dedup_span_recall_eval",
+    tags=("dedup", "spans", "eval"),
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_covered_cte_sql(SPAN_K, "5")},
+{_covered_cte_sql(SPAN_K_ALT, "8")},
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.p AS p5, b.p AS p8
+  FROM cov5 a FULL JOIN cov8 b ON a.doc_id = b.doc_id AND a.p = b.p
+),
+per_doc AS (
+  SELECT doc_id,
+         count(p5) AS n5, count(p8) AS n8,
+         sum(CASE WHEN p5 IS NOT NULL AND p8 IS NOT NULL
+                  THEN 1 ELSE 0 END) AS nb
+  FROM j GROUP BY doc_id
+),
+tok_cnt AS (SELECT doc_id, len(toks) AS n_tok FROM t)
+SELECT d.source,
+       CAST(sum(tc.n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(pd.n5, 0)) AS BIGINT) AS flagged_k5,
+       CAST(sum(coalesce(pd.n8, 0)) AS BIGINT) AS flagged_k8,
+       CAST(sum(coalesce(pd.nb, 0)) AS BIGINT) AS flagged_both,
+       CASE WHEN sum(coalesce(pd.n8, 0)) > 0
+            THEN CAST(sum(coalesce(pd.nb, 0)) AS DOUBLE)
+                 / sum(coalesce(pd.n8, 0))
+            ELSE NULL END AS containment_k8_in_k5,
+       CASE WHEN sum(coalesce(pd.n5, 0)) > 0
+            THEN CAST(sum(coalesce(pd.n5, 0)) - sum(coalesce(pd.nb, 0))
+                      AS DOUBLE) / sum(coalesce(pd.n5, 0))
+            ELSE NULL END AS excess_frac_k5
+FROM documents d
+JOIN tok_cnt tc ON tc.doc_id = d.doc_id
+LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def dedup_span_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source agreement between the k=5 and k=8 span-dedup
+    policies: token positions covered by cross-document duplicated
+    spans at each resolution, their intersection, the k8-in-k5
+    containment (exactly 1.0 by the k-gram anchor construction — the
+    eval MEASURES the invariant instead of asserting it), and the
+    excess fraction k=5 scrubs beyond k=8 (the price of the finer
+    resolution, the number a deployment tunes SPAN_K with)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def covered(k: int, t_out: list) -> DataFrame:
+        t, g = _positional_grams(docs, k)
+        t_out.append(t)
+        dup = (
+            g.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram")
+        )
+        occ = g.join(dup, "gram").select("doc_id", "pos")
+        return _merge_islands(occ, k).select(
+            "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+        )
+
+    ts: list = []
+    cov5 = covered(SPAN_K, ts)
+    cov8 = covered(SPAN_K_ALT, ts).select(
+        F.col("doc_id").alias("doc8"), F.col("p").alias("p8")
+    )
+    # MERGE pin: both sides are exploded covered positions (row-scale)
+    # while AQE sizes the join from PRE-explode island stats — the
+    # same broadcast-at-scale trap the wave-73 anti-join hit at sf10.
+    j = cov5.hint("MERGE").join(
+        cov8,
+        (cov5["doc_id"] == cov8["doc8"]) & (cov5["p"] == cov8["p8"]),
+        "full_outer",
+    )
+    per_doc = j.groupBy(
+        F.coalesce(F.col("doc_id"), F.col("doc8")).alias("doc_id")
+    ).agg(
+        F.count("p").alias("n5"),
+        F.count("p8").alias("n8"),
+        F.sum(
+            F.when(F.col("p").isNotNull() & F.col("p8").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("nb"),
+    )
+    tok_cnt = ts[0].select("doc_id", F.size("toks").alias("n_tok"))
+    n5 = F.sum(F.coalesce(F.col("n5"), F.lit(0)))
+    n8 = F.sum(F.coalesce(F.col("n8"), F.lit(0)))
+    nb = F.sum(F.coalesce(F.col("nb"), F.lit(0)))
+    return (
+        docs.select("doc_id", "source")
+        .join(tok_cnt, "doc_id")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            n5.cast("long").alias("flagged_k5"),
+            n8.cast("long").alias("flagged_k8"),
+            nb.cast("long").alias("flagged_both"),
+            F.when(n8 > 0, nb.cast("double") / n8)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("containment_k8_in_k5"),
+            F.when(n5 > 0, (n5 - nb).cast("double") / n5)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("excess_frac_k5"),
+        )
+    )
+
+
+@register(
+    "stream_span_scrub",
+    tags=("dedup", "spans", "streaming", "incremental", "T6"),
+    oracle=f"""
+WITH {_TOKS_CTE}, {_GRAMS_CTE},
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+occ AS (
+  SELECT doc_id, pos FROM g JOIN firsts USING (gram)
+  WHERE first_doc < doc_id
+),
+{_ISLANDS_SQL},
+cov AS (
+  SELECT sp.doc_id, CAST(u.p AS BIGINT) AS p
+  FROM sp, LATERAL (SELECT unnest(range(s, e + 1)) AS p) u
+),
+tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, toks[u.i + 1] AS tok
+  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i) u
+),
+kept AS (
+  SELECT k.doc_id, k.tpos, k.tok
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.p
+  WHERE c.p IS NULL
+),
+reb AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tpos)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+),
+lim AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+       r.cleaned_fp AS cleaned_fp,
+       CAST(CASE WHEN t.doc_id <= (SELECT mx // 3 FROM lim) THEN 1
+                 WHEN t.doc_id <= (SELECT 2 * mx // 3 FROM lim) THEN 2
+                 ELSE 3 END AS INT) AS batch_no
+FROM t LEFT JOIN reb r USING (doc_id)
+""",
+)
+def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup as a STREAM: three doc_id-tercile micro-batches flow
+    through a file source; ``foreachBatch`` scrubs each against the
+    stored corpus gram index and then merges the batch's distinct
+    grams into the index — the steady-state ingest loop of
+    ``dedup_span_incremental``, with the index maintenance made
+    explicit instead of derived inline.
+
+    Because batches arrive in doc_id order, "gram in the index OR
+    first-claimed by a smaller doc_id within the batch" is exactly the
+    global keep-first predicate (first claimant = min doc_id), so the
+    streamed 3-batch output must hash-equal ``corpus_span_scrub`` on
+    every column; the oracle is that query's SQL plus the tercile
+    batch_no. Index growth is one distinct-merge per batch (the
+    ``incremental_minhash_dedup`` band-index pattern,
+    operators/dedup.py:616)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx // 3, 2 * mx // 3
+
+    workdir = tempfile.mkdtemp(prefix="stream_span_")
+    try:
+        src = os.path.join(workdir, "src")
+        out_dir = os.path.join(workdir, "out")
+        idx_dir = os.path.join(workdir, "gram_index")
+        os.makedirs(src)
+        bounds = [(None, t1, 1), (t1, t2, 2), (t2, None, 3)]
+        for lo, hi, i in bounds:
+            chunk = docs
+            if lo is not None:
+                chunk = chunk.filter(F.col("doc_id") > lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("doc_id") <= hi)
+            tmp = os.path.join(workdir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        batch_no = {"n": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            batch_no["n"] += 1
+            try:
+                idx = s.read.parquet(idx_dir)
+            except Exception:
+                idx = s.createDataFrame([], "gram string")
+            scrubbed = span_scrub_against_index(idx, batch_df).withColumn(
+                "batch_no", F.lit(batch_no["n"])
+            )
+            scrubbed.write.mode("append").parquet(out_dir)
+            # Distinct-merge the batch's ORIGINAL grams into the index
+            # (keep-first claims come from original text, scrubbed or
+            # not — matching the global firsts = min(doc_id) oracle).
+            from stakehouse_etl_spark.queries.pipeline73 import (
+                _positional_grams as _pg,
+            )
+
+            _, gb = _pg(batch_df)
+            gb.select("gram").distinct().write.mode("append").parquet(
+                idx_dir
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(out_dir).select(
+            "doc_id", "n_tokens", "n_kept", "n_scrubbed", "cleaned_fp",
+            "batch_no",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
