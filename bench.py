@@ -51,6 +51,15 @@ HEADLINE = (
 
 REGRESSION_RATIO = 1.2
 
+# Watchlist (VERDICT r5 task #3): queries whose medians drifted
+# >15% across rounds in UNTOUCHED code (q3 +20%/r5 after +27%/-25%
+# swings in r3) get a deeper sample — 10 runs instead of 3 — and the
+# output carries their full distribution so the round artifact itself
+# settles noise-vs-real instead of a judge re-deriving it.
+# Override with SPARK_GRAFT_BENCH_WATCH (comma list, empty disables).
+WATCH_DEFAULT = "tpch_q3_shipping_priority,tpch_q5_local_supplier_volume"
+WATCH_RUNS = 10
+
 
 def _prev_round_queries(sf: float | None) -> tuple[str | None, dict]:
     """Most recent BENCH_r*.json recorded at the SAME sf, or (None, {}).
@@ -108,25 +117,60 @@ def run() -> None:
             pass
 
     bench_names = [n for n, q in QUERIES.items() if q.bench]
-    samples: dict[str, list[float]] = {n: [] for n in bench_names}
+    watch = [
+        w
+        for w in os.environ.get(
+            "SPARK_GRAFT_BENCH_WATCH", WATCH_DEFAULT
+        ).split(",")
+        if w and w in QUERIES
+    ]
+    samples: dict[str, list[float]] = {
+        n: [] for n in {*bench_names, *watch}
+    }
+
+    def time_one(name: str) -> None:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples[name].append(time.perf_counter() - t0)
+        # Release per-query persists (shingle tables etc.) so one
+        # query's cache doesn't distort the next query's timing.
+        release_tracked()
+        spark.catalog.clearCache()
+
     for r in range(runs):
         for name in bench_names:
-            q = QUERIES[name]
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
-            # Release per-query persists (shingle tables etc.) so one
-            # query's cache doesn't distort the next query's timing.
-            release_tracked()
-            spark.catalog.clearCache()
+            time_one(name)
         print(
             f"bench pass {r + 1}/{runs}: "
-            f"{round(sum(s[-1] for s in samples.values()), 2)} s",
+            f"{round(sum(samples[n][-1] for n in bench_names), 2)} s",
             file=sys.stderr,
         )
+    # Watched queries: top up to WATCH_RUNS total samples, interleaved
+    # after the regular passes (same session, same cache discipline),
+    # and publish the full distribution.
+    for name in watch:
+        while len(samples[name]) < WATCH_RUNS:
+            time_one(name)
+    watch_stats = {
+        name: {
+            "n": len(samples[name]),
+            "min": round(min(samples[name]), 3),
+            "max": round(max(samples[name]), 3),
+            "median": round(statistics.median(samples[name]), 3),
+            "mean": round(statistics.fmean(samples[name]), 3),
+            "stdev": round(statistics.stdev(samples[name]), 3)
+            if len(samples[name]) > 1
+            else 0.0,
+            "runs": [round(s, 3) for s in samples[name]],
+        }
+        for name in watch
+    }
 
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    timings = {
+        n: round(statistics.median(samples[n]), 3) for n in bench_names
+    }
 
     prev_file, prev = _prev_round_queries(sf)
     regressions: dict[str, dict] = {}
@@ -182,6 +226,7 @@ def run() -> None:
                 "runs": runs,
                 "prev_round": prev_file,
                 "regressions": regressions,
+                "watch": watch_stats,
             }
         )
     )
