@@ -9,6 +9,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== 0/9 optional-dependency probe (Delta arm, BASELINE.md blocker) =="
+python - <<'EOF'
+try:
+    import delta  # noqa: F401
+    print("delta-spark AVAILABLE - run the io/table_formats parity suite now")
+except ImportError as e:
+    print(f"delta-spark still unavailable ({e}); "
+          "Delta arm stays documented-blocked (BASELINE.md)")
+EOF
+
 echo "== 1/9 unit + property tests =="
 python -m pytest tests/ -q
 
