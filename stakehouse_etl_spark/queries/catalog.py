@@ -107,6 +107,7 @@ _QUERY_MODULES = [
     "pipeline73",  # duplicated-span inventory / keep-first scrub / incremental batch scrub
     "pipeline74",  # hybrid retrieval fusion: RRF over the BM25 + cosine arms
     "pipeline75",  # span-dedup resolution eval + streaming span scrub
+    "pipeline76",  # LM-perplexity quality filter (CCNet-style)
     "soak",        # r3: 10-cycle incremental warehouse soak (S1->W1->J3->serve)
 ]
 
@@ -124,7 +125,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 389
+EXPECTED_MIN_QUERIES = 390
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -189,7 +190,7 @@ DRIVER_PRIORITY = [
     # the external oracle), then stable never-checked waves spanning
     # TPC-H, rollup/percentile aggregates, temporal, set ops, text,
     # DQ, ML, portable SQL, graph, and corpus sampling.
-    "stream_span_scrub", "dedup_span_recall_eval",
+    "stream_span_scrub", "dedup_span_recall_eval", "corpus_lm_perplexity",
     "corpus_span_scrub", "inc_agg_merge", "j24_null_aware_not_in",
     "mm_wav_decode", "dedup_levenshtein_pairs",
     "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
@@ -200,7 +201,6 @@ DRIVER_PRIORITY = [
     "text_tfidf_top_terms", "text_pii_redact",
     "dq_column_profile", "ml_kmeans_assign",
     "sql_portable_window_topn", "graph_triangle_count",
-    "corpus_sample_stratified",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
