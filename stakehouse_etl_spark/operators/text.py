@@ -15,7 +15,7 @@ oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
@@ -396,14 +396,30 @@ def bpe_pretokens(text: Column) -> Column:
 
 def ordered_kgrams(text: Column, k: int = 3) -> Column:
     """POSITIONAL k-gram sequence (no dedup — winnowing needs order;
-    :func:`shingles` destroys it with array_distinct)."""
+    :func:`shingles` destroys it with array_distinct).
+
+    Built from ``k`` shifted slices zipped together, NOT via
+    element_at(toks, i+j) inside a per-position lambda: higher-order
+    functions are interpreted with NO common-subexpression
+    elimination, so a lambda that references the raw ``tokens(text)``
+    expression re-runs the regex split k TIMES PER GRAM — O(n²)
+    splitting that the round-6 sf10 fuzz measured as a 250 s straggler
+    stage on a 17 MB input. The slice form evaluates the split k+1
+    times per DOCUMENT, full stop."""
     toks = tokens(text)
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    n_out = F.size(toks) - (k - 1)
+    # arrays_zip(slice(toks,1,n), slice(toks,2,n), ...) evaluates toks
+    # once per slice argument; zipped/transform then iterate bound
+    # array values, never the split expression.
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, n_out).alias(f"w{j}") for j in range(k)]
     )
     return F.when(
         F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), make),
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)]),
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -421,28 +437,66 @@ def winnow_fingerprints(
     fingerprint set. Guarantees every match of length >= w+k-1 tokens
     shares a fingerprint, while storing ~2/(w+1) of all hashes.
 
-    Pure array expressions (transform / slice / array_min) exploded to
-    (id, fingerprint) rows — exact cross-engine parity via the shared
-    md5-prefix hash. Documents shorter than ``k`` tokens emit no rows;
-    shorter than ``w`` hashes emit the min of what exists (one window).
+    The window minimum runs as a CODEGEN'D window aggregate over the
+    posexploded hash stream (partitioned by doc — row-parallel at any
+    scale), NOT as a per-window transform(sequence, i ->
+    array_min(slice(hs, i, w))) expression — interpreted HOF window
+    math was one of THREE stacked costs the round-6 sf10 fuzz caught
+    in this operator (each measured, ladder min-of-2 at sf10 before →
+    after the full fix: 364 s → 33 s; sf3 250 s → 23 s, step ratio
+    1.43):
+
+    1. ordered_kgrams re-split the text k times PER GRAM (see its
+       docstring) — the dominant term;
+    2. filter(size(__hs) > 0) was predicate-pushed below fan_out's
+       exchange with the alias substituted, re-running the whole
+       gram+md5 pipeline inside the skewed pre-fan-out scan stage
+       (replaced by the cheap token-count filter);
+    3. the per-window slice/array_min lambda allocated and scanned an
+       array per window on the interpreted path (replaced by this
+       window aggregate — one doc-keyed shuffle, the span-dedup
+       islands-merge shape, plus the distinct).
+
+    Documents shorter than ``k`` tokens emit no rows; shorter than
+    ``w`` hashes emit the min of what exists (the frame truncates at
+    the partition end).
     """
     grams = ordered_kgrams(F.col(text_col), k)
-    # Materialize the hash array as a named column FIRST: a lambda that
-    # references the raw expression re-evaluates the whole O(n) md5
-    # array per window position (O(n²) hashing per doc — measured 6x
-    # slower at sf0.01); a column reference is computed once per row.
+    # fan_out BEFORE the hash stream: ~n md5 calls per doc serialize
+    # onto the scan's few input splits otherwise (round-6 sf10 fuzz;
+    # the same hazard fan_out's docstring documents for shingling).
+    # The short-doc filter is expressed on the CHEAP token count, not
+    # on size(__hs): a filter over the hash array gets predicate-
+    # pushed below fan_out's exchange with the alias SUBSTITUTED — the
+    # fuzz caught the entire gram+md5 pipeline running a second time
+    # inside the skewed scan stage as that pushed-down condition.
+    df = fan_out(df).filter(F.size(tokens(F.col(text_col))) >= k)
     hashed = df.select(
         F.col(id_col), F.transform(grams, lambda g: hash32(g)).alias("__hs")
-    ).filter(F.size("__hs") > 0)
-    hs = F.col("__hs")
-    n_win = F.greatest(F.lit(1), F.size(hs) - F.lit(w) + 1)
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(hs, i, w)),
     )
-    return hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    # posexplode_OUTER on purpose: the non-outer generator triggers
+    # InferFiltersFromGenerate, which re-adds size(__hs) > 0 and
+    # pushes it (alias-substituted, md5 and all) below the exchange —
+    # the exact recompute hazard the token-count filter above avoids.
+    # The arrays are never empty here (pre-filtered), so outer is
+    # row-identical.
+    stream = hashed.select(
+        F.col(id_col),
+        F.size("__hs").alias("__n"),
+        F.posexplode_outer("__hs").alias("__pos", "__h"),
     )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(0, w - 1)
+    )
+    # Only positions that START a window select a fingerprint: pos in
+    # [0, max(1, n-w+1) - 1]. For docs with fewer than w hashes that
+    # is pos 0 alone, whose truncated frame is "min of what exists".
+    starts = stream.withColumn("fp", F.min("__h").over(win)).filter(
+        F.col("__pos") <= F.greatest(F.lit(1), F.col("__n") - (w - 1)) - 1
+    )
+    return starts.select(F.col(id_col), "fp").distinct()
 
 
 def feature_hash(
@@ -458,7 +512,10 @@ def feature_hash(
     Output is sparse (id, bucket, cnt) rows; explode + one groupBy."""
     toks = tokens(F.col(text_col))
     return (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        # fan_out: one md5 per token — same serialized-scan hazard as
+        # winnow_fingerprints above (round-6 sf10 fuzz).
+        fan_out(df)
+        .select(F.col(id_col), F.explode(toks).alias("tok"))
         .filter(F.col("tok") != "")
         .select(id_col, (hash32(F.col("tok")) % n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")

@@ -381,3 +381,16 @@ def test_rrf_global_window_is_k_bounded(spark):
     # pushdown and/or an explicit rank filter upstream of the window).
     assert plan.count("WindowGroupLimit") >= 1, plan
     assert re.findall(r"(?:rnk|rank)#\d+L? <= 10", plan), plan
+
+
+def test_winnowing_no_hash_recompute_below_fanout(spark):
+    """Round-6 sf10 fuzz pins: (a) the short-doc filter must NOT drag
+    the gram+md5 pipeline below fan_out's exchange (predicate pushdown
+    substitutes the alias — the 250 s straggler-stage bug), so no
+    Filter node may contain md5(); (b) the window minimum runs as the
+    codegen'd window aggregate (a Window node exists), not interpreted
+    per-window array math."""
+    plan = plan_of(spark, "text_winnowing_fingerprints")
+    assert "(1) Window" in plan or re.search(r"\(\d+\) Window\b", plan), plan
+    for m in re.finditer(r"\(\d+\) Filter\b.*?\n((?:.+\n)+?)\n", plan):
+        assert "md5(" not in m.group(1), m.group(1)
