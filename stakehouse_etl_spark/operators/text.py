@@ -235,18 +235,31 @@ def shingles(text: Column, k: int = 3) -> Column:
 
     Documents with fewer than ``k`` tokens yield an empty array —
     guarded explicitly because ``F.sequence(1, 0)`` produces a
-    DESCENDING [1, 0], not an empty range, and the element_at lookups
+    DESCENDING [1, 0], not an empty range, and the slice lookups
     would then read past the token array (found by
     tests/test_properties.py).
+
+    Shifted-slice construction, not element_at(toks, i+j) lambdas:
+    interpreted higher-order functions re-evaluate the raw
+    ``tokens(text)`` regex split on EVERY element_at — k splits per
+    shingle, O(n²) splitting per document (round-6 sf10 fuzz; same
+    fix as :func:`ordered_kgrams`). The slice form splits k+1 times
+    per document and zips bound arrays.
     """
     toks = tokens(text)
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    n_out = F.size(toks) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, n_out).alias(f"w{j}") for j in range(k)]
     )
     return F.when(
         F.size(toks) >= k,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), make)
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(
+                    " ", *[s[f"w{j}"] for j in range(k)]
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -20,6 +20,7 @@ from stakehouse_etl_spark.operators.graph import connected_components
 from stakehouse_etl_spark.operators.text import (
     fan_out,
     normalized_fingerprint,
+    ordered_kgrams,
     quality_features,
     tokens,
 )
@@ -76,16 +77,10 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     # Raw (non-distinct) bigrams — `operators.text.shingles` dedups,
     # which is right for Jaccard sets but wrong for repetition counts.
-    # Guard size<2: F.sequence(1, 0) yields DESCENDING [1,0], not [].
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # ordered_kgrams(k=2) IS the positional bigram stream, built via
+    # shifted slices (the element_at-in-lambda form re-split the text
+    # per bigram — round-6 sf10 fuzz, 52 s -> measured fix).
+    bigrams = ordered_kgrams(F.col("text"), 2)
     base = fan_out(docs).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tok"),
