@@ -351,11 +351,17 @@ def mm_hamming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; verification touches candidates only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
     L = F.length("text")
 
     def byte_at(pos):
-        return F.ascii(F.element_at(chars, (pos % L + 1).cast("int")))
+        # substr on the raw string, NOT element_at(split(text, ""), ·):
+        # the split expression inside the per-bit lambda re-splits the
+        # whole text into a char array per lookup — 2·SIG_BITS array
+        # allocations per doc (round-6 sf10 fuzz class). substr is one
+        # O(1) string read; same char, same ascii value.
+        return F.ascii(
+            F.col("text").substr((pos % L + 1).cast("int"), F.lit(1))
+        )
 
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(_SIG_BITS - 1)),
@@ -694,14 +700,14 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     for rank in range(1, 4):
         arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        # Zipped shifted slices, not element_at-per-position lambdas:
+        # the latter re-evaluates the split per pair on the interpreted
+        # HOF path (round-6 sf10 fuzz class, operators/text.py).
         pairs = F.when(
             F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("lhs"),
-                    F.element_at(arr, (i + 1).cast("int")).alias("rhs"),
-                ),
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("lhs"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("rhs"),
             ),
         ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
         top = (
@@ -880,14 +886,14 @@ def ml_bpe_apply_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        # Zipped shifted slices, not element_at-per-position lambdas:
+        # the latter re-evaluates the split per pair on the interpreted
+        # HOF path (round-6 sf10 fuzz class, operators/text.py).
         pairs = F.when(
             F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("lhs"),
-                    F.element_at(arr, (i + 1).cast("int")).alias("rhs"),
-                ),
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("lhs"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("rhs"),
             ),
         ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
         top = (

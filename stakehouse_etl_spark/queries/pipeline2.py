@@ -22,6 +22,7 @@ from stakehouse_etl_spark.operators.similarity import int_dot, quantize
 from stakehouse_etl_spark.operators.text import (
     fan_out,
     hash32,
+    ordered_kgrams,
     shingles,
     token_count,
     tokens,
@@ -249,16 +250,10 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort of the full term dictionary (the 100 TB-safe shape);
     the dense rank is then a window over k=30 rows only."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Shifted-slice bigrams (ordered_kgrams k=2): the element_at-in-
+    # lambda form re-ran the regex split per bigram on the interpreted
+    # HOF path (round-6 sf10 fuzz class, operators/text.py).
+    bigrams = ordered_kgrams(F.col("text"), 2)
     top = (
         fan_out(docs)
         .select(F.explode(bigrams).alias("term"))

@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.operators.similarity import int_dot, sq_norm
+from stakehouse_etl_spark.operators.similarity import int_dot, quantize, sq_norm
 from stakehouse_etl_spark.operators.text import fan_out, hash64, tokens
-from stakehouse_etl_spark.queries.datapipe import _TOKS
+from stakehouse_etl_spark.queries.datapipe import _QUANT_EMB, _TOKS
 from stakehouse_etl_spark.queries.pipeline2 import (
     _KM_ASSIGN_CTE,
     _kmeans_assign_df,
@@ -34,13 +34,118 @@ _HASH64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 # dot² ≤ 4.2e15 and the products < 2^62).
 SEMDEDUP_COS_NUM = 81  # 0.9² numerator
 SEMDEDUP_COS_DEN = 100
+# K scales with the corpus (SemDeDup's own recipe): clusters average
+# ~TARGET_CLUSTER vectors, so the within-cluster pair join stays
+# LINEAR in corpus size (n·c/2 pairs) instead of quadratic. The
+# round-6 sf10 fuzz caught the fixed K=8 form stalling >8 min solo at
+# 200k vectors (25k-vector clusters → 2.5e9 pairs); with scaled K the
+# same rung runs in seconds. floor(greatest(8, n/128)) is exact
+# integer arithmetic, mirrored verbatim in the oracle.
+SEMDEDUP_TARGET_CLUSTER = 128
+
+# The assignment CTE with corpus-scaled K (the fixed-K twin,
+# _KM_ASSIGN_CTE, stays for the one-Lloyd-step demos ml_kmeans_*).
+_SEM_ASSIGN_CTE = f"""
+e AS (SELECT vec_id, {_QUANT_EMB} AS q FROM embeddings),
+kk AS (
+  SELECT greatest(8, count(*) // {SEMDEDUP_TARGET_CLUSTER}) AS k FROM e
+),
+c AS (
+  SELECT vec_id AS centroid_id, q AS cq FROM e
+  WHERE vec_id < (SELECT k FROM kk)
+),
+d AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+              i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS BIGINT) AS dist
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, centroid_id, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, centroid_id) AS rn
+  FROM d
+)
+"""
+
+
+# Expression-vs-matmul dispatch for the scaled-K assignment: above
+# this n·K product the interpreted per-(vector, centroid) fold loses
+# to one Arrow-batched BLAS matmul (the cosine_topk auto-dispatch
+# pattern, operators/similarity.py).
+_SEM_ASSIGN_ARROW_CELLS = 5_000_000
+
+
+def _scaled_assign(emb: DataFrame, n: int, k: int) -> DataFrame:
+    """Nearest-of-k-centroids by squared L2 (ties → lowest centroid
+    id), centroids = the k lowest vec_ids. Two value-identical arms:
+
+    - expression: crossJoin(broadcast(centroids)) + zip_with fold +
+      argmin window — plan-transparent, right when n·k is small;
+    - Arrow matmul: dist² = |x|² + |c|² − 2·X@Cᵀ in float64, which is
+      EXACT here — quantized-milli dims ≤ 64 keep every dot ≤ ~6e9 and
+      every distance ≤ ~3e10, all < 2^53, so the BLAS result is the
+      same integer the int64 fold computes; np.argmin's first-match
+      rule IS the lowest-centroid-id tiebreak because C is sorted by
+      id. n·(n/128)·64 FLOPs is SemDeDup's own clustering cost; at
+      corpus scales beyond one BLAS call the assignment graduates to
+      the hierarchical/IVF path (operators/similarity.py).
+    """
+    import os
+
+    thresh = int(
+        os.environ.get(
+            "SPARK_GRAFT_SEM_ARROW_CELLS", str(_SEM_ASSIGN_ARROW_CELLS)
+        )
+    )
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+    if n * k >= thresh:
+        import numpy as np
+
+        c_rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+        C = np.array([r["cq"] for r in c_rows], dtype=np.float64)
+        CIDS = np.array([r["centroid_id"] for r in c_rows], dtype=np.int64)
+        CN = (C * C).sum(axis=1)
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+                xn = (X * X).sum(axis=1)
+                d = xn[:, None] + CN[None, :] - 2.0 * (X @ C.T)
+                best = CIDS[np.argmin(d, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "centroid_id": best,
+                        "q": pdf["q"],
+                    }
+                )
+
+        return emb.mapInPandas(
+            assign, "vec_id long, centroid_id long, q array<bigint>"
+        )
+    diff = F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cand = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", "q", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "q")
+    )
 
 
 @register(
     "dedup_semantic_prune",
     tags=("dedup", "similarity", "kmeans"),
     oracle=f"""
-WITH {_KM_ASSIGN_CTE},
+WITH {_SEM_ASSIGN_CTE},
 asg AS (
   SELECT a.vec_id, a.centroid_id, e.q
   FROM a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1
@@ -72,21 +177,32 @@ def dedup_semantic_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     then drop, WITHIN each cluster only, every vector that has a
     higher-similarity twin with a smaller id (cos >= 0.9, keep-lowest-
-    id survivor). The clustering is what makes semantic dedup scale:
-    candidate pairs are confined to a cluster, so the quadratic term is
-    bounded by the largest cluster, not the corpus — at 100 TB you run
-    K large enough (10k-100k) that clusters stay ~1k vectors, and the
-    pair join is an equi-join on centroid_id that AQE skew-splits if a
-    cluster runs hot. The cosine test is cross-multiplied into exact
-    int64 (same discipline as the z-score kernel), so no float
-    boundary exists anywhere.
+    id survivor). The clustering is what makes semantic dedup scale —
+    and K therefore SCALES WITH THE CORPUS (max(8, n/128), the
+    paper's recipe): candidate pairs are confined to ~128-vector
+    clusters, so the pair join is linear in n at every rung (the
+    round-6 sf10 fuzz measured the fixed-K=8 form at >8 min solo —
+    2.5e9 pairs from 25k-vector clusters — vs seconds scaled). The
+    pair join is an equi-join on centroid_id that AQE skew-splits if
+    a cluster runs hot; at extreme K the assignment step itself
+    graduates to the IVF path (``operators/similarity.py``). The
+    cosine test is cross-multiplied into exact int64 (same discipline
+    as the z-score kernel), so no float boundary exists anywhere.
 
     Reference parity: the reference has no embedding ops at all — this
     is part of the beyond-reference training-data family the brief
     specifies (brute-force cosine baseline lives in
     ``sim_cosine_topk``; capped-LSH near-dup in ``sim_ann_lsh_pairs``).
     """
-    asg = _kmeans_assign_df(spark, sf_dir).select("vec_id", "centroid_id", "q")
+    # fan_out BEFORE the per-vector work: the single-file embeddings
+    # scan plans a handful of splits, serializing both the assignment
+    # batches and the within-cluster pair dots (round-6 sf10 fuzz).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    n = emb.count()
+    k = max(8, n // SEMDEDUP_TARGET_CLUSTER)
+    asg = _scaled_assign(emb, n, k)
     nrm = asg.select(
         "vec_id", "centroid_id", "q", sq_norm(F.col("q")).alias("n2")
     )
