@@ -16,11 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.dedup import minhash_lsh_pairs
 from stakehouse_etl_spark.operators.graph import connected_components
 from stakehouse_etl_spark.operators.text import fan_out, tokens
 from stakehouse_etl_spark.operators.timeseries import gap_fill_linear, sessionize
-from stakehouse_etl_spark.queries.datapipe import _JACCARD_CTE, _SHINGLES_CTE, _TOKS
+from stakehouse_etl_spark.queries.datapipe import _SHINGLES_CTE, _TOKS, _lsh_jaccard_cte
 from stakehouse_etl_spark.queries.registry import register
 
 MICROS_PER_HOUR = 3_600_000_000
@@ -347,7 +347,7 @@ def a_percentile_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
-WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+WITH RECURSIVE {_SHINGLES_CTE}, {_lsh_jaccard_cte()},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 ),
@@ -363,14 +363,15 @@ FROM reach GROUP BY a
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup PAIRS: min-label propagation
-    (operators/graph.py:connected_components) over the exact-Jaccard
-    edge list — transitively closes A~B~C chains that pairwise dedup
+    (operators/graph.py:connected_components) over the capped-LSH
+    near-dup edge list (tier contract: composed pipelines never ride
+    the exact quadratic arm — round-6 sf10 fuzz) — transitively closes A~B~C chains that pairwise dedup
     under-deletes. The oracle is a DuckDB recursive-CTE transitive
     closure; the Spark side is the iterative join+min loop that scales
     (closure is quadratic in component size, label propagation is
     linear per pass × diameter passes)."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    edges = minhash_lsh_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     cc = connected_components(edges, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
 

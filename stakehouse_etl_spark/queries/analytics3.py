@@ -16,11 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+from stakehouse_etl_spark.operators.dedup import minhash_lsh_pairs
 from stakehouse_etl_spark.queries.datapipe import (
-    _JACCARD_CTE,
     _SHINGLES_CTE,
     _TOKS,
+    _lsh_jaccard_cte,
 )
 from stakehouse_etl_spark.queries.analytics2 import HOUR_US, _events_us
 from stakehouse_etl_spark.queries.registry import register
@@ -31,8 +31,13 @@ from stakehouse_etl_spark.queries.registry import register
 PR_SCALE = 1_000_000_000  # rank fixed-point scale; floor-div keeps it integral
 PR_BASE = (15 * PR_SCALE) // 100  # (1-d) * SCALE, precomputed (INT32-literal-safe)
 
+# Edges come from the CAPPED LSH tier, not the exact shingle
+# self-join: composed pipelines never ride the lossless quadratic arm
+# (tier contract, operators/dedup.py:near_dup_pairs) — the round-6
+# sf10 fuzz killed the exact-tier form in GC (its postings self-join
+# AQE-broadcast a >1 GB build at 500k docs).
 _PR_EDGES_CTE = f"""
-{_SHINGLES_CTE}, {_JACCARD_CTE},
+{_SHINGLES_CTE}, {_lsh_jaccard_cte()},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 ),
@@ -74,11 +79,15 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor contribution is an integer floor-division by out-degree,
     so partial-sum order cannot change a single bit — float PageRank
     diverges between engines, this one cannot. Per iteration the plan
-    is one shuffle (groupBy dst) plus a broadcast of the degree table;
-    iterations at 100 TB stay a linear chain of such stages (no
+    is a degree join keyed on src plus one shuffle (groupBy dst); the
+    degree table is NODE-SCALE, so it is NOT broadcast-pinned — the
+    round-6 sf10 fuzz measured the old hard `F.broadcast(deg)` pin
+    dying in GC (a >1 GB broadcast build of the 500k-node degree
+    table); AQE broadcasts it only while it is actually small.
+    Iterations at 100 TB stay a linear chain of such stages (no
     driver-side loop state beyond the loop counter)."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    edges = minhash_lsh_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     fwd = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     rev = edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     sym = fwd.union(rev).distinct()
@@ -87,7 +96,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.lit(PR_BASE)
 
     def one_iter(rank: DataFrame | None) -> DataFrame:
-        contrib = sym.join(F.broadcast(deg), "a")
+        contrib = sym.join(deg, "a")
         if rank is None:  # uniform start: r0 = SCALE for every node
             per_edge = F.expr(f"{PR_SCALE} div deg")
         else:

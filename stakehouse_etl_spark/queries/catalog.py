@@ -180,27 +180,30 @@ DRIVER_PRIORITY = [
     "sim_cosine_topk", "sim_ivf_topk",
     # multimodal — real BMP codec end-to-end
     "mm_bmp_decode",
-    # --- round-6 rotation (23, never driver-checked in r1–r5) ---
-    # r6 additions first (the streaming twin of the span scrub and
-    # the span-resolution recall eval), then the r5 code the gate has
-    # not touched (corpus_span_scrub is the only span-family member
-    # absent from the r5 gate) and the two queries catalog.py:199-201
-    # promised last round, then plan-changed code (the levenshtein
-    # verify tier's joins changed in af2c9c5 — changed code must meet
-    # the external oracle), then stable never-checked waves spanning
-    # TPC-H, rollup/percentile aggregates, temporal, set ops, text,
-    # DQ, ML, portable SQL, graph, and corpus sampling.
+    # --- round-6 rotation (23) ---
+    # Changed-code-first (the rotation contract): the three r6
+    # additions (streaming span scrub, span-resolution recall eval,
+    # LM-perplexity filter), the r5 code the gate never touched
+    # (corpus_span_scrub + the two queries catalog.py promised last
+    # round + mm_wav_decode), then EVERY query whose plan changed this
+    # round — the levenshtein verify tier (af2c9c5), the eight
+    # interpreted-HOF re-split fixes (shingles/ordered_kgrams
+    # consumers + mm_hamming's substr byte gather), the re-tiered
+    # graph queries (capped-LSH edges; pagerank also lost its
+    # row-scale degree broadcast pin), and the scaled-K SemDeDup —
+    # then a stable never-checked tail. 22 of 23 are first-time
+    # (pagerank was r5-checked but its plan changed twice this round).
     "stream_span_scrub", "dedup_span_recall_eval", "corpus_lm_perplexity",
     "corpus_span_scrub", "inc_agg_merge", "j24_null_aware_not_in",
     "mm_wav_decode", "dedup_levenshtein_pairs",
-    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "a_grouping_sets", "a_percentile_kernel",
-    "ts_gap_fill_interpolate", "ts_scd2_history", "j12_asof_tolerance",
-    "u4_intersect_all",
-    "text_tfidf_top_terms", "text_pii_redact",
-    "dq_column_profile", "ml_kmeans_assign",
-    "sql_portable_window_topn", "graph_triangle_count",
+    "text_winnowing_fingerprints", "text_repetition_metrics",
+    "text_contamination_overlap", "text_ngram_counts",
+    "text_feature_hashing", "mm_hamming_dedup",
+    "ml_bpe_train_merges", "text_bpe_merge_pairs",
+    "dedup_semantic_prune", "graph_pagerank_2iter",
+    "graph_triangle_count",
+    "tpch_q6_forecast_revenue", "a_grouping_sets", "ts_scd2_history",
+    "dq_column_profile",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

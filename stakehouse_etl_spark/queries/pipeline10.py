@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.queries.datapipe import _JACCARD_CTE, _SHINGLES_CTE
+from stakehouse_etl_spark.queries.datapipe import _SHINGLES_CTE, _lsh_jaccard_cte
 from stakehouse_etl_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -103,7 +103,7 @@ def ml_ab_welch_t_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     tags=("graph", "motif"),
     oracle=f"""
-WITH {_SHINGLES_CTE}, {_JACCARD_CTE},
+WITH {_SHINGLES_CTE}, {_lsh_jaccard_cte()},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM j WHERE inter * 100 >= union_sz * 20
 )
@@ -123,10 +123,10 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e1,e2,e3) pattern — two equi-joins on an edge list, no motif
     explosion, the standard distributed triangle algorithm.
     """
-    from stakehouse_etl_spark.operators.dedup import jaccard_pairs
+    from stakehouse_etl_spark.operators.dedup import minhash_lsh_pairs
 
     edges = (
-        jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold_pct=20)
+        minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold_pct=20)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
     e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
