@@ -51,13 +51,20 @@ HEADLINE = (
 
 REGRESSION_RATIO = 1.2
 
-# Watchlist (VERDICT r5 task #3): queries whose medians drifted
-# >15% across rounds in UNTOUCHED code (q3 +20%/r5 after +27%/-25%
-# swings in r3) get a deeper sample — 10 runs instead of 3 — and the
-# output carries their full distribution so the round artifact itself
-# settles noise-vs-real instead of a judge re-deriving it.
+# Watchlist (VERDICT r5 task #3, extended r7 per VERDICT r6 task #2):
+# queries whose medians drifted >15% across rounds in UNTOUCHED code
+# get a deeper sample — 10 runs instead of 3 — and the output carries
+# their full distribution so the round artifact itself settles
+# noise-vs-real instead of a judge re-deriving it. r7 adds the four
+# rows the r6 round flagged (all in the uniform ~1.2-1.3× whole-suite
+# shift attributed to host load); the q3/q5 pair stays for one more
+# round of history.
 # Override with SPARK_GRAFT_BENCH_WATCH (comma list, empty disables).
-WATCH_DEFAULT = "tpch_q3_shipping_priority,tpch_q5_local_supplier_volume"
+WATCH_DEFAULT = (
+    "tpch_q3_shipping_priority,tpch_q5_local_supplier_volume,"
+    "tpch_q4_order_priority,tpch_q18_large_orders,"
+    "j11_range_join_bucketed,dedup_span_inventory"
+)
 WATCH_RUNS = 10
 
 
@@ -99,6 +106,15 @@ def run() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Host-load attribution (VERDICT r6 task #2): the r6 round's
+    # uniform ~1.2-1.3× whole-suite shift was traced to outside load;
+    # recording loadavg at start/end makes an environment round
+    # self-documenting in the artifact instead of reconstructed later.
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,12 +163,14 @@ def run() -> None:
             f"{round(sum(samples[n][-1] for n in bench_names), 2)} s",
             file=sys.stderr,
         )
-    # Watched queries: top up to WATCH_RUNS total samples, interleaved
-    # after the regular passes (same session, same cache discipline),
-    # and publish the full distribution.
-    for name in watch:
-        while len(samples[name]) < WATCH_RUNS:
-            time_one(name)
+    # Watched queries: top up to WATCH_RUNS total samples, genuinely
+    # interleaved ROUND-ROBIN across the watch list (ADVICE r6: a
+    # per-query back-to-back loop shares warm OS/page-cache state and
+    # biases the topped-up samples relative to the rotated first 3).
+    while any(len(samples[n]) < WATCH_RUNS for n in watch):
+        for name in watch:
+            if len(samples[name]) < WATCH_RUNS:
+                time_one(name)
     watch_stats = {
         name: {
             "n": len(samples[name]),
@@ -214,6 +232,10 @@ def run() -> None:
 
     headline = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     total = round(sum(timings.values()), 3)
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     print(
         json.dumps(
             {
@@ -227,6 +249,8 @@ def run() -> None:
                 "prev_round": prev_file,
                 "regressions": regressions,
                 "watch": watch_stats,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
             }
         )
     )

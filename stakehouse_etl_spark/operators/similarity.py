@@ -110,11 +110,17 @@ def _auto_arrow(embeddings: DataFrame, n_queries: int) -> bool:
         return False
     if size <= 0 or size > 1 << 62:
         return False
-    thresh = int(
-        os.environ.get(
-            "SPARK_GRAFT_ARROW_AUTO_BYTES", str(ARROW_AUTO_BYTES_DEFAULT)
+    try:
+        thresh = int(
+            os.environ.get(
+                "SPARK_GRAFT_ARROW_AUTO_BYTES",
+                str(ARROW_AUTO_BYTES_DEFAULT),
+            )
         )
-    )
+    except ValueError:
+        # Fail-safe contract (ADVICE r6): a malformed override must
+        # not break dispatch — fall back to the calibrated default.
+        thresh = ARROW_AUTO_BYTES_DEFAULT
     return size * max(1, n_queries) >= thresh
 
 

@@ -74,6 +74,10 @@ a AS (
 # to one Arrow-batched BLAS matmul (the cosine_topk auto-dispatch
 # pattern, operators/similarity.py).
 _SEM_ASSIGN_ARROW_CELLS = 5_000_000
+# Hard cap on collected-centroid-matrix cells (k × dim) for the Arrow
+# assignment arm; past this the assignment graduates to the distributed
+# expression arm / IVF path instead of growing the driver + closures.
+_SEM_CENTROID_CELL_CAP = 8_000_000
 
 
 def _scaled_assign(emb: DataFrame, n: int, k: int) -> DataFrame:
@@ -93,15 +97,29 @@ def _scaled_assign(emb: DataFrame, n: int, k: int) -> DataFrame:
     """
     import os
 
-    thresh = int(
-        os.environ.get(
-            "SPARK_GRAFT_SEM_ARROW_CELLS", str(_SEM_ASSIGN_ARROW_CELLS)
+    try:
+        thresh = int(
+            os.environ.get(
+                "SPARK_GRAFT_SEM_ARROW_CELLS", str(_SEM_ASSIGN_ARROW_CELLS)
+            )
         )
-    )
+    except ValueError:
+        # Fail-safe (ADVICE r6): malformed override → calibrated default.
+        thresh = _SEM_ASSIGN_ARROW_CELLS
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
-    if n * k >= thresh:
+    # Driver-memory guard (ADVICE r6): the Arrow arm collects the k×64
+    # centroid matrix and ships C/CN/CIDS in every task closure; both
+    # grow with n/128. Above ~8M cells (~64 MB of float64 — past any
+    # sane broadcast closure) the assignment must graduate to the
+    # IVF/hierarchical path (operators/similarity.py), so force the
+    # distributed expression arm instead of silently ballooning the
+    # driver. 8M cells ≈ k=125k centroids ≈ n=16M vectors — far past
+    # every local rung; the guard is the explicit contract, not a
+    # reachable branch today.
+    arrow_ok = (k * 64) <= _SEM_CENTROID_CELL_CAP
+    if n * k >= thresh and arrow_ok:
         import numpy as np
 
         c_rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
@@ -197,9 +215,16 @@ def dedup_semantic_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out BEFORE the per-vector work: the single-file embeddings
     # scan plans a handful of splits, serializing both the assignment
     # batches and the within-cluster pair dots (round-6 sf10 fuzz).
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", quantize(F.col("embedding")).alias("q")
+    from stakehouse_etl_spark.caches import persist_tracked
+
+    emb = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", quantize(F.col("embedding")).alias("q")
+        )
     )
+    # emb feeds count(), the centroid collect, and the main plan —
+    # persist_tracked materializes the quantize scan once (ADVICE r6:
+    # it was re-run ~3×) and bench.py's release_tracked frees it.
     n = emb.count()
     k = max(8, n // SEMDEDUP_TARGET_CLUSTER)
     asg = _scaled_assign(emb, n, k)

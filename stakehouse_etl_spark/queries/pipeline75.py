@@ -297,19 +297,25 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(os.path.join(tmp, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
-        batch_no = {"n": 0}
-
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # batch_no derives from the engine's batch_id (0-based,
+            # deterministic, stable across micro-batch retries) — a
+            # mutable closure counter would double-increment on a
+            # foreachBatch re-execution. Writes are idempotent for the
+            # same reason: each batch OVERWRITES its own bid=<id>
+            # subdirectory (hive-style, so the parent-dir read below
+            # still sees one logical table) instead of appending.
             s = batch_df.sparkSession
-            batch_no["n"] += 1
             try:
-                idx = s.read.parquet(idx_dir)
+                idx = s.read.parquet(idx_dir).select("gram")
             except Exception:
                 idx = s.createDataFrame([], "gram string")
             scrubbed = span_scrub_against_index(idx, batch_df).withColumn(
-                "batch_no", F.lit(batch_no["n"])
+                "batch_no", F.lit(int(batch_id) + 1)
             )
-            scrubbed.write.mode("append").parquet(out_dir)
+            scrubbed.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"bid={int(batch_id)}")
+            )
             # Distinct-merge the batch's ORIGINAL grams into the index
             # (keep-first claims come from original text, scrubbed or
             # not — matching the global firsts = min(doc_id) oracle).
@@ -318,8 +324,8 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
             _, gb = _pg(batch_df)
-            gb.select("gram").distinct().write.mode("append").parquet(
-                idx_dir
+            gb.select("gram").distinct().write.mode("overwrite").parquet(
+                os.path.join(idx_dir, f"bid={int(batch_id)}")
             )
 
         stream = (
