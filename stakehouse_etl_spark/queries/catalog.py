@@ -108,6 +108,7 @@ _QUERY_MODULES = [
     "pipeline74",  # hybrid retrieval fusion: RRF over the BM25 + cosine arms
     "pipeline75",  # span-dedup resolution eval + streaming span scrub
     "pipeline76",  # LM-perplexity quality filter (CCNet-style)
+    "pipeline77",  # train-ready corpus export: the full tier ladder, one ledger
     "soak",        # r3: 10-cycle incremental warehouse soak (S1->W1->J3->serve)
 ]
 
@@ -125,7 +126,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 390
+EXPECTED_MIN_QUERIES = 391
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -138,72 +139,59 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 # ladder, similarity, multimodal, corpus pipeline, connected
 # components, streaming).
 #
-# ROTATION (VERDICT r3 task #5): ~20 slots rotate each round so the
-# external gate eventually touches the whole catalog instead of
-# re-checking the same prefix. Round 6 keeps the 27-query §2 spine
-# (one representative per family) and surfaces 23 queries the driver
-# has NEVER checked (not in CORRECTNESS_r01–r05) — newest code first:
-# the round's additions and every query whose plan changed take
-# slots ahead of stable never-checked queries, so the external gate
-# validates exactly the changed code. Queries rotated out stay in
-# the catalog under the local 389-query gate (tools/check.py), which
-# runs the same DuckDB methodology.
+# ROTATION (VERDICT r6 task #1): the r6 gate spent 28/50 slots on
+# repeat anchors; round 7 cuts the standing spine to 10 core
+# representatives and fills 40 slots with (a) changed-code-first —
+# this round's new composed export pipeline plus the two queries
+# whose plans the round-6 review fixes changed (stream_span_scrub's
+# retry-stable rewrite, dedup_semantic_prune's persist + centroid
+# cap) — then (b) 37 queries the driver has NEVER checked (not in
+# CORRECTNESS_r01–r06): 38 first-time entries total (target >= 35),
+# lifting cumulative external coverage to >= 169/391. Queries rotated
+# out stay under the local full-catalog gate (tools/check.py,
+# EXPECTED_MIN_QUERIES entries, same DuckDB value-hash methodology).
 DRIVER_PRIORITY = [
-    # --- §2 spine (27, all driver-green in r1–r4) ---
-    # time-series / window family (W1-W6, T3)
+    # --- §2 spine (10 anchors, all driver-green r1–r6) ---
     "w1_user_income", "w2_income_epoch_hourly",
-    # join family (J1-J10, P8)
     "j1_latest_order_per_customer", "j3_order_lineitem_agg",
     "j9_asof_last_signup",
-    # aggregate family (A1-A10)
     "a1_pricing_summary",
-    # output / set family (O1-O3, U1-U3; union semantics stay covered
-    # by u3's sequence+anti plan and the r1-r4 green history of u1)
-    "o2_pagination", "u3_missing_days",
-    # scalar-function family (F1-F10) + predicate kernel (P1-P7)
-    "f_scalar_kernel", "f10_json_extract", "p_predicate_kernel",
-    # sink family (K1/K2/K4, T5)
     "k1_upsert_sink",
-    # connector family (S1-S3)
-    "s1_s2_connector_normalize",
-    # incremental / temporal family (T1-T5; the soak is the 10-cycle
-    # composed production loop)
-    "pipeline_warehouse_soak", "t2_bounded_catchup", "t4_backfill_repair",
-    # streaming (T6) + CDC sink
-    "stream_windowed_counts", "stream_stateful_income", "stream_cdc_apply",
-    # text analysis
-    "text_quality",
-    # dedup ladder
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
-    "pipeline_corpus_clean",
-    # similarity / ANN
-    "sim_cosine_topk", "sim_ivf_topk",
-    # multimodal — real BMP codec end-to-end
-    "mm_bmp_decode",
-    # --- round-6 rotation (23) ---
-    # Changed-code-first (the rotation contract): the three r6
-    # additions (streaming span scrub, span-resolution recall eval,
-    # LM-perplexity filter), the r5 code the gate never touched
-    # (corpus_span_scrub + the two queries catalog.py promised last
-    # round + mm_wav_decode), then EVERY query whose plan changed this
-    # round — the levenshtein verify tier (af2c9c5), the eight
-    # interpreted-HOF re-split fixes (shingles/ordered_kgrams
-    # consumers + mm_hamming's substr byte gather), the re-tiered
-    # graph queries (capped-LSH edges; pagerank also lost its
-    # row-scale degree broadcast pin), and the scaled-K SemDeDup —
-    # then a stable never-checked tail. 22 of 23 are first-time
-    # (pagerank was r5-checked but its plan changed twice this round).
-    "stream_span_scrub", "dedup_span_recall_eval", "corpus_lm_perplexity",
-    "corpus_span_scrub", "inc_agg_merge", "j24_null_aware_not_in",
-    "mm_wav_decode", "dedup_levenshtein_pairs",
-    "text_winnowing_fingerprints", "text_repetition_metrics",
-    "text_contamination_overlap", "text_ngram_counts",
-    "text_feature_hashing", "mm_hamming_dedup",
-    "ml_bpe_train_merges", "text_bpe_merge_pairs",
-    "dedup_semantic_prune", "graph_pagerank_2iter",
-    "graph_triangle_count",
-    "tpch_q6_forecast_revenue", "a_grouping_sets", "ts_scd2_history",
-    "dq_column_profile",
+    "pipeline_warehouse_soak",
+    "dedup_minhash_lsh",
+    "stream_stateful_income",
+    # --- changed-code-first (3; 1 first-time) ---
+    "pipeline_corpus_export",   # NEW: full tier-ladder export ledger
+    "stream_span_scrub",        # retry-stable foreachBatch rewrite
+    "dedup_semantic_prune",     # persist + centroid-cap guard
+    # --- never-driver-checked (37) ---
+    # TPC-H family: the 16 shapes the external gate has never hashed
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_balance_anti",
+    # skew mitigation
+    "skew_salted_join", "skew_two_stage_agg",
+    # sources / sinks / layout
+    "src_json_roundtrip", "src_orc_roundtrip",
+    "sink_partitioned_prune", "sink_bucketed_join",
+    # DataSource V2 arms
+    "s1_datasource_scan", "k6_datasource_writer_roundtrip",
+    # corpus pipeline tier
+    "corpus_drop_ledger", "corpus_canonical_docs",
+    "corpus_gopher_rules", "corpus_decontaminate_counts",
+    "corpus_mix_temperature",
+    # dedup / similarity evaluation arms
+    "dedup_lsh_eval_pr", "sim_ivf_recall_eval",
+    "dedup_incremental_batch",
+    # streaming
+    "stream_availablenow_restart", "stream_dedup_within_watermark",
+    # window / aggregate kernels
+    "w_rank_kernel", "a_stats_kernel", "a_percentile_kernel",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -1,0 +1,132 @@
+"""sf10 fuzz for the foreachBatch streaming family (VERDICT r6 #4).
+
+The r5/r6 sf10 plan fuzzer covered batch plans; the foreachBatch
+loops were laddered only to sf1 with the per-batch cost CLAIM "batch-
+sized at any corpus size" (PLANS.md Round-6). This tool turns that
+claim into a measurement: run each foreachBatch catalog query at an
+arbitrary rung and record the WALL TIME OF EVERY MICRO-BATCH via a
+session-global StreamingQueryListener (so the queries themselves stay
+untouched — the listener reads `durationMs.triggerExecution` +
+`batchId` off the engine's own progress events).
+
+Flatness contract: with the corpus split into equal-size batches, a
+healthy incremental loop has near-equal per-batch walls (the stored
+index grows, but the probe is a hash join keyed on the gram/band —
+batch-sized work per batch). max/median > THRESH flags a loop whose
+per-batch cost grows with the accumulated state — the superlinear
+signature that invalidates the steady-state-ingest claim.
+
+Usage: python tools/stream_fuzz.py [sf_dir] [query ...]
+  default sf_dir localdata/sf10; default queries: the four
+  foreachBatch loops. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+from stakehouse_etl_spark.caches import release_tracked  # noqa: E402
+from stakehouse_etl_spark.queries.catalog import QUERIES  # noqa: E402
+from stakehouse_etl_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "stream_span_scrub",
+    "stream_incremental_dedup",
+    "stream_upsert_foreachbatch",
+    "stream_snapshot_publish",
+]
+FLAT_THRESH = 1.2  # max/median per-batch wall ratio contract
+
+
+class _BatchWallListener(StreamingQueryListener):
+    """Collects (batchId, triggerExecution ms, numInputRows) for every
+    progress event in the session."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        try:
+            self.batches.append(
+                {
+                    "batch_id": p.batchId,
+                    "ms": p.durationMs.get("triggerExecution"),
+                    "rows": p.numInputRows,
+                }
+            )
+        except Exception:
+            pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = argv[0] if argv else os.path.join(REPO, "localdata", "sf10")
+    names = argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("stream_fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    listener = _BatchWallListener()
+    spark.streams.addListener(listener)
+
+    out: dict[str, dict] = {}
+    for name in names:
+        if name not in QUERIES:
+            out[name] = {"err": "not in catalog"}
+            continue
+        listener.batches.clear()
+        t0 = time.perf_counter()
+        try:
+            # foreachBatch queries drive their own stream to
+            # completion inside fn; the listener captures per-batch
+            # walls as a side effect. count() forces any lazy tail.
+            n = QUERIES[name].fn(spark, sf_dir).count()
+            err = None
+        except Exception as e:  # keep fuzzing the rest
+            n, err = None, f"{type(e).__name__}: {e}"
+        wall = round(time.perf_counter() - t0, 2)
+        release_tracked()
+        spark.catalog.clearCache()
+        # Progress events arrive asynchronously; give the bus a beat.
+        time.sleep(2.0)
+        # Keep only real data batches (skip idle/no-input triggers).
+        bt = [b for b in listener.batches if b["rows"] and b["ms"]]
+        walls = [b["ms"] / 1000.0 for b in bt]
+        rec: dict = {
+            "rows_out": n,
+            "wall_sec": wall,
+            "n_batches": len(walls),
+            "batch_walls_sec": [round(w, 2) for w in walls],
+            "err": err,
+        }
+        if walls:
+            med = statistics.median(walls)
+            rec["max_over_median"] = round(max(walls) / med, 3) if med else None
+            rec["flat_ok"] = bool(med and max(walls) / med <= FLAT_THRESH)
+        out[name] = rec
+        print(f"{name}: {rec}", file=sys.stderr)
+
+    print(json.dumps({"sf_dir": sf_dir, "flat_thresh": FLAT_THRESH,
+                      "queries": out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
