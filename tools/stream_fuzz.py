@@ -12,9 +12,15 @@ untouched — the listener reads `durationMs.triggerExecution` +
 Flatness contract: with the corpus split into equal-size batches, a
 healthy incremental loop has near-equal per-batch walls (the stored
 index grows, but the probe is a hash join keyed on the gram/band —
-batch-sized work per batch). max/median > THRESH flags a loop whose
-per-batch cost grows with the accumulated state — the superlinear
-signature that invalidates the steady-state-ingest claim.
+batch-sized work per batch). Batch 1 is BOOTSTRAP and excluded: it
+runs a structurally different plan (empty-index join) and absorbs
+the first-plan codegen for the whole topology (measured at sf1:
+13.5 s vs 6.1/5.7 s steady for stream_span_scrub, while batches 2→3
+— index at 1/3 vs 2/3 of corpus — stay flat). The contract is
+last/second ≤ THRESH over batches 2+: growth there means per-batch
+cost scales with the ACCUMULATED state, the superlinear signature
+that invalidates the steady-state-ingest claim. max/median over all
+batches is reported alongside for the full picture.
 
 Usage: python tools/stream_fuzz.py [sf_dir] [query ...]
   default sf_dir localdata/sf10; default queries: the four
@@ -84,6 +90,15 @@ def main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     listener = _BatchWallListener()
     spark.streams.addListener(listener)
+    # Codegen + page-cache warmup so batch 1 isn't additionally
+    # charged for session bootstrap (it already pays the topology's
+    # first-plan cost, which is why flatness skips it).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    except Exception:
+        pass
 
     out: dict[str, dict] = {}
     for name in names:
@@ -118,7 +133,13 @@ def main(argv: list[str]) -> int:
         if walls:
             med = statistics.median(walls)
             rec["max_over_median"] = round(max(walls) / med, 3) if med else None
-            rec["flat_ok"] = bool(med and max(walls) / med <= FLAT_THRESH)
+            steady = walls[1:]
+            if len(steady) >= 2 and steady[0] > 0:
+                ratio = steady[-1] / steady[0]
+                rec["steady_last_over_first"] = round(ratio, 3)
+                rec["flat_ok"] = bool(ratio <= FLAT_THRESH)
+            else:
+                rec["flat_ok"] = None
         out[name] = rec
         print(f"{name}: {rec}", file=sys.stderr)
 
