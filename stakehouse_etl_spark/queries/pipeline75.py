@@ -307,7 +307,18 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # still sees one logical table) instead of appending.
             s = batch_df.sparkSession
             try:
-                idx = s.read.parquet(idx_dir).select("gram")
+                # Exclude bid >= batch_id from the probe: on a
+                # micro-batch RE-execution the batch's own grams are
+                # already committed under bid=<batch_id>, and probing
+                # them would scrub the whole batch against itself
+                # (every >=SPAN_K window "already claimed"). The
+                # strict filter makes the retry read the exact index
+                # state the first execution saw (review r7).
+                idx = (
+                    s.read.parquet(idx_dir)
+                    .filter(F.col("bid") < int(batch_id))
+                    .select("gram")
+                )
             except Exception:
                 idx = s.createDataFrame([], "gram string")
             scrubbed = span_scrub_against_index(idx, batch_df).withColumn(

@@ -70,15 +70,25 @@ from stakehouse_etl_spark.queries.pipeline73 import (
 from stakehouse_etl_spark.queries.pipeline76 import KEEP_MARGIN_MICRO
 from stakehouse_etl_spark.queries.registry import register
 
-# Stage policy constants — shared verbatim with the standalone stage
-# queries so the composition stays their definitional contract.
-_EVAL_SOURCES = ("src0", "src1")  # pipeline2._BENCH_SOURCES
-_DECON_PCT = 10  # pipeline18._DECON_PCT
+# Stage policy constants — IMPORTED from the standalone stage queries
+# (not copied) so a retuned stage policy cannot silently diverge from
+# this composition's claim of being their definitional contract
+# (review r7; the Spark arm and oracle here share each value, so a
+# copy drift would be invisible to the value-hash gate).
+from stakehouse_etl_spark.queries.pipeline2 import (  # noqa: E402
+    PACK_CAP as _PACK_CAP,
+    _BENCH_SOURCES as _EVAL_SOURCES,
+    _PACK_BUCKET,
+)
+from stakehouse_etl_spark.queries.pipeline17 import (  # noqa: E402
+    _N_SHARDS,
+    _TEMP_BUDGET as _MIX_BUDGET,
+)
+from stakehouse_etl_spark.queries.pipeline18 import (  # noqa: E402
+    _DECON_PCT,
+)
+
 _ND_PCT = 20  # near-dup Jaccard threshold (pipeline_corpus_clean)
-_MIX_BUDGET = 1_000_000  # pipeline17._TEMP_BUDGET
-_PACK_CAP = 512  # pipeline2.PACK_CAP
-_PACK_BUCKET = 64  # pipeline2._PACK_BUCKET
-_N_SHARDS = 8  # pipeline17._N_SHARDS
 
 _TOKS_RAW = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _EVAL_SRC_SQL = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
@@ -505,11 +515,16 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
     train = docs.filter(~is_eval)
-    qf = quality_features(train).select(
-        "doc_id",
-        "source",
-        "text",
-        (F.col("quality_score") >= 0.5).alias("q_ok"),
+    # qf feeds the survivor chain AND the final ledger join — stage-
+    # cut it like every other multi-consumer stage output (review r7:
+    # without the cut the ledger re-runs the full quality scan).
+    qf = _stage(
+        quality_features(train).select(
+            "doc_id",
+            "source",
+            "text",
+            (F.col("quality_score") >= 0.5).alias("q_ok"),
+        )
     )
     filt_toks = F.filter(tokens(F.col("text")), lambda x: x != "")
     # q feeds the LM (3 consumers) and the downstream survivor chain.

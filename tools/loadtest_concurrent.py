@@ -139,10 +139,18 @@ def main(argv: list[str]) -> int:
     wall = time.perf_counter() - t_start
 
     # Idle baseline: same read, same warehouse, nothing writing.
+    # Guarded: if the writer died before the first staged rename the
+    # warehouse may not exist — the tool must still print its JSON
+    # line and clean up (review r7).
     idle: list[float] = []
+    idle_err: str | None = None
     for _ in range(20):
         t0 = time.perf_counter()
-        one_read()
+        try:
+            one_read()
+        except Exception as e:
+            idle_err = f"{type(e).__name__}: {e}"
+            break
         idle.append(time.perf_counter() - t0)
 
     out = {
@@ -161,6 +169,7 @@ def main(argv: list[str]) -> int:
         "p95_ms": round(_pct(lat, 0.95) * 1000, 1),
         "idle_p50_ms": round(_pct(idle, 0.5) * 1000, 1),
         "idle_p95_ms": round(_pct(idle, 0.95) * 1000, 1),
+        "idle_err": idle_err,
         "p95_vs_idle": round(
             _pct(lat, 0.95) / _pct(idle, 0.95), 2
         )
@@ -170,7 +179,13 @@ def main(argv: list[str]) -> int:
     print(json.dumps(out))
     shutil.rmtree(warehouse, ignore_errors=True)
     spark.stop()
-    ok = not errors and not torn_dup and not dips and not writer_err
+    ok = (
+        not errors
+        and not torn_dup
+        and not dips
+        and not writer_err
+        and idle_err is None
+    )
     return 0 if ok else 1
 
 

@@ -118,10 +118,22 @@ def main(argv: list[str]) -> int:
         wall = round(time.perf_counter() - t0, 2)
         release_tracked()
         spark.catalog.clearCache()
-        # Progress events arrive asynchronously; give the bus a beat.
-        time.sleep(2.0)
-        # Keep only real data batches (skip idle/no-input triggers).
-        bt = [b for b in listener.batches if b["rows"] and b["ms"]]
+        # Progress events arrive asynchronously on the listener bus —
+        # poll until the set stops growing instead of trusting one
+        # fixed sleep (review r7: a late event would silently truncate
+        # the series and mis-map walls[1:] to the wrong batches).
+        seen = -1
+        for _ in range(20):
+            if len(listener.batches) == seen:
+                break
+            seen = len(listener.batches)
+            time.sleep(0.5)
+        # Keep only real data batches (skip idle/no-input triggers),
+        # in BATCH order — arrival order is not guaranteed.
+        bt = sorted(
+            (b for b in listener.batches if b["rows"] and b["ms"]),
+            key=lambda b: b["batch_id"],
+        )
         walls = [b["ms"] / 1000.0 for b in bt]
         rec: dict = {
             "rows_out": n,
