@@ -126,7 +126,7 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 391
+EXPECTED_MIN_QUERIES = 392
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -185,8 +185,11 @@ DRIVER_PRIORITY = [
     "corpus_drop_ledger", "corpus_canonical_docs",
     "corpus_gopher_rules", "corpus_decontaminate_counts",
     "corpus_mix_temperature",
-    # dedup / similarity evaluation arms
-    "dedup_lsh_eval_pr", "sim_ivf_recall_eval",
+    # dedup / similarity evaluation arms (the sampled LSH eval is the
+    # round-7 scale twin — changed-code-first; the unsampled
+    # ground-truth arm stays under the local gate, where it remains
+    # green at every shipped rung)
+    "dedup_lsh_eval_sampled", "sim_ivf_recall_eval",
     "dedup_incremental_batch",
     # streaming
     "stream_availablenow_restart", "stream_dedup_within_watermark",

@@ -75,6 +75,102 @@ def dedup_lsh_eval_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_EVAL_SAMPLE_TARGET = 5000
+
+
+@register(
+    "dedup_lsh_eval_sampled",
+    tags=("dedup", "lsh", "eval", "sampling"),
+    oracle=f"""
+WITH n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s_t AS (
+  SELECT greatest(CAST(1 AS BIGINT),
+                  (SELECT n FROM n_t) // {_LSH_EVAL_SAMPLE_TARGET}) AS s
+),
+sdocs AS (
+  SELECT * FROM documents WHERE doc_id % (SELECT s FROM s_t) = 0
+),
+t AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM sdocs),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM t
+),
+s2 AS (SELECT * FROM s WHERE shingle <> ''),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s2 GROUP BY doc_id),
+{_minhash_sig_sql()}, {_minhash_bands_sql()},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_JACCARD_CTE},
+exact AS (SELECT id_a, id_b FROM j WHERE inter * 100 >= union_sz * 20),
+tp AS (SELECT count(*) AS n FROM exact JOIN cand USING (id_a, id_b))
+SELECT CAST((SELECT s FROM s_t) AS BIGINT) AS sample_stride,
+       CAST((SELECT count(*) FROM sdocs) AS BIGINT) AS n_sampled,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM tp) AS BIGINT) AS n_tp,
+       CAST((SELECT n FROM tp) AS DOUBLE)
+         / (SELECT count(*) FROM cand) AS precision,
+       CAST((SELECT n FROM tp) AS DOUBLE)
+         / (SELECT count(*) FROM exact) AS recall
+""",
+)
+def dedup_lsh_eval_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE arm of the LSH banding eval: identical
+    precision/recall methodology to ``dedup_lsh_eval_pr``, computed on
+    a deterministic stride sample of ~{_LSH_EVAL_SAMPLE_TARGET} docs
+    (``doc_id % s == 0``, s = max(1, n // target) — engine-portable,
+    no RNG). The unsampled eval carries the exact ground-truth Jaccard
+    self-join, which is superlinear in shingle document frequency by
+    contract (the lossless-tier contract at ``operators/dedup.py:411``)
+    and OOMs an 8 g single-JVM at sf10 (round-7 fuzz) — exactly the
+    regime where a 100 TB job would evaluate banding quality on a
+    sample and extrapolate, which is what this query is. Below the
+    target corpus size the stride is 1 and the two evals coincide
+    (pinned by ``tests/test_pipeline13b.py``).
+    """
+    from stakehouse_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    stride = max(1, n // _LSH_EVAL_SAMPLE_TARGET)
+    sdocs = docs.filter(F.col("doc_id") % stride == 0)
+    n_sampled = sdocs.count()
+    exact = jaccard_pairs(sdocs, threshold_pct=20).select("id_a", "id_b")
+    cand = lsh_candidates(sdocs)
+    n_exact = exact.count()
+    n_cand = cand.count()
+    n_tp = exact.join(cand, ["id_a", "id_b"]).count()
+    precision = n_tp / n_cand if n_cand else None
+    recall = n_tp / n_exact if n_exact else None
+    return spark.createDataFrame(
+        [
+            (
+                stride,
+                n_sampled,
+                n_exact,
+                n_cand,
+                n_tp,
+                precision,
+                recall,
+            )
+        ],
+        "sample_stride long, n_sampled long, n_exact long, "
+        "n_candidates long, n_tp long, precision double, recall double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact ROC-AUC via the rank-sum (Mann-Whitney U) identity
 # ---------------------------------------------------------------------------
