@@ -194,7 +194,10 @@ DRIVER_PRIORITY = [
     # streaming
     "stream_availablenow_restart", "stream_dedup_within_watermark",
     # window / aggregate kernels
-    "w_rank_kernel", "a_stats_kernel", "a_percentile_kernel",
+    "w_rank_kernel", "a_stats_kernel",
+    # r7 plan change (bucketed two-phase epoch rank) — changed-code-
+    # first, and never driver-checked before either
+    "corpus_epoch_shuffle",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
