@@ -303,7 +303,14 @@ def a_percentile_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     so not even the fraction touches inexact floats — DuckDB parses
     0.9 as exact DECIMAL while Spark uses binary double, and that
     1-ulp fraction gap is visible after multiplying by cents. One
-    window shuffle + one grouped aggregate."""
+    window shuffle + one grouped aggregate.
+
+    NOTE the partition key is low-cardinality (5 priorities): this
+    kernel covers the exact-percentile SEMANTICS on bounded groups; at
+    100 TB each group funnels through one task and the scale path is
+    the bucketed two-phase rank (``corpus_epoch_shuffle``'s round-7
+    rework, ``skew_resistant_rank``) — decompose the rank into a
+    group×bucket prefix + a per-bucket window."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wc = Window.partitionBy("o_orderpriority")
@@ -398,7 +405,15 @@ def w_rank_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, dense_rank, ntile(4), percent_rank ((rank−1)/(n−1)) and
     cume_dist (peers≤/n) — all rational arithmetic on row positions,
     so both engines agree exactly. One window shuffle, deterministic
-    total order (acctbal DESC, custkey)."""
+    total order (acctbal DESC, custkey).
+
+    NOTE the partition key is low-cardinality (5 segments): this
+    kernel covers the built-in ranking family's SEMANTICS on bounded
+    groups; at 100 TB the scale path decomposes each function over
+    value buckets (ties share a bucket, so rank/dense_rank/cume_dist
+    all split into a bucket-prefix + a bounded within-bucket window —
+    ``corpus_epoch_shuffle``'s round-7 rework is the worked example,
+    ``skew_resistant_rank`` the general operator)."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")

@@ -194,10 +194,11 @@ DRIVER_PRIORITY = [
     # streaming
     "stream_availablenow_restart", "stream_dedup_within_watermark",
     # window / aggregate kernels
-    "w_rank_kernel", "a_stats_kernel",
-    # r7 plan change (bucketed two-phase epoch rank) — changed-code-
-    # first, and never driver-checked before either
-    "corpus_epoch_shuffle",
+    "w_rank_kernel",
+    # r7 plan changes — changed-code-first: the bucketed two-phase
+    # epoch rank (also never driver-checked) and the BPE trainer's
+    # incremental pair-count maintenance
+    "corpus_epoch_shuffle", "ml_bpe_train_merges",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -682,47 +682,95 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting) is a map-side-combinable aggregation over the corpus;
     only the 1-row argmax crosses to the driver — same
     bounded-scalar-per-round shape as k-means (``ml_kmeans_update``)
-    and connected components. A real trainer runs more iterations and
-    checkpoints the re-encoded corpus every few merges instead of
-    recomputing the replace chain.
+    and connected components. The re-encoded corpus is PERSISTED per
+    iteration (what a real trainer's checkpoint does): without the
+    cache, iteration i recomputes the whole pretokenize + replace
+    chain up to i, turning k iterations into O(k²) corpus passes —
+    the r7 sf10 fuzz measured the unpersisted form at 238 s for 3
+    iterations.
     """
+    from stakehouse_etl_spark.caches import persist_tracked
     from stakehouse_etl_spark.operators.text import bpe_pretokens
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         F.explode(bpe_pretokens(F.col("text"))).alias("pt")
     ).filter(F.length("pt") >= 2)
-    cur = base.select(
-        F.concat(
-            F.lit("|"), F.array_join(F.split(F.col("pt"), ""), "|"), F.lit("|")
-        ).alias("s")
+    cur = persist_tracked(
+        base.select(
+            F.concat(
+                F.lit("|"),
+                F.array_join(F.split(F.col("pt"), ""), "|"),
+                F.lit("|"),
+            ).alias("s")
+        )
     )
-    merges = []
-    for rank in range(1, 4):
-        arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
-        # Zipped shifted slices, not element_at-per-position lambdas:
-        # the latter re-evaluates the split per pair on the interpreted
-        # HOF path (round-6 sf10 fuzz class, operators/text.py).
-        pairs = F.when(
-            F.size(arr) >= 2,
-            F.arrays_zip(
-                F.slice(arr, 1, F.size(arr) - 1).alias("lhs"),
-                F.slice(arr, 2, F.size(arr) - 1).alias("rhs"),
-            ),
-        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
-        top = (
-            cur.select(F.explode(pairs).alias("p"))
+    arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+    # Zipped shifted slices, not element_at-per-position lambdas:
+    # the latter re-evaluates the split per pair on the interpreted
+    # HOF path (round-6 sf10 fuzz class, operators/text.py).
+    pairs_expr = F.when(
+        F.size(arr) >= 2,
+        F.arrays_zip(
+            F.slice(arr, 1, F.size(arr) - 1).alias("lhs"),
+            F.slice(arr, 2, F.size(arr) - 1).alias("rhs"),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(pairs_expr).alias("p"))
             .groupBy("p.lhs", "p.rhs")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+        )
+
+    # INCREMENTAL count maintenance (the IVM pattern, inc_agg_merge):
+    # a merge only changes pair counts inside words that CONTAIN the
+    # merged pair, so iterations 2..k recount the changed slice and
+    # delta-merge into the standing pair-count table instead of
+    # re-exploding the corpus — full recount is paid exactly once.
+    # (Persisting the re-encoded corpus alone does NOT help: the r7
+    # sf10 measurement was 238 s unpersisted vs 232 s persisted —
+    # per-iteration cost is the corpus-wide explode+groupBy, which
+    # this removes. counts is pair-vocab-scale; cnt>0 filter drops
+    # vanished pairs so the table cannot grow monotonically.)
+    counts = persist_tracked(pair_counts(cur))
+    merges = []
+    for rank in range(1, 4):
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
             .collect()[0]
         )
         merges.append((rank, top.lhs, top.rhs, top.cnt))
-        pat = F.lit(f"|{top.lhs}|{top.rhs}|")
+        if rank == 3:  # the last iteration's re-encode is never read
+            break
+        mark = f"|{top.lhs}|{top.rhs}|"
+        pat = F.lit(mark)
         rep = F.lit(f"|{top.lhs}{top.rhs}|")
-        cur = cur.select(
-            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+        changed = persist_tracked(
+            cur.filter(F.instr(F.col("s"), mark) > 0)
+        )
+        new_changed = persist_tracked(
+            changed.select(
+                F.replace(
+                    F.replace(F.col("s"), pat, rep), pat, rep
+                ).alias("s")
+            )
+        )
+        counts = persist_tracked(
+            counts.unionByName(
+                pair_counts(changed).withColumn("cnt", -F.col("cnt"))
+            )
+            .unionByName(pair_counts(new_changed))
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+        cur = persist_tracked(
+            cur.filter(F.instr(F.col("s"), mark) == 0).unionByName(
+                new_changed
+            )
         )
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, cnt long"

@@ -294,7 +294,13 @@ def ml_robust_scale_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     then deviations) over per-type partitions; the per-group medians
     broadcast between them. The robust twin of ``ml_zscore_scale`` —
     what you scale by when 100 TB of telemetry has heavy tails that
-    make mean/stddev meaningless."""
+    make mean/stddev meaningless.
+
+    NOTE the partition key is low-cardinality (5 event types); the
+    exact-median rank passes funnel each type through one task at
+    100 TB — the scale path is the bucketed two-phase rank
+    (``corpus_epoch_shuffle``'s round-7 rework) or the sketch tier
+    (``a_approx_quantile_bounded``) when exactness can relax."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
