@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # One-command reproduction of the full verification + measurement
-# protocol (everything BASELINE.md cites). Total runtime ~1.5-2h on
+# protocol (everything BASELINE.md cites). Total runtime ~2-2.5h on
 # local[32]; each step prints its own artifact.
 #
 #   bash tools/verify_all.sh [--quick]
@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 0/9 optional-dependency probe (Delta arm, BASELINE.md blocker) =="
+echo "== 0/11 optional-dependency probe (Delta arm, BASELINE.md blocker) =="
 python - <<'EOF'
 try:
     import delta  # noqa: F401
@@ -19,13 +19,13 @@ except ImportError as e:
           "Delta arm stays documented-blocked (BASELINE.md)")
 EOF
 
-echo "== 1/9 unit + property tests =="
+echo "== 1/11 unit + property tests =="
 python -m pytest tests/ -q
 
-echo "== 2/9 oracle gate, sf0.01 (the driver's rung) =="
+echo "== 2/11 oracle gate, sf0.01 (the driver's rung) =="
 python tools/check.py /root/testdata/sf0.01
 
-echo "== 3/9 bench (sf0.1 headline suite) =="
+echo "== 3/11 bench (sf0.1 headline suite) =="
 python bench.py
 
 if [[ "${1:-}" == "--quick" ]]; then
@@ -33,26 +33,36 @@ if [[ "${1:-}" == "--quick" ]]; then
     exit 0
 fi
 
-echo "== 4/9 oracle gates, sf0.001 + sf0.1 =="
+echo "== 4/11 oracle gates, sf0.001 + sf0.1 =="
 python tools/check.py /root/testdata/sf0.001
 python tools/check.py /root/testdata/sf0.1
 
-echo "== 5/9 single-partition-window audit (exit 1 on any ROW-SCALE) =="
+echo "== 5/11 single-partition-window audit (exit 1 on any ROW-SCALE) =="
 python tools/window_audit.py /root/testdata/sf0.01
 
-echo "== 6/9 local scale rungs (generate if missing) =="
+echo "== 6/11 local scale rungs (generate if missing) =="
 for sf in 0.1 1 3; do
     [[ -d "localdata/sf${sf}" ]] || python tools/gen_testdata.py "${sf}"
 done
 python tools/scaling.py --bench
 
-echo "== 7/9 warehouse soak (sf0.1) =="
+echo "== 7/11 warehouse soak (sf0.1) =="
 python tools/soak.py /root/testdata/sf0.1 10
 
-echo "== 8/9 streaming throughput =="
+echo "== 8/11 streaming throughput =="
 python tools/stream_bench.py 500000 5
 
-echo "== 9/9 serving load test =="
+echo "== 9/11 serving load test (idle) =="
 python tools/loadtest.py
+
+echo "== 10/11 serving under concurrent refresh (r7 contracts) =="
+python tools/loadtest_concurrent.py /root/testdata/sf0.1 4 10
+
+echo "== 11/11 foreachBatch per-batch flatness (sf10 rung if present) =="
+if [[ -d localdata/sf10 ]]; then
+    python tools/stream_fuzz.py localdata/sf10
+else
+    python tools/stream_fuzz.py localdata/sf1
+fi
 
 echo "all verification stages complete."
