@@ -85,9 +85,23 @@ def _prev_round_queries(sf: float | None) -> tuple[str | None, dict]:
         name = os.path.basename(p)
         try:
             rec = json.load(open(p))
-            parsed = rec.get("parsed", rec)
+            # `or rec`, not a key-default: the driver records
+            # {"parsed": null, "tail": ...} when its bounded stdout
+            # capture truncated the JSON line (r7's line overflowed
+            # the 2000-char tail window) — a null here crashed the r8
+            # bench until the line was compacted (see run()).
+            parsed = rec.get("parsed") or rec
         except Exception as e:
             print(f"bench: skipping unparsable {name}: {e}", file=sys.stderr)
+            continue
+        if not parsed.get("queries") or not isinstance(
+            parsed["queries"], dict
+        ):
+            # r7's record is exactly this shape: parsed=null (line
+            # truncated by the driver) → the raw record has no queries
+            # map. Fall through to the previous round instead of
+            # silently disabling the regression guard with prev={}.
+            print(f"bench: skipping {name} (no queries map)", file=sys.stderr)
             continue
         if sf is not None and parsed.get("sf") not in (None, sf):
             print(
@@ -236,24 +250,40 @@ def run() -> None:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_end = None
-    print(
-        json.dumps(
-            {
-                "metric": "bench_headline_wall_sec",
-                "value": headline,
-                "unit": "sec",
-                "queries": timings,
-                "suite_total_sec": total,
-                "sf": sf,
-                "runs": runs,
-                "prev_round": prev_file,
-                "regressions": regressions,
-                "watch": watch_stats,
-                "loadavg_start": load_start,
-                "loadavg_end": load_end,
-            }
-        )
-    )
+    record = {
+        "metric": "bench_headline_wall_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "suite_total_sec": total,
+        "sf": sf,
+        "runs": runs,
+        "prev_round": prev_file,
+        "regressions": regressions,
+        "watch": watch_stats,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+    }
+    # Full record (incl. the watch distributions) lands in a repo file;
+    # the PRINTED line must stay parseable under the driver's bounded
+    # stdout capture (measured: last 2000 chars — r7's line, bloated
+    # by the watch runs arrays, overflowed it and the round recorded
+    # parsed=null). The line keeps the spec fields + the small scalars
+    # and drops the watch detail; if the queries map itself ever grows
+    # past the window, the line degrades to the spec minimum rather
+    # than truncating mid-JSON.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
+        json.dump(record, f)
+    line_rec = {k: v for k, v in record.items() if k != "watch"}
+    line = json.dumps(line_rec)
+    if len(line) > 1900:
+        line_rec = {
+            k: record[k]
+            for k in ("metric", "value", "unit", "queries", "sf")
+        }
+        line = json.dumps(line_rec)
+    print(line)
     spark.stop()
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         print(

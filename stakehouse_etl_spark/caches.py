@@ -62,6 +62,36 @@ def persist_tracked(
     return out
 
 
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + registration for scoped release.
+
+    ``localCheckpoint`` pins the materialized stage as MEMORY_AND_DISK
+    blocks of an internal RDD that ``DataFrame.unpersist`` cannot see
+    (it only consults the SQL cache manager), so without tracking the
+    blocks stay resident until the ContextCleaner happens to GC them —
+    measurable memory pressure right after a deep stage-cut pipeline
+    in a long-lived sweep (ADVICE r7). Release goes through the
+    checkpointed plan's ``LogicalRDD`` (the only holder of the block-
+    backed RDD); after release the DataFrame is DEAD — lineage was
+    truncated at checkpoint time, so there is nothing to recompute
+    from. That is the same post-action contract ``cache_scope``
+    already imposes: release only after the consuming action.
+    """
+    out = df.localCheckpoint(eager=True)
+    out._graft_local_ckpt = True  # type: ignore[attr-defined]
+    _tracked().append(out)
+    return out
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's blocks via its LogicalRDD. Best-effort
+    reflection (plan shape pinned by tests/test_cache_lifecycle.py):
+    a failure leaves the blocks to the ContextCleaner — the pre-r8
+    behavior — never breaks the caller."""
+    plan = df._jdf.queryExecution().analyzed()  # LogicalRDD
+    plan.rdd().unpersist(True)
+
+
 def release_tracked(mark: int = 0) -> int:
     """Unpersist (blocking) every cache registered at or after ``mark``
     ON THIS THREAD; returns how many were released. Safe to call with
@@ -72,7 +102,10 @@ def release_tracked(mark: int = 0) -> int:
     while len(stack) > mark:
         df = stack.pop()
         try:
-            df.unpersist(blocking=True)
+            if getattr(df, "_graft_local_ckpt", False):
+                _release_local_checkpoint(df)
+            else:
+                df.unpersist(blocking=True)
             n += 1
         except Exception:
             pass

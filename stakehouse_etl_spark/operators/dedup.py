@@ -57,6 +57,46 @@ MINHASH_PRIME = 1_000_000_007
 # value-exact cross-engine. ``lsh_bucket_stats`` is the observability
 # query for tuning it.
 LSH_MAX_BUCKET = 1000
+# Ground-truth quarantine bound (VERDICT r7 task 3). Two catalog
+# queries are lossless/exact-by-contract and deliberately NOT
+# 100 TB-shaped: the brute-force Jaccard eval's self-join OOM'd the
+# 8 g local JVM at sf10 (~500k docs, measured r7) and the lossless
+# prefix-filter tier is superlinear in shingle document frequency
+# (263 s at sf3 adversarial). Documentation alone left both runnable
+# at scales where they are known-broken, so the guard is programmatic:
+# above this doc count the ground-truth arm REFUSES with a pointer to
+# its capped/sampled scale twin instead of OOMing an hour into a run.
+# 200k sits between the largest rung where both arms are measured
+# green (sf3 = 150k docs) and the documented failure rung (sf10 =
+# 500k). Env-overridable for operators who know their memory budget.
+GROUND_TRUTH_MAX_DOCS = 200_000
+
+
+def ground_truth_guard(docs: DataFrame, query: str, twin: str) -> int:
+    """Refuse a ground-truth-contract query above the quarantine
+    bound; returns the doc count otherwise (callers often need it
+    anyway). The count is one cheap metadata-ish aggregation — noise
+    next to the exact self-join it is guarding."""
+    import os
+
+    try:
+        cap = int(
+            os.environ.get(
+                "SPARK_GRAFT_GT_MAX_DOCS", str(GROUND_TRUTH_MAX_DOCS)
+            )
+        )
+    except ValueError:
+        cap = GROUND_TRUTH_MAX_DOCS
+    n = docs.count()
+    if n > cap:
+        raise RuntimeError(
+            f"{query}: ground-truth arm refused at {n} docs (cap {cap}): "
+            f"this query is exact-by-contract and superlinear/OOM at this "
+            f"scale — run its scale twin '{twin}' instead, or raise "
+            f"SPARK_GRAFT_GT_MAX_DOCS if your cluster's memory budget "
+            f"allows it."
+        )
+    return n
 # Fixed affine coefficients (a_j, b_j), j < MINHASH_PERMS — generated
 # once from a fixed seed; literal so both engines share them.
 _MH_A = [

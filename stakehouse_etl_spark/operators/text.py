@@ -163,8 +163,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     stop = F.size(F.filter(toks, _membership_counter(STOPWORDS_EN)))
     punct = punct_count(t)
-    stop_ratio = stop / n_tok
-    punct_ratio = punct / n_chars
+    # try_divide, not `/`: a degenerate doc (empty text → n_chars = 0)
+    # must yield NULL ratios and a NULL quality_score — the oracle
+    # engine's x/0 semantics — instead of an ANSI DIVIDE_BY_ZERO crash
+    # mid-pipeline (ADVICE r7: the export ledger then reports such a
+    # doc as dropped-at-quality via its non-TRUE coalesce). Values are
+    # bit-identical to `/` whenever the denominator is non-zero.
+    stop_ratio = F.try_divide(stop, n_tok)
+    punct_ratio = F.try_divide(punct, n_chars)
     score = (
         F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
         + F.lit(0.3) * stop_ratio

@@ -126,7 +126,8 @@ for _m in _QUERY_MODULES:
 # Catalog-shrink guard: bump when adding queries; tools/check.py and
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
-EXPECTED_MIN_QUERIES = 392
+# r8: +pipeline_corpus_export_landed, +ml_bpe_train_merges_deep.
+EXPECTED_MIN_QUERIES = 394
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -139,66 +140,72 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 # ladder, similarity, multimodal, corpus pipeline, connected
 # components, streaming).
 #
-# ROTATION (VERDICT r6 task #1): the r6 gate spent 28/50 slots on
-# repeat anchors; round 7 cuts the standing spine to 10 core
-# representatives and fills 40 slots with (a) changed-code-first —
-# this round's new composed export pipeline plus the two queries
-# whose plans the round-6 review fixes changed (stream_span_scrub's
-# retry-stable rewrite, dedup_semantic_prune's persist + centroid
-# cap) — then (b) 37 queries the driver has NEVER checked (not in
-# CORRECTNESS_r01–r06): 38 first-time entries total (target >= 35),
-# lifting cumulative external coverage to >= 169/391. Queries rotated
+# ROTATION (VERDICT r7 task #1, unchanged policy): a small standing
+# spine so the driver sample always covers the core §2 families, then
+# changed-code-first, then never-driver-checked. Round 8: 7 anchors +
+# 5 changed-code repeats (this round's review fixes: the export
+# ledger's NULL-flag coalesce + tracked-checkpoint stage cuts, the
+# drop ledger's matching coalesce, stream_incremental_dedup's
+# retry-idempotent rewrite, stream_span_scrub's narrowed index probe,
+# the BPE trainer's depth parametrization) + 37 FIRST-TIME entries:
+# 4 changed-code first-timers (the two NEW queries — landed export,
+# deep BPE — and the two ground-truth arms that gained programmatic
+# quarantine guards) + 33 never-driver-checked picks spread across
+# the portable-SQL / join / aggregate / time-series / text / ML /
+# dedup-eval / streaming / graph / maintenance / multimodal families.
+# Cumulative external coverage target: >= 205/394. Queries rotated
 # out stay under the local full-catalog gate (tools/check.py,
 # EXPECTED_MIN_QUERIES entries, same DuckDB value-hash methodology).
 DRIVER_PRIORITY = [
-    # --- §2 spine (10 anchors, all driver-green r1–r6) ---
-    "w1_user_income", "w2_income_epoch_hourly",
-    "j1_latest_order_per_customer", "j3_order_lineitem_agg",
-    "j9_asof_last_signup",
+    # --- §2 spine (7 anchors, all driver-green r1–r7; w2/j3 rotate
+    # out this round — their families stay covered by w1/the join
+    # first-timers, and dedup_prefix_filter_pairs turns out to be an
+    # early-round repeat, so the freed slot keeps first-time at 37 ---
+    "w1_user_income",
+    "j1_latest_order_per_customer", "j9_asof_last_signup",
     "a1_pricing_summary",
     "k1_upsert_sink",
-    "pipeline_warehouse_soak",
     "dedup_minhash_lsh",
     "stream_stateful_income",
-    # --- changed-code-first (3; 1 first-time) ---
-    "pipeline_corpus_export",   # NEW: full tier-ladder export ledger
-    "stream_span_scrub",        # retry-stable foreachBatch rewrite
-    "dedup_semantic_prune",     # persist + centroid-cap guard
-    # --- never-driver-checked (37) ---
-    # TPC-H family: the 16 shapes the external gate has never hashed
-    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_balance_anti",
-    # skew mitigation
-    "skew_salted_join", "skew_two_stage_agg",
-    # sources / sinks / layout
-    "src_json_roundtrip", "src_orc_roundtrip",
-    "sink_partitioned_prune", "sink_bucketed_join",
-    # DataSource V2 arms
-    "s1_datasource_scan", "k6_datasource_writer_roundtrip",
-    # corpus pipeline tier
-    "corpus_drop_ledger", "corpus_canonical_docs",
-    "corpus_gopher_rules", "corpus_decontaminate_counts",
-    "corpus_mix_temperature",
-    # dedup / similarity evaluation arms (the sampled LSH eval is the
-    # round-7 scale twin — changed-code-first; the unsampled
-    # ground-truth arm stays under the local gate, where it remains
-    # green at every shipped rung)
-    "dedup_lsh_eval_sampled", "sim_ivf_recall_eval",
-    "dedup_incremental_batch",
+    # --- changed-code-first: repeats whose code changed this round ---
+    "pipeline_corpus_export",    # coalesce'd ledger + tracked ckpt cuts
+    "corpus_drop_ledger",        # same coalesce fix, both arms
+    "stream_incremental_dedup",  # retry-idempotent bno= rewrite
+    "stream_span_scrub",         # narrowed PATH-MISSING index probe
+    "ml_bpe_train_merges",       # trainer depth parametrization (k=3 path)
+    # --- changed-code first-timers (4) ---
+    "pipeline_corpus_export_landed",  # NEW: restartable stage landing
+    "ml_bpe_train_merges_deep",       # NEW: k=8 depth variant
+    "dedup_lsh_eval_pr",              # ground-truth guard added
+    "dedup_prefix_filter_pairs",      # ground-truth guard added
+    # --- never-driver-checked (33) ---
+    # portable-SQL surface
+    "sql_portable_join_agg", "sql_portable_window_topn",
+    "sql_portable_recursive", "sql_portable_setops",
+    # joins
+    "j12_asof_tolerance", "j14_scd2_pit_join", "j17_null_safe_join",
+    "j21_dpp_month_join",
+    # aggregates / sketches
+    "a_stats_kernel", "a_decimal_exact_sum", "a_count_min_sketch",
+    # time series
+    "ts_gap_fill_interpolate", "ts_resample_ohlc", "ts_max_drawdown",
+    # text / corpus
+    "text_tfidf_top_terms", "text_pii_redact",
+    "corpus_chunk_documents", "corpus_intradoc_dedup",
+    # ML / eval plumbing
+    "ml_kmeans_update", "ml_confusion_langid", "ml_bpe_apply_encode",
+    "ml_ndcg_at_10",
+    # dedup / similarity evaluation
+    "dedup_lsh_bucket_stats", "dedup_minhash_estimate_eval",
+    "sim_pq_codebook", "dedup_cluster_size_histogram",
     # streaming
-    "stream_availablenow_restart", "stream_dedup_within_watermark",
-    # window / aggregate kernels
-    "w_rank_kernel",
-    # r7 plan changes — changed-code-first: the bucketed two-phase
-    # epoch rank (also never driver-checked) and the BPE trainer's
-    # incremental pair-count maintenance
-    "corpus_epoch_shuffle", "ml_bpe_train_merges",
+    "stream_snapshot_publish", "stream_rocksdb_state",
+    "s1_datasource_stream",
+    # graph
+    "graph_kcore_peel", "graph_2hop_reach",
+    # maintenance / DQ / multimodal / set ops
+    "maint_write_audit_publish", "mm_bmp_resize_nn",
+    "u4_intersect_all",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

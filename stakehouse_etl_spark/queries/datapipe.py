@@ -721,14 +721,22 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    t1, t2 = mx // 3, 2 * mx // 3
+    # 3 batches by default (the oracle unrolls exactly 3 greedy
+    # stages); the env knob is for the long-horizon fuzz harness only
+    # (tools/stream_fuzz.py --batches, VERDICT r7 task 2) — the
+    # correctness gates always run the default.
+    n_b = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "3"))
+    cuts = [mx * i // n_b for i in range(1, n_b)]
+    edges_ = [None] + cuts + [None]
 
     workdir = tempfile.mkdtemp(prefix="stream_dedup_")
     try:
         src = os.path.join(workdir, "src")
         kept_dir = os.path.join(workdir, "kept")
         os.makedirs(src)
-        bounds = [(None, t1, 1), (t1, t2, 2), (t2, None, 3)]
+        bounds = [
+            (edges_[i], edges_[i + 1], i + 1) for i in range(n_b)
+        ]
         for lo, hi, i in bounds:
             chunk = docs
             if lo is not None:
@@ -742,20 +750,36 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(os.path.join(tmp, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
-        batch_no = {"n": 0}
-
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # batch_no derives from the engine's batch_id and each
+            # batch OVERWRITES its own bno=<n> subdirectory — same
+            # retry-idempotence shape as stream_span_scrub (review
+            # r7): a foreachBatch re-execution neither double-counts
+            # the batch number nor double-appends survivors, and the
+            # corpus probe below excludes the batch's own (already
+            # committed) partition so the retry sees the exact state
+            # the first execution saw.
             s = batch_df.sparkSession
-            batch_no["n"] += 1
-            try:
-                corpus = s.read.parquet(kept_dir).select("doc_id", "text")
-            except Exception:
+            bno = int(batch_id) + 1
+            # Only the batch-0 PATH-MISSING case may fall back to an
+            # empty corpus; any other read failure must propagate —
+            # a swallowed error silently skips dedup for the whole
+            # batch (ADVICE r7's wrong-answer-path class).
+            if os.path.exists(kept_dir):
+                corpus = (
+                    s.read.parquet(kept_dir)
+                    .filter(F.col("bno") < bno)
+                    .select("doc_id", "text")
+                )
+            else:
                 corpus = s.createDataFrame([], "doc_id long, text string")
             kept_ids = incremental_minhash_dedup(corpus, batch_df)
             kept_rows = batch_df.join(kept_ids, "doc_id", "semi").select(
-                "doc_id", "text", F.lit(batch_no["n"]).alias("batch_no")
+                "doc_id", "text"
             )
-            kept_rows.write.mode("append").parquet(kept_dir)
+            kept_rows.write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"bno={bno}")
+            )
 
         stream = (
             spark.readStream.schema("doc_id long, text string")
@@ -769,7 +793,9 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        out = spark.read.parquet(kept_dir).select("doc_id", "batch_no")
+        out = spark.read.parquet(kept_dir).select(
+            "doc_id", F.col("bno").cast("int").alias("batch_no")
+        )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -56,10 +56,24 @@ def dedup_lsh_eval_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     design, and THIS query is the observability for tuning
     bands × rows at 100 TB). Every tier of the dedup ladder now has
     its quality measured by the tier below it.
+
+    GROUND-TRUTH CONTRACT: the exact Jaccard self-join is quadratic in
+    duplicate-cluster size and OOM'd the local JVM at sf10 (r7 fuzz
+    catch); above ``GROUND_TRUTH_MAX_DOCS`` this query refuses and
+    points at ``dedup_lsh_eval_sampled`` — the stride-sampled twin
+    that coincides with this one below the target size and stays flat
+    at every measured rung.
     """
-    from stakehouse_etl_spark.operators.dedup import jaccard_pairs, lsh_candidates
+    from stakehouse_etl_spark.operators.dedup import (
+        ground_truth_guard,
+        jaccard_pairs,
+        lsh_candidates,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    ground_truth_guard(
+        docs, query="dedup_lsh_eval_pr", twin="dedup_lsh_eval_sampled"
+    )
     exact = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
     cand = lsh_candidates(docs)
     n_exact = exact.count()

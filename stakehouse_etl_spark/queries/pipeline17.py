@@ -530,12 +530,12 @@ reach AS (
   SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
 )
 SELECT qf.doc_id,
-       CASE WHEN NOT qf.q_ok THEN 'quality'
+       CASE WHEN NOT coalesce(qf.q_ok, FALSE) THEN 'quality'
             WHEN ex.canon <> qf.doc_id THEN 'exact_dup'
             WHEN cp.component IS NOT NULL AND cp.component < qf.doc_id
               THEN 'near_dup'
             ELSE 'kept' END AS status,
-       CASE WHEN NOT qf.q_ok THEN NULL
+       CASE WHEN NOT coalesce(qf.q_ok, FALSE) THEN NULL
             WHEN ex.canon <> qf.doc_id THEN ex.canon
             WHEN cp.component IS NOT NULL AND cp.component < qf.doc_id
               THEN cp.component
@@ -597,14 +597,19 @@ def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_near = F.col("component").isNotNull() & (
         F.col("component") < F.col("doc_id")
     )
+    # Non-TRUE means dropped (ADVICE r7, pipeline77's ledger class): a
+    # NULL quality_score (empty text → 0/0) gives NULL q_ok, and a
+    # bare NOT would fall through to 'kept' in BOTH arms — invisible
+    # to the hash gate. The oracle CASE applies the same coalesce.
+    not_q = ~F.coalesce(F.col("q_ok"), F.lit(False))
     status = (
-        F.when(~F.col("q_ok"), F.lit("quality"))
+        F.when(not_q, F.lit("quality"))
         .when(F.col("canon") != F.col("doc_id"), F.lit("exact_dup"))
         .when(is_near, F.lit("near_dup"))
         .otherwise(F.lit("kept"))
     )
     canonical = (
-        F.when(~F.col("q_ok"), F.lit(None).cast("long"))
+        F.when(not_q, F.lit(None).cast("long"))
         .when(F.col("canon") != F.col("doc_id"), F.col("canon"))
         .when(is_near, F.col("component"))
         .otherwise(F.col("doc_id"))
@@ -622,10 +627,18 @@ _BPE_RE_SQL = r"'[a-z]+|[0-9]+|[^a-z0-9\s]+'"
 
 def _bpe_train_sql(n_iters: int = 3) -> str:
     """Unrolled n-iteration BPE trainer in SQL, sharing the exact
-    replace-twice merge application with the Spark side."""
+    replace-twice merge application with the Spark side.
+
+    Every ``w{it}`` re-encode has TWO consumers (the next pair count
+    and the next re-encode), so without ``AS MATERIALIZED`` DuckDB's
+    CTE inlining re-expands the chain 2^k times — the pipeline77
+    planner-explosion class, invisible at the historical k=3 (8×) and
+    fatal at the k=8 depth variant. Materializing each stage makes
+    oracle planning linear in iterations, exactly like the Spark
+    side's incremental delta-merge."""
     parts = [
         f"""
-w0 AS (
+w0 AS MATERIALIZED (
   SELECT '|' || array_to_string(string_split(pt, ''), '|') || '|' AS s
   FROM (SELECT unnest(regexp_extract_all(lower(trim(text)), {_BPE_RE_SQL}))
           AS pt FROM documents)
@@ -643,12 +656,13 @@ p{it} AS (
        LATERAL (SELECT unnest(range(1, len(arr))) AS i) g
   GROUP BY 1, 2
 ),
-m{it} AS (SELECT lhs, rhs, cnt FROM p{it} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+m{it} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{it} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
         )
         if it < n_iters:
             parts.append(
                 f"""
-w{it} AS (
+w{it} AS MATERIALIZED (
   SELECT replace(replace(s,
            '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|'),
            '|' || m.lhs || '|' || m.rhs || '|', '|' || m.lhs || m.rhs || '|')
@@ -663,13 +677,13 @@ w{it} AS (
     return "WITH " + ",".join(parts) + "\n" + selects
 
 
-@register(
-    "ml_bpe_train_merges",
-    tags=("ml", "tokenize", "bpe", "iterative"),
-    oracle=_bpe_train_sql(3),
-)
-def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three iterations of actual BPE *training* over the corpus:
+def _bpe_train_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iters: int,
+    iter_walls: list | None = None,
+) -> DataFrame:
+    """n iterations of actual BPE *training* over the corpus:
     count adjacent symbol pairs → take the argmax merge (count-desc,
     lexicographic tiebreak) → apply it corpus-wide → repeat. Symbols
     live in a sentinel-delimited string (``|c|h|a|t|``) so a merge is
@@ -688,7 +702,13 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain up to i, turning k iterations into O(k²) corpus passes —
     the r7 sf10 fuzz measured the unpersisted form at 238 s for 3
     iterations.
+
+    ``iter_walls``: optional list that collects the wall seconds of
+    each iteration (argmax + delta-merge), for the depth-curve
+    measurement (VERDICT r7 task 4 — tools/bpe_depth.py).
     """
+    import time
+
     from stakehouse_etl_spark.caches import persist_tracked
     from stakehouse_etl_spark.operators.text import bpe_pretokens
 
@@ -736,14 +756,33 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vanished pairs so the table cannot grow monotonically.)
     counts = persist_tracked(pair_counts(cur))
     merges = []
-    for rank in range(1, 4):
+    # Generation-bounded cache release (r8, depth variant): without
+    # it, every iteration leaves 4 more persisted frames — two of them
+    # corpus-scale (`cur`, `new_changed`) — so a k-iteration run holds
+    # O(k) corpus copies in MEMORY_AND_DISK, which is exactly the
+    # unbounded-state shape the trainer's own IVM algebra avoids in
+    # compute. After argmax_i has materialized counts_i, the previous
+    # counts and changed-slice are dead; the previous corpus
+    # (`cur_{i-1}`) and its re-encode stay one more generation (the
+    # CURRENT cur/changed read through them until the next argmax
+    # materializes this generation). Unpersist is lineage-safe, so a
+    # misjudged release costs a recompute, never correctness.
+    dead_now: list = []  # release right after the next argmax
+    dead_next: list = []  # release one argmax later
+    for rank in range(1, n_iters + 1):
+        t0 = time.monotonic()
         top = (
             counts.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
             .collect()[0]
         )
+        for df_old in dead_now:
+            df_old.unpersist()
+        dead_now, dead_next = dead_next, []
         merges.append((rank, top.lhs, top.rhs, top.cnt))
-        if rank == 3:  # the last iteration's re-encode is never read
+        if rank == n_iters:  # the last iteration's re-encode is never read
+            if iter_walls is not None:
+                iter_walls.append(time.monotonic() - t0)
             break
         mark = f"|{top.lhs}|{top.rhs}|"
         pat = F.lit(mark)
@@ -758,6 +797,7 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s")
             )
         )
+        old_counts = counts
         counts = persist_tracked(
             counts.unionByName(
                 pair_counts(changed).withColumn("cnt", -F.col("cnt"))
@@ -767,14 +807,52 @@ def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") > 0)
         )
+        old_cur = cur
         cur = persist_tracked(
             cur.filter(F.instr(F.col("s"), mark) == 0).unionByName(
                 new_changed
             )
         )
+        # counts_{i-1} and the changed slice die once the next argmax
+        # materializes counts_i; the old corpus and the re-encode feed
+        # the new cur/changed until THAT generation materializes.
+        dead_now.extend((old_counts, changed))
+        dead_next.extend((old_cur, new_changed))
+        if iter_walls is not None:
+            iter_walls.append(time.monotonic() - t0)
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, cnt long"
     )
+
+
+@register(
+    "ml_bpe_train_merges",
+    tags=("ml", "tokenize", "bpe", "iterative"),
+    oracle=_bpe_train_sql(3),
+)
+def ml_bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE training iterations (see ``_bpe_train_merges``) —
+    the historical catalog depth; ``ml_bpe_train_merges_deep`` runs
+    the same trainer at k=8."""
+    return _bpe_train_merges(spark, sf_dir, n_iters=3)
+
+
+@register(
+    "ml_bpe_train_merges_deep",
+    tags=("ml", "tokenize", "bpe", "iterative", "deep"),
+    oracle=_bpe_train_sql(8),
+)
+def ml_bpe_train_merges_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight BPE training iterations — the depth variant (VERDICT r7
+    task 4): a real tokenizer build runs tens of thousands of merges,
+    and the r7 incremental pair-count rework's claim (per-iteration
+    cost shrinks as merges proceed, because iteration i only recounts
+    words CONTAINING the merged pair) was only measured at k=3. This
+    query keeps the deeper loop oracle-exact (the oracle is the full
+    k=8 recount-per-iteration unroll, so the hash gate proves the
+    delta algebra at depth), and tools/bpe_depth.py publishes the
+    per-iteration wall curve at sf3/sf10."""
+    return _bpe_train_merges(spark, sf_dir, n_iters=8)
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import load_table
-from stakehouse_etl_spark.operators.similarity import int_dot, quantize, sq_norm
+from stakehouse_etl_spark.operators.similarity import (
+    EMB_DIM,
+    int_dot,
+    quantize,
+    sq_norm,
+)
 from stakehouse_etl_spark.operators.text import fan_out, hash64, tokens
 from stakehouse_etl_spark.queries.datapipe import _QUANT_EMB, _TOKS
 from stakehouse_etl_spark.queries.pipeline2 import (
@@ -109,16 +114,19 @@ def _scaled_assign(emb: DataFrame, n: int, k: int) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
-    # Driver-memory guard (ADVICE r6): the Arrow arm collects the k×64
-    # centroid matrix and ships C/CN/CIDS in every task closure; both
-    # grow with n/128. Above ~8M cells (~64 MB of float64 — past any
-    # sane broadcast closure) the assignment must graduate to the
+    # Driver-memory guard (ADVICE r6): the Arrow arm collects the
+    # k×dim centroid matrix and ships C/CN/CIDS in every task closure;
+    # both grow with n/128. Above ~8M cells (~64 MB of float64 — past
+    # any sane broadcast closure) the assignment must graduate to the
     # IVF/hierarchical path (operators/similarity.py), so force the
     # distributed expression arm instead of silently ballooning the
-    # driver. 8M cells ≈ k=125k centroids ≈ n=16M vectors — far past
-    # every local rung; the guard is the explicit contract, not a
-    # reachable branch today.
-    arrow_ok = (k * 64) <= _SEM_CENTROID_CELL_CAP
+    # driver. 8M cells ≈ k=125k dim-64 centroids ≈ n=16M vectors —
+    # far past every local rung; the guard is the explicit contract,
+    # not a reachable branch today. dim is the shared EMB_DIM constant
+    # the generator and quantizer both use (ADVICE r7: a literal 64
+    # here would silently miscalibrate the cap if the table's dim
+    # changed).
+    arrow_ok = (k * EMB_DIM) <= _SEM_CENTROID_CELL_CAP
     if n * k >= thresh and arrow_ok:
         import numpy as np
 

@@ -42,11 +42,24 @@ def dedup_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic blowup of the naive shingle self-join — never enter the
     join. The oracle is the brute-force all-pairs join; equality is
     the losslessness proof of the filter (no false negatives, unlike
-    LSH). The scale path for high-threshold dedup at 100 TB.
+    LSH). The scale path for high-threshold dedup at 100 TB is the
+    df-capped twin below.
+
+    GROUND-TRUTH CONTRACT: lossless prefix filtering is superlinear in
+    shingle document frequency (263 s at sf3 adversarial, r5/r7
+    ladders); above ``GROUND_TRUTH_MAX_DOCS`` this query refuses and
+    points at ``dedup_prefix_filter_pairs_capped`` — the df-capped
+    default path.
     """
-    return prefix_filter_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold_pct=70
+    from stakehouse_etl_spark.operators.dedup import ground_truth_guard
+
+    docs = load_table(spark, sf_dir, "documents")
+    ground_truth_guard(
+        docs,
+        query="dedup_prefix_filter_pairs",
+        twin="dedup_prefix_filter_pairs_capped",
     )
+    return prefix_filter_jaccard_pairs(docs, threshold_pct=70)
 
 
 # AllPairs df-cap for the bounded tier. Against the synthetic corpus:

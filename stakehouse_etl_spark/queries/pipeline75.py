@@ -273,7 +273,15 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    t1, t2 = mx // 3, 2 * mx // 3
+    # Batch count: 3 by default (the oracle's tercile batch_no CASE is
+    # written for exactly 3). The env knob exists for the LONG-HORIZON
+    # fuzz harness only (tools/stream_fuzz.py --batches, VERDICT r7
+    # task 2: drive the stored index to many× batch size and show
+    # per-batch walls stay flat); the correctness gates always run the
+    # default.
+    n_b = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "3"))
+    cuts = [mx * i // n_b for i in range(1, n_b)]
+    edges_ = [None] + cuts + [None]
 
     workdir = tempfile.mkdtemp(prefix="stream_span_")
     try:
@@ -281,7 +289,9 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(workdir, "out")
         idx_dir = os.path.join(workdir, "gram_index")
         os.makedirs(src)
-        bounds = [(None, t1, 1), (t1, t2, 2), (t2, None, 3)]
+        bounds = [
+            (edges_[i], edges_[i + 1], i + 1) for i in range(n_b)
+        ]
         for lo, hi, i in bounds:
             chunk = docs
             if lo is not None:
@@ -306,7 +316,13 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # subdirectory (hive-style, so the parent-dir read below
             # still sees one logical table) instead of appending.
             s = batch_df.sparkSession
-            try:
+            # Batch 0 runs before any index write, so only the
+            # PATH-MISSING case may fall back to an empty index; any
+            # other read failure (corrupt file, partition-inference
+            # error on the bid= layout) must propagate — a swallowed
+            # error here silently yields unscrubbed output that only
+            # the offline oracle gate would notice (ADVICE r7).
+            if os.path.exists(idx_dir):
                 # Exclude bid >= batch_id from the probe: on a
                 # micro-batch RE-execution the batch's own grams are
                 # already committed under bid=<batch_id>, and probing
@@ -319,7 +335,7 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .filter(F.col("bid") < int(batch_id))
                     .select("gram")
                 )
-            except Exception:
+            else:
                 idx = s.createDataFrame([], "gram string")
             scrubbed = span_scrub_against_index(idx, batch_df).withColumn(
                 "batch_no", F.lit(int(batch_id) + 1)

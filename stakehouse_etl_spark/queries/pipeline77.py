@@ -47,10 +47,14 @@ corpus_pack_sequences).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stakehouse_etl_spark.caches import persist_tracked
+from stakehouse_etl_spark.caches import checkpoint_tracked, persist_tracked
 from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators.alloc import largest_remainder_alloc
 from stakehouse_etl_spark.operators.dedup import near_dup_pairs
@@ -343,16 +347,16 @@ shd AS (
 )
 SELECT t.doc_id, t.source,
        CASE WHEN t.source IN ({_EVAL_SRC_SQL}) THEN 'eval_holdout'
-            WHEN NOT qf.q_ok THEN 'quality'
-            WHEN NOT pf.p_ok THEN 'perplexity'
+            WHEN NOT coalesce(qf.q_ok, FALSE) THEN 'quality'
+            WHEN NOT coalesce(pf.p_ok, FALSE) THEN 'perplexity'
             WHEN ex.canon <> t.doc_id THEN 'exact_dup'
             WHEN cp.component IS NOT NULL AND cp.component < t.doc_id
               THEN 'near_dup'
             WHEN df.contaminated THEN 'contaminated'
             ELSE 'kept' END AS status,
        CASE WHEN t.source IN ({_EVAL_SRC_SQL}) THEN NULL
-            WHEN NOT qf.q_ok THEN NULL
-            WHEN NOT pf.p_ok THEN NULL
+            WHEN NOT coalesce(qf.q_ok, FALSE) THEN NULL
+            WHEN NOT coalesce(pf.p_ok, FALSE) THEN NULL
             WHEN ex.canon <> t.doc_id THEN ex.canon
             WHEN cp.component IS NOT NULL AND cp.component < t.doc_id
               THEN cp.component
@@ -381,7 +385,7 @@ LEFT JOIN mix mx ON mx.source = sc.source
 
 
 
-def _stage(df: DataFrame) -> DataFrame:
+def _ckpt_stage(name: str, df: DataFrame) -> DataFrame:
     """Stage-boundary materialization: eager ``localCheckpoint``.
 
     The composed pipeline is ~10 stages deep and most stage outputs
@@ -395,12 +399,52 @@ def _stage(df: DataFrame) -> DataFrame:
     boundary keeps each stage's plan one stage deep, so total
     planning cost is linear in stages — which is also exactly what a
     production multi-stage curation run does (each tier lands in
-    storage before the next reads it). ``localCheckpoint`` stores
-    executor-local (MEMORY_AND_DISK); a long-lived cluster job would
-    use a reliable ``checkpoint()`` dir instead — recompute-on-
-    executor-loss is the only semantic difference.
+    storage before the next reads it). ``checkpoint_tracked``
+    registers the pinned blocks for deterministic release at the
+    caller's action boundary (ADVICE r7: bare ``localCheckpoint``
+    left ~10 stage outputs — several carrying full text columns — to
+    the ContextCleaner). The storage-landing twin is
+    ``_land_stage_factory`` / ``pipeline_corpus_export_landed``.
     """
-    return df.localCheckpoint(eager=True)
+    del name  # stage names are for the landing twin's layout
+    return checkpoint_tracked(df)
+
+
+def _land_stage_factory(
+    base_dir: str,
+    resume: bool = False,
+    fail_after: int | None = None,
+    written: list | None = None,
+):
+    """Stage-boundary materialization that LANDS each stage as parquet
+    under ``base_dir/<stage_name>`` — the restartable production form
+    of ``_ckpt_stage`` (VERDICT r7 task 5): a driver death between
+    stages loses nothing; a re-run with ``resume=True`` reuses every
+    stage whose ``_SUCCESS`` marker exists (Spark's commit protocol
+    writes the marker only after a complete job, so a mid-write crash
+    leaves no marker and the stage re-runs) and recomputes only from
+    the first missing stage. ``fail_after=k`` injects a crash
+    immediately after the k-th actually-written stage (test hook);
+    ``written`` collects the names of stages that were (re)computed,
+    so the resume test can assert stages before the crash point were
+    NOT re-run.
+    """
+    state = {"n": 0}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        path = os.path.join(base_dir, name)
+        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            df.write.mode("overwrite").parquet(path)
+            state["n"] += 1
+            if written is not None:
+                written.append(name)
+            if fail_after is not None and state["n"] >= fail_after:
+                raise RuntimeError(
+                    f"injected crash after landing stage '{name}'"
+                )
+        return df.sparkSession.read.parquet(path)
+
+    return stage
 
 def _lm_keep_flags(q: DataFrame) -> DataFrame:
     """(doc_id, p_ok): the CCNet-style self-calibrating bigram-LM keep
@@ -491,25 +535,11 @@ def _lm_keep_flags(q: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_corpus_export",
-    tags=("pipeline", "corpus", "dedup", "quality", "mixing", "packing"),
-    oracle=_export_sql(),
-)
-def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end train-ready corpus export ledger (module
-    docstring). One row per input document:
-
-    - ``status``: ``eval_holdout`` | ``quality`` | ``perplexity`` |
-      ``exact_dup`` | ``near_dup`` | ``contaminated`` | ``kept``
-    - ``canonical_id``: the doc this one collapsed into (dups), its
-      own id (kept), NULL otherwise
-    - ``n_tokens``: pre-scrub (filtered-whitespace) token count
-    - kept-only: ``n_kept``/``cleaned_fp`` (post span-scrub),
-      ``start_off``/``chunk_id`` (packing), ``shard`` (LPT loader
-      shard), ``oversample_factor`` (its source's temperature-mix
-      allocation / source tokens)
-    """
+def _export_ledger(spark: SparkSession, sf_dir: str, stage_cut) -> DataFrame:
+    """The export pipeline body, parameterized by the stage-boundary
+    materialization strategy ``stage_cut(name, df) -> DataFrame`` — either
+    ``_ckpt_stage`` (executor-memory, fast, lost on driver death) or a
+    ``_land_stage_factory`` lander (parquet per stage, restartable)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -518,7 +548,8 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qf feeds the survivor chain AND the final ledger join — stage-
     # cut it like every other multi-consumer stage output (review r7:
     # without the cut the ledger re-runs the full quality scan).
-    qf = _stage(
+    qf = stage_cut(
+        "s01_qflag",
         quality_features(train).select(
             "doc_id",
             "source",
@@ -528,7 +559,7 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filt_toks = F.filter(tokens(F.col("text")), lambda x: x != "")
     # q feeds the LM (3 consumers) and the downstream survivor chain.
-    q = _stage(
+    q = stage_cut("s02_q", 
         qf.filter("q_ok").select(
             "doc_id", "source", "text", filt_toks.alias("toks")
         )
@@ -536,7 +567,7 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pflag/ex/comp/dflag feed both the survivor chain AND the final
     # ledger join — stage-cut them too so the ledger's plan stays one
     # stage deep per input (see _stage).
-    pflag = _stage(_lm_keep_flags(q))
+    pflag = stage_cut("s03_pflag", _lm_keep_flags(q))
     p = q.join(
         pflag.filter("p_ok").select("doc_id"), "doc_id", "left_semi"
     )
@@ -547,8 +578,8 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
     )
     cm = fpt.groupBy("fp").agg(F.min("doc_id").alias("canon"))
-    ex = _stage(fpt.join(cm, "fp").select("doc_id", "canon"))
-    es = _stage(
+    ex = stage_cut("s04_ex", fpt.join(cm, "fp").select("doc_id", "canon"))
+    es = stage_cut("s05_es", 
         p.join(
             ex.filter(F.col("canon") == F.col("doc_id")).select("doc_id"),
             "doc_id",
@@ -559,12 +590,12 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = near_dup_pairs(es, threshold_pct=_ND_PCT).select(
         "id_a", "id_b"
     )
-    comp = _stage(
+    comp = stage_cut("s06_comp", 
         connected_components(
             edges, src="id_a", dst="id_b"
         ).withColumnRenamed("node", "doc_id")
     )
-    ns = _stage(
+    ns = stage_cut("s07_ns", 
         es.join(
             comp.filter(F.col("component") < F.col("doc_id")).select(
                 "doc_id"
@@ -595,7 +626,7 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    dflag = _stage(
+    dflag = stage_cut("s08_dflag", 
         ns.select("doc_id")
         .join(c_ns, "doc_id", "left")
         .join(dcm, "doc_id", "left")
@@ -607,7 +638,7 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated"),
         )
     )
-    kept = _stage(
+    kept = stage_cut("s09_kept", 
         ns.join(
             dflag.filter(~F.col("contaminated")).select("doc_id"),
             "doc_id",
@@ -627,7 +658,7 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos")
     )
     scr = _scrub_tail(t73, occ).select("doc_id", "n_kept", "cleaned_fp")
-    scrub = _stage(
+    scrub = stage_cut("s10_scrub", 
         scr.join(kept.select("doc_id", "source"), "doc_id")
     )
     # Temperature mix (α=0.5, largest-remainder) over post-scrub
@@ -720,10 +751,19 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_near = F.col("component").isNotNull() & (
         F.col("component") < F.col("doc_id")
     )
+    # Non-TRUE means dropped (ADVICE r7): a degenerate doc (e.g. empty
+    # text → 0/0 → NULL quality_score) has NULL q_ok; a bare NOT q_ok
+    # is NULL too, so the CASE would fall through every branch and
+    # misreport the doc as 'kept' with canonical_id=doc_id despite it
+    # being absent from the kept set — identically in both arms, so
+    # the hash gate could never catch it. The oracle applies the same
+    # coalesce.
+    not_q = ~F.coalesce(F.col("q_ok"), F.lit(False))
+    not_p = ~F.coalesce(F.col("p_ok"), F.lit(False))
     status = (
         F.when(is_eval, F.lit("eval_holdout"))
-        .when(~F.col("q_ok"), F.lit("quality"))
-        .when(~F.col("p_ok"), F.lit("perplexity"))
+        .when(not_q, F.lit("quality"))
+        .when(not_p, F.lit("perplexity"))
         .when(F.col("canon") != F.col("doc_id"), F.lit("exact_dup"))
         .when(is_near, F.lit("near_dup"))
         .when(F.col("contaminated"), F.lit("contaminated"))
@@ -731,8 +771,8 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canonical = (
         F.when(is_eval, F.lit(None).cast("long"))
-        .when(~F.col("q_ok"), F.lit(None).cast("long"))
-        .when(~F.col("p_ok"), F.lit(None).cast("long"))
+        .when(not_q, F.lit(None).cast("long"))
+        .when(not_p, F.lit(None).cast("long"))
         .when(F.col("canon") != F.col("doc_id"), F.col("canon"))
         .when(is_near, F.col("component"))
         .when(F.col("contaminated"), F.lit(None).cast("long"))
@@ -757,3 +797,60 @@ def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         oversample.alias("oversample_factor"),
     )
+
+
+@register(
+    "pipeline_corpus_export",
+    tags=("pipeline", "corpus", "dedup", "quality", "mixing", "packing"),
+    oracle=_export_sql(),
+)
+def pipeline_corpus_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end train-ready corpus export ledger (module
+    docstring). One row per input document:
+
+    - ``status``: ``eval_holdout`` | ``quality`` | ``perplexity`` |
+      ``exact_dup`` | ``near_dup`` | ``contaminated`` | ``kept``
+    - ``canonical_id``: the doc this one collapsed into (dups), its
+      own id (kept), NULL otherwise
+    - ``n_tokens``: pre-scrub (filtered-whitespace) token count
+    - kept-only: ``n_kept``/``cleaned_fp`` (post span-scrub),
+      ``start_off``/``chunk_id`` (packing), ``shard`` (LPT loader
+      shard), ``oversample_factor`` (its source's temperature-mix
+      allocation / source tokens)
+
+    Stage boundaries materialize via tracked ``localCheckpoint`` —
+    fast, executor-memory, released at the caller's action boundary;
+    ``pipeline_corpus_export_landed`` is the restartable storage-
+    landing twin.
+    """
+    return _export_ledger(spark, sf_dir, _ckpt_stage)
+
+
+@register(
+    "pipeline_corpus_export_landed",
+    tags=("pipeline", "corpus", "dedup", "restart", "landing"),
+    oracle=_export_sql(),
+)
+def pipeline_corpus_export_landed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``pipeline_corpus_export`` with every stage LANDED as parquet —
+    the production form of the stage cut (VERDICT r7 task 5): a 100 TB
+    curation run writes each tier to storage before the next reads it,
+    so a driver death between stages resumes from the last completed
+    stage instead of restarting the ladder (resume contract exercised
+    by tests/test_pipeline77.py::test_export_landed_resume). Same
+    arithmetic, same oracle, value-identical ledger; the landing adds
+    one write+read per stage — the cost a restartable pipeline pays
+    anyway.
+
+    The ledger is materialized BEFORE the scratch stage directory is
+    removed (the stream-query pattern: collect, then rmtree)."""
+    workdir = tempfile.mkdtemp(prefix="corpus_export_land_")
+    try:
+        led = _export_ledger(
+            spark, sf_dir, _land_stage_factory(workdir)
+        )
+        return spark.createDataFrame(led.collect(), led.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

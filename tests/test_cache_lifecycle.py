@@ -81,6 +81,40 @@ def test_release_tracked_is_idempotent_and_counts(spark):
     assert _n_persistent(spark) == 0
 
 
+def test_checkpoint_tracked_releases_blocks(spark):
+    """ADVICE r7: localCheckpoint pins MEMORY_AND_DISK blocks that
+    ``DataFrame.unpersist`` cannot see; ``checkpoint_tracked`` must
+    free them at the scope boundary via the LogicalRDD route (this
+    test also pins the plan-shape reflection that route relies on)."""
+    caches.release_tracked()
+    spark.catalog.clearCache()
+    assert _n_persistent(spark) == 0
+    df = spark.range(1000).selectExpr("id", "id * 2 AS x")
+    with caches.cache_scope():
+        ck = caches.checkpoint_tracked(df)
+        assert ck.count() == 1000
+        assert _n_persistent(spark) >= 1, (
+            "expected the localCheckpoint's blocks to register as a "
+            "persistent RDD inside the scope"
+        )
+    assert _n_persistent(spark) == 0, (
+        "localCheckpoint blocks leaked past the action boundary"
+    )
+
+
+def test_export_pipeline_releases_checkpoints(spark):
+    """The stage-cut export pipeline holds ~10 checkpointed stage
+    outputs while building the ledger; after the consuming action's
+    scope exits, none may stay resident."""
+    caches.release_tracked()
+    spark.catalog.clearCache()
+    with caches.cache_scope():
+        n = QUERIES["pipeline_corpus_export"].fn(spark, SF).count()
+        assert n > 0
+        assert _n_persistent(spark) >= 1
+    assert _n_persistent(spark) == 0
+
+
 def test_registry_is_thread_isolated(spark):
     """ADVICE r3 (medium): two concurrent scopes must not interleave —
     thread B's scope exit may not unpersist thread A's live cache, and

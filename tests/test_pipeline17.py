@@ -111,6 +111,27 @@ def test_bpe_train_merges_invariants(spark, sf_dir):
     assert len({(r.lhs, r.rhs) for r in rows}) == 3
 
 
+def test_bpe_deep_extends_the_shallow_run(spark, sf_dir):
+    """Greedy BPE is deterministic, so the k=8 depth variant's first
+    three merges must equal the k=3 run exactly (prefix property) —
+    the cheap cross-check that the depth parametrization changed only
+    the iteration count, not the merge arithmetic (VERDICT r7 task 4;
+    the oracle gate proves the k=8 values independently)."""
+    from stakehouse_etl_spark.caches import cache_scope
+
+    with cache_scope():
+        r3 = QUERIES["ml_bpe_train_merges"].fn(spark, sf_dir).collect()
+    with cache_scope():
+        r8 = (
+            QUERIES["ml_bpe_train_merges_deep"].fn(spark, sf_dir).collect()
+        )
+    assert [r.rank for r in r8] == list(range(1, 9))
+    assert all(r.cnt > 0 for r in r8)
+    assert len({(r.lhs, r.rhs) for r in r8}) == 8
+    as_t = lambda rows: [(r.rank, r.lhs, r.rhs, r.cnt) for r in rows]
+    assert as_t(r8)[:3] == as_t(r3)
+
+
 def test_skew_resistant_rank_matches_global_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from stakehouse_etl_spark.queries.catalog import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -88,3 +90,74 @@ def test_export_mix_allocations_sum_to_budget(spark):
         per_src[r["source"]] = (f, tok + r["n_kept"])
     total = round(sum(f * tok for f, tok in per_src.values()))
     assert total == 1_000_000
+
+
+def test_export_ledger_degenerate_doc_reports_quality(spark, tmp_path):
+    """ADVICE r7: an empty-text doc has NULL quality_score (0/0), so a
+    bare NOT q_ok CASE fell through every branch and misreported the
+    doc as 'kept' with canonical_id=doc_id — in BOTH arms, invisible
+    to the hash gate. Non-TRUE must mean dropped-at-quality."""
+    rows = [(0, "src0", "held out eval doc")]
+    rows += [(1, "src2", "")]  # degenerate: NULL quality features
+    for i in range(2, 12):
+        rows.append(
+            (
+                i,
+                "src2" if i % 2 else "src3",
+                f"the quick brown fox number {i} jumps over the lazy "
+                f"dog and keeps running through field {i * 7} happily.",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    led = {
+        r["doc_id"]: r
+        for r in QUERIES["pipeline_corpus_export"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert led[1]["status"] == "quality", led[1]
+    assert led[1]["canonical_id"] is None
+    assert led[1]["n_kept"] is None and led[1]["shard"] is None
+
+
+def test_export_landed_resume(spark, tmp_path):
+    """VERDICT r7 task 5: the storage-landing stage cut must resume
+    from the last completed stage after a crash — stages landed before
+    the crash are NOT recomputed, and the resumed ledger is value-
+    identical to the in-memory arm's."""
+    from stakehouse_etl_spark.queries.pipeline77 import (
+        _export_ledger,
+        _land_stage_factory,
+    )
+
+    base = str(tmp_path / "stages")
+    written_before = []
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _export_ledger(
+            spark,
+            SF,
+            _land_stage_factory(
+                base, fail_after=4, written=written_before
+            ),
+        )
+    assert len(written_before) == 4
+
+    written_after = []
+    led = _export_ledger(
+        spark,
+        SF,
+        _land_stage_factory(base, resume=True, written=written_after),
+    )
+    got = sorted(map(tuple, led.collect()))
+    # the four landed stages were reused, not recomputed
+    assert set(written_before).isdisjoint(written_after)
+    assert written_after, "resume must compute the remaining stages"
+    ref = sorted(
+        tuple(r) for r in _ledger(spark)
+    )
+    assert got == ref

@@ -30,6 +30,8 @@ Env knobs:
                              and read systematically higher.
   SPARK_GRAFT_SCALING_SF10=1 adds the localdata/sf10 rung (minutes per
                              query — opt-in).
+  SPARK_GRAFT_SCALING_SF30=1 adds the localdata/sf30 rung (~6 GB,
+                             3x sf10 — the r8 heavy-tier decade).
   SPARK_GRAFT_SCALING_RUNGS  comma list (e.g. "sf3,sf10") restricting
                              to named rungs for a top-rung-only pass.
 Prints one JSON line {"queries": {name: {rung: sec, ...,
@@ -61,10 +63,12 @@ SHIPPED = [
 LOCAL = [
     os.path.join(REPO, "localdata", d) for d in ("sf0.1", "sf1", "sf3")
 ]
-# sf10 is opt-in (SPARK_GRAFT_SCALING_SF10=1): the top rung costs
-# minutes per query and not every ladder refresh needs it.
+# sf10/sf30 are opt-in (SPARK_GRAFT_SCALING_SF10=1 / _SF30=1): the top
+# rungs cost minutes per query and not every ladder refresh needs them.
 if os.environ.get("SPARK_GRAFT_SCALING_SF10") == "1":
     LOCAL.append(os.path.join(REPO, "localdata", "sf10"))
+if os.environ.get("SPARK_GRAFT_SCALING_SF30") == "1":
+    LOCAL.append(os.path.join(REPO, "localdata", "sf30"))
 
 DEFAULT = [
     "w1_user_income",
@@ -151,6 +155,12 @@ def main(argv: list[str]) -> int:
         if row.get("local_sf3") and row.get("local_sf10"):
             # 3.33x data step; at-or-below 3.33 is linear-or-better
             row["r3.3_local"] = round(row["local_sf10"] / row["local_sf3"], 2)
+        if row.get("local_sf10") and row.get("local_sf30"):
+            # 3x data step at the ~6 GB rung (r8: one more decade on
+            # the heavy tier); at-or-below 3 is linear-or-better
+            row["r3_local_30"] = round(
+                row["local_sf30"] / row["local_sf10"], 2
+            )
     print(json.dumps({"queries": out, "rungs": rungs}))
     spark.stop()
     return 0
