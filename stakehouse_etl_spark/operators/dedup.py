@@ -769,6 +769,114 @@ def simhash_near_pairs(
     )
 
 
+def minhash_index_for(
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The per-batch (bands, sets) pair a stored MinHash index is built
+    from: ``bands`` = (id, band_idx, band_key) LSH band rows, ``sets``
+    = (id, shingle_set sorted array, n_sh) for exact-Jaccard
+    verification. Landing these at admission time is what makes
+    :func:`incremental_minhash_dedup_indexed` batch-sized — the r8
+    9-batch sf10 fuzz measured the recompute-the-corpus form growing
+    7.9 → 13.6 s/batch as the stored corpus reached 8× batch size."""
+    sh = persist_tracked(doc_shingles(batch, text_col, id_col, k))
+    bands = _banded(sh, id_col)
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingle_set"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+    )
+    return bands, sets
+
+
+def incremental_minhash_dedup_indexed(
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    batch_bands: DataFrame,
+    batch_sets: DataFrame,
+    batch_ids: DataFrame,
+    id_col: str = "doc_id",
+    threshold_pct: int = 20,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` against a STORED index — the
+    100 TB shape its docstring promises: the corpus side arrives as
+    the precomputed band table + shingle-set table of every
+    previously-KEPT doc (maintained by the caller, e.g. the
+    ``stream_incremental_dedup`` foreachBatch loop), so per-batch work
+    is the batch's own shingling/banding plus index probes — never a
+    corpus-wide recompute. Value-identical to the recompute form by
+    construction: banding and set-building are deterministic, so the
+    stored rows equal what the recompute form derives from the same
+    kept docs (the unchanged 3-stage oracle proves it at the gate).
+
+    Bucket cap applies to the UNION's buckets, exactly as before.
+    Returns the kept batch ids.
+    """
+    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
+
+    banded_c = corpus_bands.withColumn("__side", F.lit("c"))
+    banded_b = batch_bands.withColumn("__side", F.lit("b"))
+    allb = drop_oversize_buckets(
+        banded_c.unionByName(banded_b), ["band_idx", "band_key"], max_bucket
+    )
+    new = allb.filter(F.col("__side") == "b").select(
+        F.col(id_col).alias("id_new"), "band_idx", "band_key"
+    )
+    partner = allb.select(
+        F.col(id_col).alias("id_old"),
+        F.col("__side").alias("side_old"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        new.join(partner, ["band_idx", "band_key"])
+        .filter(
+            (F.col("side_old") == "c")
+            | (
+                (F.col("side_old") == "b")
+                & (F.col("id_old") < F.col("id_new"))
+            )
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sets = corpus_sets.unionByName(batch_sets)
+    so = sets.select(
+        F.col(id_col).alias("id_old"),
+        F.col("shingle_set").alias("__set_o"),
+        F.col("n_sh").alias("n_old"),
+    ).hint("SHUFFLE_HASH")
+    sn = batch_sets.select(
+        F.col(id_col).alias("id_new"),
+        F.col("shingle_set").alias("__set_n"),
+        F.col("n_sh").alias("n_new"),
+    ).hint("SHUFFLE_HASH")
+    drops = (
+        cand.join(so, "id_old")
+        .join(sn, "id_new")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("__set_o", "__set_n")).cast("long"),
+        )
+        .withColumn(
+            "union_sz", F.col("n_new") + F.col("n_old") - F.col("inter")
+        )
+        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
+        .select("id_new")
+        .distinct()
+    )
+    return (
+        batch_ids.select(id_col)
+        .distinct()
+        .join(
+            drops.withColumnRenamed("id_new", id_col), id_col, "left_anti"
+        )
+    )
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -707,17 +707,34 @@ UNION ALL SELECT doc_id, 3 FROM k3
 def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus maintenance as a STREAM: three doc_id-tercile micro-
     batches arrive in order through the file source; ``foreachBatch``
-    dedups each against the kept-so-far corpus table via
-    ``incremental_minhash_dedup`` and appends the survivors — the
-    steady-state crawl-ingest loop (stream side of
+    dedups each against the kept-so-far corpus via the STORED MinHash
+    index — a band table + shingle-set table maintained alongside the
+    kept ids (the 100 TB shape ``incremental_minhash_dedup``'s
+    docstring prescribes) — and lands the survivors' index rows for
+    the next batch. The steady-state crawl-ingest loop (stream side of
     ``dedup_incremental_batch``). The oracle unrolls the three-stage
     greedy process over the global verified-pair relation; the final
-    kept table must match it exactly."""
+    kept table must match it exactly.
+
+    Why the index (r8): the r7/r8 fuzz caught the recompute form —
+    ``incremental_minhash_dedup(corpus_text, batch)`` re-shingles and
+    re-bands the WHOLE kept corpus every batch, so per-batch wall grew
+    7.9 → 13.6 s across the 9-batch sf10 horizon (stored corpus at 8×
+    batch size), the superlinear signature that kills the "batch-sized
+    at any corpus size" claim at 100×. With the stored index the
+    per-batch work is the batch's own shingling plus columnar index
+    probes. Banding and set-building are deterministic, so stored rows
+    equal what the recompute form derives — value-identical by
+    construction, proved by the unchanged oracle."""
     import os
     import shutil
     import tempfile
 
-    from stakehouse_etl_spark.operators.dedup import incremental_minhash_dedup
+    from stakehouse_etl_spark.caches import cache_scope
+    from stakehouse_etl_spark.operators.dedup import (
+        incremental_minhash_dedup_indexed,
+        minhash_index_for,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
@@ -750,36 +767,70 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(os.path.join(tmp, part), dst)
             os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
+        bands_dir = os.path.join(workdir, "band_index")
+        sets_dir = os.path.join(workdir, "set_index")
+
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             # batch_no derives from the engine's batch_id and each
-            # batch OVERWRITES its own bno=<n> subdirectory — same
-            # retry-idempotence shape as stream_span_scrub (review
-            # r7): a foreachBatch re-execution neither double-counts
-            # the batch number nor double-appends survivors, and the
-            # corpus probe below excludes the batch's own (already
-            # committed) partition so the retry sees the exact state
-            # the first execution saw.
+            # batch OVERWRITES its own bno=<n> subdirectory in all
+            # three stored tables — same retry-idempotence shape as
+            # stream_span_scrub (review r7): a foreachBatch
+            # re-execution neither double-counts the batch number nor
+            # double-appends survivors, and every probe excludes the
+            # batch's own (already committed) partitions so the retry
+            # sees the exact state the first execution saw.
             s = batch_df.sparkSession
             bno = int(batch_id) + 1
             # Only the batch-0 PATH-MISSING case may fall back to an
-            # empty corpus; any other read failure must propagate —
+            # empty index; any other read failure must propagate —
             # a swallowed error silently skips dedup for the whole
             # batch (ADVICE r7's wrong-answer-path class).
-            if os.path.exists(kept_dir):
-                corpus = (
-                    s.read.parquet(kept_dir)
+            if os.path.exists(bands_dir):
+                corpus_bands = (
+                    s.read.parquet(bands_dir)
                     .filter(F.col("bno") < bno)
-                    .select("doc_id", "text")
+                    .select("doc_id", "band_idx", "band_key")
+                )
+                corpus_sets = (
+                    s.read.parquet(sets_dir)
+                    .filter(F.col("bno") < bno)
+                    .select("doc_id", "shingle_set", "n_sh")
                 )
             else:
-                corpus = s.createDataFrame([], "doc_id long, text string")
-            kept_ids = incremental_minhash_dedup(corpus, batch_df)
-            kept_rows = batch_df.join(kept_ids, "doc_id", "semi").select(
-                "doc_id", "text"
-            )
-            kept_rows.write.mode("overwrite").parquet(
-                os.path.join(kept_dir, f"bno={bno}")
-            )
+                corpus_bands = s.createDataFrame(
+                    [], "doc_id long, band_idx int, band_key string"
+                )
+                corpus_sets = s.createDataFrame(
+                    [],
+                    "doc_id long, shingle_set array<string>, n_sh long",
+                )
+            # cache_scope: the per-batch persists (the batch shingle
+            # table) release at batch end — on a 9-batch horizon the
+            # old leak-until-session-clear shape held 2 frames/batch.
+            with cache_scope():
+                batch_bands, batch_sets = minhash_index_for(batch_df)
+                kept_ids = incremental_minhash_dedup_indexed(
+                    corpus_bands,
+                    corpus_sets,
+                    batch_bands,
+                    batch_sets,
+                    batch_df.select("doc_id"),
+                )
+                kept_ids.write.mode("overwrite").parquet(
+                    os.path.join(kept_dir, f"bno={bno}")
+                )
+                # Land the SURVIVORS' index rows (the corpus side of
+                # every later batch is kept docs only, matching the
+                # recompute form's corpus = kept table).
+                kept_again = s.read.parquet(
+                    os.path.join(kept_dir, f"bno={bno}")
+                )
+                batch_bands.join(kept_again, "doc_id", "semi").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(bands_dir, f"bno={bno}"))
+                batch_sets.join(kept_again, "doc_id", "semi").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(sets_dir, f"bno={bno}"))
 
         stream = (
             spark.readStream.schema("doc_id long, text string")

@@ -337,23 +337,31 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             else:
                 idx = s.createDataFrame([], "gram string")
-            scrubbed = span_scrub_against_index(idx, batch_df).withColumn(
-                "batch_no", F.lit(int(batch_id) + 1)
-            )
-            scrubbed.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"bid={int(batch_id)}")
-            )
-            # Distinct-merge the batch's ORIGINAL grams into the index
-            # (keep-first claims come from original text, scrubbed or
-            # not — matching the global firsts = min(doc_id) oracle).
+            # cache_scope: span_scrub_against_index persists the
+            # batch's positional-gram frames; on a long horizon (r8:
+            # 9-batch fuzz) the per-batch persists must release at
+            # batch end instead of accumulating on the streaming
+            # thread until session teardown.
+            from stakehouse_etl_spark.caches import cache_scope
             from stakehouse_etl_spark.queries.pipeline73 import (
                 _positional_grams as _pg,
             )
 
-            _, gb = _pg(batch_df)
-            gb.select("gram").distinct().write.mode("overwrite").parquet(
-                os.path.join(idx_dir, f"bid={int(batch_id)}")
-            )
+            with cache_scope():
+                scrubbed = span_scrub_against_index(
+                    idx, batch_df
+                ).withColumn("batch_no", F.lit(int(batch_id) + 1))
+                scrubbed.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"bid={int(batch_id)}")
+                )
+                # Distinct-merge the batch's ORIGINAL grams into the
+                # index (keep-first claims come from original text,
+                # scrubbed or not — matching the global firsts =
+                # min(doc_id) oracle).
+                _, gb = _pg(batch_df)
+                gb.select("gram").distinct().write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(idx_dir, f"bid={int(batch_id)}"))
 
         stream = (
             spark.readStream.schema("doc_id long, text string")
