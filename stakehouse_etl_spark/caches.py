@@ -112,6 +112,21 @@ def release_tracked(mark: int = 0) -> int:
     return n
 
 
+def release_now(df: DataFrame) -> None:
+    """Release ONE tracked frame early — for iterative loops that
+    retire a generation of caches before their enclosing scope exits
+    (the BPE trainer holds at most one corpus generation this way).
+    Idempotent: the frame stays on the tracked stack, where the later
+    scoped release is a no-op re-unpersist."""
+    try:
+        if getattr(df, "_graft_local_ckpt", False):
+            _release_local_checkpoint(df)
+        else:
+            df.unpersist(blocking=False)
+    except Exception:
+        pass
+
+
 @contextmanager
 def cache_scope() -> Iterator[None]:
     """Releases every cache registered inside the ``with`` block on

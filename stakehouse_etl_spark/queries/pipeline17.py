@@ -716,13 +716,32 @@ def _bpe_train_merges(
     base = docs.select(
         F.explode(bpe_pretokens(F.col("text"))).alias("pt")
     ).filter(F.length("pt") >= 2)
+    # WORD-TYPE training state (r8): the trainer's working set is the
+    # DEDUPLICATED pre-token vocabulary with occurrence frequencies,
+    # not one row per occurrence — the standard BPE trainer layout
+    # (Sennrich's original and every production tokenizer). Pair
+    # counts are identical by commutativity (sum of freq over types ==
+    # count over tokens), so the full-recount token-level oracle still
+    # hash-proves every merge. The payoff is the 100 TB shape: ONE
+    # corpus-scale aggregation up front, then every iteration —
+    # argmax, changed-slice recount, re-encode — runs on the
+    # vocabulary (tens of k rows for any natural corpus, bounded by
+    # the type distribution rather than corpus size). The r8 sf3 k=16
+    # depth run measured the token-level form blowing up exactly when
+    # the IVM assumption broke (late merges touch ~every token row:
+    # walls 8.9 -> 139.8 s at iterations 11-15); type-level rows make
+    # the changed slice small in ROWS even when it is large in corpus
+    # frequency.
     cur = persist_tracked(
-        base.select(
+        base.groupBy("pt")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
             F.concat(
                 F.lit("|"),
                 F.array_join(F.split(F.col("pt"), ""), "|"),
                 F.lit("|"),
-            ).alias("s")
+            ).alias("s"),
+            "freq",
         )
     )
     arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
@@ -739,9 +758,9 @@ def _bpe_train_merges(
 
     def pair_counts(df: DataFrame) -> DataFrame:
         return (
-            df.select(F.explode(pairs_expr).alias("p"))
+            df.select("freq", F.explode(pairs_expr).alias("p"))
             .groupBy("p.lhs", "p.rhs")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("freq").alias("cnt"))
         )
 
     # INCREMENTAL count maintenance (the IVM pattern, inc_agg_merge):
@@ -754,21 +773,22 @@ def _bpe_train_merges(
     # per-iteration cost is the corpus-wide explode+groupBy, which
     # this removes. counts is pair-vocab-scale; cnt>0 filter drops
     # vanished pairs so the table cannot grow monotonically.)
-    counts = persist_tracked(pair_counts(cur))
+    # Per-iteration STAGE CUTS (r8, depth variant): `cur_i`'s logical
+    # plan references `cur_{i-1}` TWICE (the not-contains filter and
+    # the union via the re-encode), so under Catalyst's rewrite-
+    # copying the plan tree doubles per iteration — 8× at the
+    # historical k=3, a driver heap OOM at k=16 (measured on sf3; the
+    # pipeline77 planner-explosion class exactly). Eager tracked
+    # localCheckpoints truncate lineage at each generation, keeping
+    # plan size O(1) per iteration — and because the checkpoint
+    # MATERIALIZES the generation, every previous-generation frame is
+    # genuinely dead at iteration end and is released immediately
+    # (`release_now`), so a k-iteration run holds ONE corpus copy
+    # plus transients, not O(k) and not O(2^k) planner nodes.
+    from stakehouse_etl_spark.caches import checkpoint_tracked, release_now
+
+    counts = checkpoint_tracked(pair_counts(cur))
     merges = []
-    # Generation-bounded cache release (r8, depth variant): without
-    # it, every iteration leaves 4 more persisted frames — two of them
-    # corpus-scale (`cur`, `new_changed`) — so a k-iteration run holds
-    # O(k) corpus copies in MEMORY_AND_DISK, which is exactly the
-    # unbounded-state shape the trainer's own IVM algebra avoids in
-    # compute. After argmax_i has materialized counts_i, the previous
-    # counts and changed-slice are dead; the previous corpus
-    # (`cur_{i-1}`) and its re-encode stay one more generation (the
-    # CURRENT cur/changed read through them until the next argmax
-    # materializes this generation). Unpersist is lineage-safe, so a
-    # misjudged release costs a recompute, never correctness.
-    dead_now: list = []  # release right after the next argmax
-    dead_next: list = []  # release one argmax later
     for rank in range(1, n_iters + 1):
         t0 = time.monotonic()
         top = (
@@ -776,9 +796,6 @@ def _bpe_train_merges(
             .limit(1)
             .collect()[0]
         )
-        for df_old in dead_now:
-            df_old.unpersist()
-        dead_now, dead_next = dead_next, []
         merges.append((rank, top.lhs, top.rhs, top.cnt))
         if rank == n_iters:  # the last iteration's re-encode is never read
             if iter_walls is not None:
@@ -794,11 +811,12 @@ def _bpe_train_merges(
             changed.select(
                 F.replace(
                     F.replace(F.col("s"), pat, rep), pat, rep
-                ).alias("s")
+                ).alias("s"),
+                "freq",
             )
         )
         old_counts = counts
-        counts = persist_tracked(
+        counts = checkpoint_tracked(
             counts.unionByName(
                 pair_counts(changed).withColumn("cnt", -F.col("cnt"))
             )
@@ -808,16 +826,25 @@ def _bpe_train_merges(
             .filter(F.col("cnt") > 0)
         )
         old_cur = cur
-        cur = persist_tracked(
-            cur.filter(F.instr(F.col("s"), mark) == 0).unionByName(
-                new_changed
-            )
+        # coalesce at the stage cut: filter+union CONCATENATES parent
+        # partition lists, so without it |partitions(cur_i)| doubles
+        # per iteration — 32 × 2^14 ≈ 524k tasks by iteration 14 of
+        # the r8 sf3 k=16 depth run, pure scheduler overhead. The
+        # vocabulary-scale state fits the session's shuffle-partition
+        # count at any corpus size.
+        n_part = int(
+            cur.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        # counts_{i-1} and the changed slice die once the next argmax
-        # materializes counts_i; the old corpus and the re-encode feed
-        # the new cur/changed until THAT generation materializes.
-        dead_now.extend((old_counts, changed))
-        dead_next.extend((old_cur, new_changed))
+        cur = checkpoint_tracked(
+            cur.filter(F.instr(F.col("s"), mark) == 0)
+            .unionByName(new_changed)
+            .coalesce(n_part)
+        )
+        # Both eager checkpoints above have materialized this
+        # generation, so the previous corpus, its changed slice, the
+        # re-encode, and the previous count table are all dead now.
+        for dead in (old_counts, old_cur, changed, new_changed):
+            release_now(dead)
         if iter_walls is not None:
             iter_walls.append(time.monotonic() - t0)
     return spark.createDataFrame(
