@@ -901,67 +901,25 @@ def incremental_minhash_dedup(
     band_key)); each nightly batch then shuffles only its own bands
     plus the collided corpus buckets. Bucket cap applies to the
     UNION's buckets — mirrored by the oracle's global QUALIFY.
-    """
-    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
 
-    sh_c = persist_tracked(doc_shingles(corpus, text_col, id_col, k))
-    sh_b = persist_tracked(doc_shingles(batch, text_col, id_col, k))
-    banded_c = _banded(sh_c, id_col).withColumn("__side", F.lit("c"))
-    banded_b = _banded(sh_b, id_col).withColumn("__side", F.lit("b"))
-    allb = drop_oversize_buckets(
-        banded_c.unionByName(banded_b), ["band_idx", "band_key"], max_bucket
+    This is a thin wrapper: it derives both sides' (bands, sets)
+    index rows via :func:`minhash_index_for` and delegates to
+    :func:`incremental_minhash_dedup_indexed`, so the candidate rule
+    and the exact-Jaccard verify live in exactly one place (review
+    r8: the two forms previously carried ~50 duplicated lines whose
+    silent divergence the default-shape oracle could not catch).
+    """
+    corpus_bands, corpus_sets = minhash_index_for(
+        corpus, text_col, id_col, k
     )
-    new = allb.filter(F.col("__side") == "b").select(
-        F.col(id_col).alias("id_new"), "band_idx", "band_key"
-    )
-    partner = allb.select(
-        F.col(id_col).alias("id_old"),
-        F.col("__side").alias("side_old"),
-        "band_idx",
-        "band_key",
-    )
-    cand = (
-        new.join(partner, ["band_idx", "band_key"])
-        .filter(
-            (F.col("side_old") == "c")
-            | ((F.col("side_old") == "b") & (F.col("id_old") < F.col("id_new")))
-        )
-        .select("id_new", "id_old")
-        .distinct()
-    )
-    # Set-based candidate verification (same shape as
-    # minhash_lsh_pairs): per-doc sorted shingle sets once, then
-    # array_intersect over the bounded candidate list — no exploded
-    # double-join.
-    sh_all = sh_c.unionByName(sh_b)
-    sets = sh_all.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("__set"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    # SHUFFLE_HASH pin: same rationale as minhash_lsh_pairs' verify (r5).
-    so = sets.select(
-        F.col(id_col).alias("id_old"),
-        F.col("__set").alias("__set_o"),
-        F.col("n_sh").alias("n_old"),
-    ).hint("SHUFFLE_HASH")
-    sn = sets.select(
-        F.col(id_col).alias("id_new"),
-        F.col("__set").alias("__set_n"),
-        F.col("n_sh").alias("n_new"),
-    ).hint("SHUFFLE_HASH")
-    drops = (
-        cand.join(so, "id_old")
-        .join(sn, "id_new")
-        .withColumn(
-            "inter", F.size(F.array_intersect("__set_o", "__set_n")).cast("long")
-        )
-        .withColumn("union_sz", F.col("n_new") + F.col("n_old") - F.col("inter"))
-        .filter(F.col("inter") * 100 >= F.col("union_sz") * threshold_pct)
-        .select("id_new")
-        .distinct()
-    )
-    return (
-        batch.select(id_col)
-        .distinct()
-        .join(drops.withColumnRenamed("id_new", id_col), id_col, "left_anti")
+    batch_bands, batch_sets = minhash_index_for(batch, text_col, id_col, k)
+    return incremental_minhash_dedup_indexed(
+        corpus_bands,
+        corpus_sets,
+        batch_bands,
+        batch_sets,
+        batch.select(id_col),
+        id_col=id_col,
+        threshold_pct=threshold_pct,
+        max_bucket=max_bucket,
     )

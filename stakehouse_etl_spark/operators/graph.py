@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
+from stakehouse_etl_spark.caches import checkpoint_tracked, release_now
+
 
 # Below this many (deduped, directed) edge rows the component
 # resolution runs as a single driver-side union-find instead of the
@@ -78,7 +80,11 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    # Tracked checkpoint (ADVICE r7 / review r8): a bare
+    # localCheckpoint's blocks are invisible to DataFrame.unpersist
+    # and stay resident until the ContextCleaner GCs them; tracking
+    # lets the enclosing cache_scope release them deterministically.
+    sym = checkpoint_tracked(sym)
     # sym is materialized by the eager checkpoint, so this count reads
     # cached partition sizes — no recompute.
     if driver_max_edges is not None and sym.count() <= driver_max_edges:
@@ -146,7 +152,7 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
-        new_labels = (
+        new_labels = checkpoint_tracked(
             propagated.join(parent, propagated.component == parent.p_node, "left")
             .select(
                 "node",
@@ -154,8 +160,12 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Generation-bounded blocks (same discipline as the BPE
+        # trainer): once new_labels is materialized and the old
+        # generation has served its last read, retire it — the loop
+        # holds at most two label generations, not max_iter.
+        prev_labels = labels
         if numeric_ids:
             cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
             if cur_sum is None and prev_sum is None:
@@ -167,6 +177,7 @@ def connected_components(
                         "non-empty labels (NULL node ids in the edge list?)"
                     )
             labels = new_labels
+            release_now(prev_labels)
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
@@ -179,6 +190,7 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            release_now(prev_labels)
             if changed == 0:
                 break
     else:

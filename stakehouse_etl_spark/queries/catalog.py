@@ -178,7 +178,9 @@ DRIVER_PRIORITY = [
     "ml_bpe_train_merges_deep",       # NEW: k=8 depth variant
     "dedup_lsh_eval_pr",              # ground-truth guard added
     "dedup_prefix_filter_pairs",      # ground-truth guard added
-    # --- never-driver-checked (33) ---
+    # --- never-driver-checked (34; + the 3 true first-timers above
+    # = 37 first-time, dedup_prefix_filter_pairs being the noted
+    # early-round repeat) ---
     # portable-SQL surface
     "sql_portable_join_agg", "sql_portable_window_topn",
     "sql_portable_recursive", "sql_portable_setops",

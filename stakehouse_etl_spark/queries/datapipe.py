@@ -730,43 +730,22 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from stakehouse_etl_spark.caches import cache_scope
+    from stakehouse_etl_spark.caches import cache_scope, persist_tracked
     from stakehouse_etl_spark.operators.dedup import (
         incremental_minhash_dedup_indexed,
         minhash_index_for,
     )
+    from stakehouse_etl_spark.streaming.staging import stage_id_range_batches
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    # 3 batches by default (the oracle unrolls exactly 3 greedy
-    # stages); the env knob is for the long-horizon fuzz harness only
-    # (tools/stream_fuzz.py --batches, VERDICT r7 task 2) — the
-    # correctness gates always run the default.
-    n_b = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "3"))
-    cuts = [mx * i // n_b for i in range(1, n_b)]
-    edges_ = [None] + cuts + [None]
 
     workdir = tempfile.mkdtemp(prefix="stream_dedup_")
     try:
-        src = os.path.join(workdir, "src")
+        # Shared scaffold (streaming/staging.py): one mtime-ordered
+        # single-file chunk per intended micro-batch; batch count 3 at
+        # the gates, SPARK_GRAFT_STREAM_BATCHES for the fuzz harness.
+        src = stage_id_range_batches(docs, workdir)
         kept_dir = os.path.join(workdir, "kept")
-        os.makedirs(src)
-        bounds = [
-            (edges_[i], edges_[i + 1], i + 1) for i in range(n_b)
-        ]
-        for lo, hi, i in bounds:
-            chunk = docs
-            if lo is not None:
-                chunk = chunk.filter(F.col("doc_id") > lo)
-            if hi is not None:
-                chunk = chunk.filter(F.col("doc_id") <= hi)
-            tmp = os.path.join(workdir, f"chunk{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(src, f"{i}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-
         bands_dir = os.path.join(workdir, "band_index")
         sets_dir = os.path.join(workdir, "set_index")
 
@@ -784,8 +763,15 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Only the batch-0 PATH-MISSING case may fall back to an
             # empty index; any other read failure must propagate —
             # a swallowed error silently skips dedup for the whole
-            # batch (ADVICE r7's wrong-answer-path class).
-            if os.path.exists(bands_dir):
+            # batch (ADVICE r7's wrong-answer-path class). BOTH dirs
+            # must exist: writes land bands before sets, so a crash
+            # between them leaves bands committed and sets missing —
+            # that is the batch-1 partial-commit retry state (its own
+            # bno would be filtered out anyway), not a corrupt index,
+            # and the retry must see the same empty corpus the first
+            # execution saw rather than fail on the sets read forever
+            # (review r8).
+            if os.path.exists(bands_dir) and os.path.exists(sets_dir):
                 corpus_bands = (
                     s.read.parquet(bands_dir)
                     .filter(F.col("bno") < bno)
@@ -809,6 +795,12 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # old leak-until-session-clear shape held 2 frames/batch.
             with cache_scope():
                 batch_bands, batch_sets = minhash_index_for(batch_df)
+                # Three actions consume these (the kept_ids write and
+                # the two index landings); persisted, the banding /
+                # set-collection shuffles run once per batch instead
+                # of three times (review r8).
+                batch_bands = persist_tracked(batch_bands)
+                batch_sets = persist_tracked(batch_sets)
                 kept_ids = incremental_minhash_dedup_indexed(
                     corpus_bands,
                     corpus_sets,
