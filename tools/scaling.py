@@ -28,6 +28,16 @@ Env knobs:
                              best-of-N compares plans, not noise.
                              Pre-r5 SCALING artifacts were single-shot
                              and read systematically higher.
+  SPARK_GRAFT_SCALING_FRESH=1 one SUBPROCESS (fresh JVM) per
+                             (rung, query) cell. The shared-session
+                             mode inherits heap residue from heavy
+                             predecessors — measured r8: the sf30
+                             corpus_drop_ledger cell OOM'd the shared
+                             8 g JVM after five sf10 cells, yet runs
+                             in 98 s (flat vs sf10!) in a fresh
+                             session. Mandatory for the sf10/sf30
+                             rungs; the page cache still carries the
+                             rung warm-read across processes.
   SPARK_GRAFT_SCALING_SF10=1 adds the localdata/sf10 rung (minutes per
                              query — opt-in).
   SPARK_GRAFT_SCALING_SF30=1 adds the localdata/sf30 rung (~6 GB,
@@ -82,6 +92,57 @@ DEFAULT = [
 ]
 
 
+# One (rung, query) cell in its own Python + JVM: best-of-N inside the
+# process (so JVM/codegen warmup is excluded by the min, same as the
+# shared-session mode), result on the last stdout line.
+_CELL_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, sys.argv[4])
+from stakehouse_etl_spark.session import get_spark
+from stakehouse_etl_spark.caches import release_tracked
+from stakehouse_etl_spark.queries.catalog import QUERIES
+spark = get_spark("scaling_cell")
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1_000_000).selectExpr("sum(id)").collect()
+name, sf_dir, n_runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
+best = None
+for _ in range(n_runs):
+    t0 = time.perf_counter()
+    QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+    el = time.perf_counter() - t0
+    best = el if best is None else min(best, el)
+    release_tracked()
+    spark.catalog.clearCache()
+print("CELL_RESULT " + json.dumps({"best": best}))
+"""
+
+
+def _cell_fresh(name: str, sf_dir: str, n_runs: int) -> float:
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _CELL_SNIPPET,
+            name,
+            sf_dir,
+            str(n_runs),
+            REPO,
+        ],
+        capture_output=True,
+        text=True,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("CELL_RESULT "):
+            return float(json.loads(line[len("CELL_RESULT "):])["best"])
+    raise RuntimeError(
+        f"fresh cell {name} @ {sf_dir} failed "
+        f"(exit {proc.returncode}): {proc.stderr[-500:]}"
+    )
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "--bench":
         names = [n for n, q in QUERIES.items() if q.bench]
@@ -127,8 +188,19 @@ def main(argv: list[str]) -> int:
         # back-to-back). The MIN is the stable compute-bound estimate;
         # growth ratios computed from mins compare plans, not noise.
         n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2")))
+        fresh = os.environ.get("SPARK_GRAFT_SCALING_FRESH") == "1"
         for name in names:
             q = QUERIES[name]
+            if fresh:
+                print(
+                    f"[scaling] {key} {name} (fresh JVM, best of "
+                    f"{n_runs})",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                best = _cell_fresh(name, sf_dir, n_runs)
+                out.setdefault(name, {})[key] = round(best, 3)
+                continue
             best = None
             for run_i in range(n_runs):
                 print(
