@@ -376,26 +376,31 @@ def minhash_lsh_pairs(
     # the overlap inside codegen — the corpus-wide all-pairs join of
     # plain jaccard_pairs never materializes; that's the entire point
     # of LSH at 100 TB.
-    # SHUFFLE_HASH pin on the per-doc set sides: left free, AQE
-    # judges this side by its COMPRESSED shuffle bytes — repetitive
-    # token sets compress so well that a multi-GB deserialized hash
-    # relation sneaks under the 10 MB broadcast threshold and OOMs
-    # the driver (measured r5 at sf10 inside pipeline_corpus_clean).
-    # Shuffled-hash keeps the per-task build at docs/partitions rows
-    # (bounded — the set table is DOC-scale, and AQE sizes partitions
-    # with the data), avoids any driver-side materialization, and
-    # skips the row-scale array sorts a MERGE pin would pay (measured
-    # r5: MERGE tripled the lossless prefix tier at sf3).
+    # MERGE pin on the per-doc set sides (r8, replacing r5's
+    # SHUFFLE_HASH). Left free, AQE judges this side by COMPRESSED
+    # shuffle bytes — repetitive token sets compress so well that a
+    # multi-GB deserialized hash relation sneaks under the broadcast
+    # threshold and OOMs the driver (measured r5 at sf10). But
+    # SHUFFLE_HASH has the SAME trap one level down: the per-task
+    # LongToUnsafeRowMap holds its partition's slice of the doc-scale
+    # set table, and AQE sizes partitions by those same compressed
+    # bytes — so the deserialized build grows linearly with corpus
+    # size at any fixed partition count and OOM'd the executor heap
+    # at sf30 (r8, corpus_drop_ledger). Sort-merge is the only
+    # strategy whose memory is bounded at ANY scale (the external
+    # sorter spills), and it is not slower here: the sort key is the
+    # long id with the array as payload — measured r8 best-of-2,
+    # MERGE 2.67/10.05 s vs SHUFFLE_HASH 2.93/10.67 s at sf1/sf10.
     sa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("__set").alias("__set_a"),
         F.col("n_sh").alias("n_a"),
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     sb = per_doc.select(
         F.col(id_col).alias("id_b"),
         F.col("__set").alias("__set_b"),
         F.col("n_sh").alias("n_b"),
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
@@ -589,10 +594,11 @@ def prefix_filter_jaccard_pairs(
     candidates = joined.select("id_a", "id_b").distinct()
     # Verification sets come straight off the persisted per-doc array
     # (shingle order is irrelevant to array_intersect's SIZE).
-    # SHUFFLE_HASH pin: same rationale as minhash_lsh_pairs' verify —
-    # the doc-scale set side must never broadcast (compressed-size
-    # trap, r5 sf10 driver OOM), and shuffled-hash avoids the array
-    # sorts a MERGE pin would pay.
+    # MERGE pin: same rationale as minhash_lsh_pairs' verify — the
+    # doc-scale set side must never broadcast (compressed-size trap,
+    # r5 sf10 driver OOM) and must not hash-build either (the build
+    # map grows with corpus size at fixed partitions; executor OOM at
+    # sf30, r8). Sort-merge spills, and measured no slower here.
     sets = per_doc.select(
         id_col,
         F.transform("__arr", lambda e: e["shingle"]).alias("sh_set"),
@@ -600,10 +606,10 @@ def prefix_filter_jaccard_pairs(
     )
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     sb = sets.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
@@ -848,12 +854,12 @@ def incremental_minhash_dedup_indexed(
         F.col(id_col).alias("id_old"),
         F.col("shingle_set").alias("__set_o"),
         F.col("n_sh").alias("n_old"),
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     sn = batch_sets.select(
         F.col(id_col).alias("id_new"),
         F.col("shingle_set").alias("__set_n"),
         F.col("n_sh").alias("n_new"),
-    ).hint("SHUFFLE_HASH")
+    ).hint("MERGE")
     drops = (
         cand.join(so, "id_old")
         .join(sn, "id_new")

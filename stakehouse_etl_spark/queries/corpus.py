@@ -373,15 +373,16 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")
-    # SHUFFLE_HASH on the doc-text sides, same rationale as the
-    # dedup-tier set verifies (review r5): full text tables are
-    # row-scale and must never be hard-broadcast (the old F.broadcast
-    # pin dies at corpus scale), while leaving AQE free risks the
-    # compressed-size trap on low-entropy text. Per-task text builds
-    # are docs/partitions-bounded; the candidate side streams.
+    # MERGE on the doc-text sides (r8; was SHUFFLE_HASH from r5):
+    # full text tables are row-scale and must never be hard-broadcast
+    # (the old F.broadcast pin dies at corpus scale); leaving AQE free
+    # risks the compressed-size trap on low-entropy text; and a
+    # hash build of the text side grows with corpus size at fixed
+    # partitions (the sf30 executor-OOM class, r8). Sort-merge spills
+    # — the only strategy with bounded memory at any scale.
     return (
-        cand.join(a.hint("SHUFFLE_HASH"), "id_a")
-        .join(b.hint("SHUFFLE_HASH"), "id_b")
+        cand.join(a.hint("MERGE"), "id_a")
+        .join(b.hint("MERGE"), "id_b")
         .select(
             "id_a",
             "id_b",
