@@ -62,8 +62,22 @@ def persist_tracked(
     return out
 
 
-def checkpoint_tracked(df: DataFrame) -> DataFrame:
+def checkpoint_tracked(
+    df: DataFrame, level: StorageLevel | None = None
+) -> DataFrame:
     """Eager ``localCheckpoint`` + registration for scoped release.
+
+    ``level`` overrides the checkpoint's storage level (Spark 4's
+    ``localCheckpoint(storageLevel=...)``). Pass
+    ``StorageLevel.DISK_ONLY`` for stage cuts over ROW-SCALE frames
+    (full text columns): the default MEMORY_AND_DISK level funnels
+    every stage's blocks through the unified-memory storage pool,
+    and a deep pipeline whose live stages exceed the heap dies with
+    a fatal OOM mid-unroll (measured r8: pipeline_corpus_export at
+    sf30, ~10 text-bearing stages vs an 8 g heap). DISK_ONLY streams
+    blocks straight to local disk — the in-memory arm then degrades
+    toward the storage-landed twin instead of dying. Leave the
+    default for vocabulary-/label-scale frames.
 
     ``localCheckpoint`` pins the materialized stage as MEMORY_AND_DISK
     blocks of an internal RDD that ``DataFrame.unpersist`` cannot see
@@ -77,7 +91,7 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     from. That is the same post-action contract ``cache_scope``
     already imposes: release only after the consuming action.
     """
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=True, storageLevel=level)
     out._graft_local_ckpt = True  # type: ignore[attr-defined]
     _tracked().append(out)
     return out

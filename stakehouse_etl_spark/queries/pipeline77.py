@@ -407,7 +407,15 @@ def _ckpt_stage(name: str, df: DataFrame) -> DataFrame:
     ``_land_stage_factory`` / ``pipeline_corpus_export_landed``.
     """
     del name  # stage names are for the landing twin's layout
-    return checkpoint_tracked(df)
+    # DISK_ONLY stage cuts (r8): several stages carry full text; at
+    # sf30 their MEMORY_AND_DISK blocks collectively exceeded the 8 g
+    # heap and a mid-unroll OOM killed the SparkContext. Disk-backed
+    # cuts bound the memory at any scale — the in-memory arm becomes
+    # a tempdir-landed pipeline, one step shy of the restartable
+    # parquet twin (pipeline_corpus_export_landed).
+    from pyspark.storagelevel import StorageLevel
+
+    return checkpoint_tracked(df, level=StorageLevel.DISK_ONLY)
 
 
 def _land_stage_factory(
