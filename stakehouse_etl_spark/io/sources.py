@@ -40,6 +40,26 @@ def _table_path(sf_dir: str, name: str) -> str:
     return plain if os.path.exists(plain) else os.path.join(sf_dir, name)
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — zero data
+    scan (a few KB of footer reads even for a multi-GB table), for
+    sizing decisions that must scale with the input: partition counts
+    for near-unique-key aggregations, dispatch thresholds, guard
+    bounds. At warehouse scale this is the catalog/metadata-service
+    lookup every real engine does before planning; locally it is
+    pyarrow reading ``num_rows`` per footer."""
+    import pyarrow.parquet as pq
+
+    path = _table_path(sf_dir, name)
+    if os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
+    total = 0
+    for entry in sorted(os.listdir(path)):
+        if entry.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(path, entry)).num_rows
+    return total
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain ``spark.read.parquet`` — no schema fudging,
     so Parquet statistics, pushdown and vectorized decoding all apply.

@@ -68,33 +68,68 @@ def graph_kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator runs).
 
     Scale: each round is one groupBy(node) degree count + two
-    semi-join restrictions on the SAME endpoint shuffle keys —
-    exchange reuse across rounds; the edge list only ever shrinks."""
+    semi-join restrictions over a CHECKPOINTED edge generation (the
+    connected-components discipline): round i's plan references e_i
+    twice (deg→keep and the restriction itself), so without a
+    per-round lineage cut the expensive pair-building subtree is
+    re-executed ~2^rounds times — exchange reuse papered over this
+    through sf10 but broke at sf30 (r8 ladder: step ratio 3.43 on a
+    3x data step). With the cuts each round does bounded new work on
+    a materialized, only-ever-shrinking edge list."""
+    from stakehouse_etl_spark.caches import checkpoint_tracked, release_now
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # The raw co-occurrence pair stream is ~2x the lineitem row count
+    # and its (u, v) keys are near-unique, so map-side combine does
+    # nothing and each of the groupBy's tasks hash-aggregates
+    # rows/partitions pairs. At the session's fixed 32 shuffle
+    # partitions that per-task slice grows linearly with data —
+    # ~11M pairs/task at sf30 spilled the hash agg and pushed the
+    # sf10→sf30 step ratio to 3.45 on a 3x data step (r8 ladder).
+    # Scale the aggregation's partition count with the input instead
+    # (footer-metadata row count, zero scan; ~3M pairs per task at
+    # any sf) — what a 100 TB deployment does with
+    # spark.sql.shuffle.partitions sized from catalog stats.
+    from stakehouse_etl_spark.io.sources import table_num_rows
+
+    n_pairs_est = 2 * table_num_rows(sf_dir, "lineitem")
+    n_part = max(32, min(4096, n_pairs_est // 3_000_000))
+    # The self-join's sort-merge also works per-partition slices that
+    # grow with data at a fixed partition count — co-partition both
+    # sides at the scaled count so per-task sort size is bounded too.
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    ).repartition(int(n_part), "ok")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    ).repartition(int(n_part), "ok")
     pr = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
+        .repartition(int(n_part), "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    e = pr.unionAll(pr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = checkpoint_tracked(
+        pr.unionAll(pr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     k = 2
     for _ in range(3):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
-        e = (
+        prev = e
+        e = checkpoint_tracked(
             e.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
         )
+        release_now(prev)
     d3 = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     return d3.select(F.col("u").alias("node"), "deg").orderBy("node")
 
