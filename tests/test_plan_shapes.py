@@ -337,15 +337,18 @@ def test_span_scrub_no_cartesian_reads_two_columns(spark):
 
 def test_lsh_verify_joins_never_broadcast_the_set_side(spark):
     # The candidate-verify joins (candidates ⨝ per-doc sorted sets)
-    # must not broadcast the set side: its repetitive arrays compress
+    # must not broadcast the set side (repetitive arrays compress
     # under AQE's broadcast threshold while deserializing to a
-    # multi-GB hash relation (r5 sf10 driver OOM in
-    # pipeline_corpus_clean). hint("SHUFFLE_HASH") pins a doc-scale
-    # per-task build instead; the sorts a MERGE pin would add tripled
-    # the lossless prefix tier at sf3.
+    # multi-GB hash relation — r5 sf10 driver OOM) and must not
+    # hash-build it either (the per-task LongToUnsafeRowMap holds the
+    # partition's slice of a DOC-scale table, growing linearly with
+    # corpus at fixed partitions — r8 sf30 executor OOM in
+    # corpus_drop_ledger). Sort-merge is the only arm whose memory is
+    # bounded at any scale; hint("MERGE") pins it on both set sides.
     for q in ("dedup_minhash_lsh", "dedup_prefix_filter_pairs"):
         plan = plan_of(spark, q)
-        assert plan.count("ShuffledHashJoin") >= 2, (q, plan)
+        assert plan.count("SortMergeJoin") >= 2, (q, plan)
+        assert not re.search(r"BroadcastHashJoin.*set", plan), (q, plan)
 
 
 def test_span_scrub_position_antijoin_is_sort_merge(spark):
