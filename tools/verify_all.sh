@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 0/13 optional-dependency probe (Delta arm, BASELINE.md blocker) =="
+echo "== 0/15 optional-dependency probe (Delta arm, BASELINE.md blocker) =="
 python - <<'EOF'
 try:
     import delta  # noqa: F401
@@ -19,13 +19,13 @@ except ImportError as e:
           "Delta arm stays documented-blocked (BASELINE.md)")
 EOF
 
-echo "== 1/13 unit + property tests =="
+echo "== 1/15 unit + property tests =="
 python -m pytest tests/ -q
 
-echo "== 2/13 oracle gate, sf0.01 (the driver's rung) =="
+echo "== 2/15 oracle gate, sf0.01 (the driver's rung) =="
 python tools/check.py /root/testdata/sf0.01
 
-echo "== 3/13 bench (sf0.1 headline suite) =="
+echo "== 3/15 bench (sf0.1 headline suite) =="
 python bench.py
 
 if [[ "${1:-}" == "--quick" ]]; then
@@ -33,45 +33,63 @@ if [[ "${1:-}" == "--quick" ]]; then
     exit 0
 fi
 
-echo "== 4/13 oracle gates, sf0.001 + sf0.1 =="
+echo "== 4/15 oracle gates, sf0.001 + sf0.1 =="
 python tools/check.py /root/testdata/sf0.001
 python tools/check.py /root/testdata/sf0.1
 
-echo "== 5/13 single-partition-window audit (exit 1 on any ROW-SCALE) =="
+echo "== 5/15 single-partition-window audit (exit 1 on any ROW-SCALE) =="
 python tools/window_audit.py /root/testdata/sf0.01
 
-echo "== 6/13 local scale rungs (generate if missing) =="
+echo "== 6/15 local scale rungs (generate if missing) =="
 for sf in 0.1 1 3; do
     [[ -d "localdata/sf${sf}" ]] || python tools/gen_testdata.py "${sf}"
 done
 python tools/scaling.py --bench
 
-echo "== 7/13 warehouse soak (sf0.1) =="
+echo "== 7/15 warehouse soak (sf0.1) =="
 python tools/soak.py /root/testdata/sf0.1 10
 
-echo "== 8/13 streaming throughput =="
+echo "== 8/15 streaming throughput =="
 python tools/stream_bench.py 500000 5
 
-echo "== 9/13 serving load test (idle) =="
+echo "== 9/15 serving load test (idle) =="
 python tools/loadtest.py
 
-echo "== 10/13 serving under concurrent refresh (r7 contracts) =="
+echo "== 10/15 serving under concurrent refresh (r7 contracts) =="
 python tools/loadtest_concurrent.py /root/testdata/sf0.1 4 10
 
-echo "== 11/13 foreachBatch per-batch flatness (sf10 rung if present) =="
+echo "== 11/15 foreachBatch per-batch flatness (sf10 rung if present) =="
 if [[ -d localdata/sf10 ]]; then
     python tools/stream_fuzz.py localdata/sf10
 else
     python tools/stream_fuzz.py localdata/sf1
 fi
 
-echo "== 12/13 long-horizon stream fuzz: 9 batches, index -> 8x batch size (r8) =="
+echo "== 12/15 long-horizon stream fuzz: 9 batches, index -> 8x batch size (r8) =="
 if [[ -d localdata/sf10 ]]; then
     python tools/stream_fuzz.py --batches=9 localdata/sf10 \
         stream_span_scrub stream_incremental_dedup
 fi
 
-echo "== 13/13 BPE depth curve: k=16, per-iteration walls (r8) =="
+echo "== 13/15 BPE depth curve: k=16, per-iteration walls (r8) =="
 python tools/bpe_depth.py localdata/sf3 16
+
+echo "== 14/15 serving soak at sf1, 3x cycles (r8 contracts) =="
+if [[ -d localdata/sf1 ]]; then
+    python tools/loadtest_concurrent.py localdata/sf1 4 30
+fi
+
+echo "== 15/15 sf30 heavy-tier ladder (opt-in: SPARK_GRAFT_VERIFY_SF30=1) =="
+if [[ "${SPARK_GRAFT_VERIFY_SF30:-}" == "1" ]]; then
+    [[ -d localdata/sf10 ]] || python tools/gen_testdata.py 10
+    [[ -d localdata/sf30 ]] || python tools/gen_testdata.py 30
+    SPARK_GRAFT_SCALING_FRESH=1 SPARK_GRAFT_SCALING_SF10=1 \
+    SPARK_GRAFT_SCALING_SF30=1 \
+    SPARK_GRAFT_SCALING_RUNGS=local_sf10,local_sf30 \
+    python tools/scaling.py corpus_drop_ledger pipeline_corpus_export \
+        graph_kcore_peel mm_hamming_dedup ml_bpe_train_merges
+else
+    echo "skipped (set SPARK_GRAFT_VERIFY_SF30=1; ~8 GB disk + ~40 min)"
+fi
 
 echo "all verification stages complete."
