@@ -206,7 +206,15 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    spans = _merge_islands(g.join(dup, "gram").select("doc_id", "pos"))
+    # MERGE pin (r8): dup/firsts-style gram tables are GRAM-scale
+    # (≈ one row per distinct gram — token-scale divided by the dup
+    # factor) yet compress far under AQE's broadcast threshold, and
+    # the driver OOM'd building the broadcast at sf30
+    # (corpus_span_scrub — "Not enough memory to build and broadcast").
+    # Same spilling-arm rule as the dedup verifies (PLANS.md Round-8).
+    spans = _merge_islands(
+        g.join(dup.hint("MERGE"), "gram").select("doc_id", "pos")
+    )
     agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
@@ -357,8 +365,11 @@ def corpus_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = persist_tracked(t)
     g = persist_tracked(g)
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # MERGE pin (r8): firsts is gram-scale; AQE auto-broadcast it at
+    # sf30 from its compressed stats and the driver OOM'd building
+    # the table. Sort-merge spills at any scale.
     occ = (
-        g.join(firsts, "gram")
+        g.join(firsts.hint("MERGE"), "gram")
         .filter(F.col("first_doc") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
@@ -467,9 +478,15 @@ def span_scrub_against_index(
         "in_corpus", F.lit(1)
     )
     fb = gb.groupBy("gram").agg(F.min("doc_id").alias("first_b"))
+    # MERGE pins (r8): the stored gram index (543 MB parquet at sf10,
+    # growing with the corpus) and the batch firsts table are both
+    # gram-scale — the r7 fuzz OBSERVED SortMergeJoin here; the pins
+    # make that load-bearing property a contract rather than an AQE
+    # mood (the sf30 broadcast OOM in corpus_span_scrub is this exact
+    # class one query over).
     occ = (
-        gb.join(ci, "gram", "left")
-        .join(fb, "gram")
+        gb.join(ci.hint("MERGE"), "gram", "left")
+        .join(fb.hint("MERGE"), "gram")
         .filter(
             F.col("in_corpus").isNotNull()
             | (F.col("first_b") < F.col("doc_id"))

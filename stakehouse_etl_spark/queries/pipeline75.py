@@ -157,7 +157,11 @@ def dedup_span_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("nd") >= 2)
             .select("gram")
         )
-        occ = g.join(dup, "gram").select("doc_id", "pos")
+        # MERGE pin (r8): dup is gram-scale; compressed stats put it
+        # under AQE's broadcast threshold while the deserialized
+        # build OOMs the driver at corpus scale (the sf30
+        # corpus_span_scrub catch, PLANS.md Round-8).
+        occ = g.join(dup.hint("MERGE"), "gram").select("doc_id", "pos")
         return _merge_islands(occ, k).select(
             "doc_id", F.explode(F.sequence("s", "e")).alias("p")
         )

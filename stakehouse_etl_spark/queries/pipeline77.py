@@ -660,8 +660,10 @@ def _export_ledger(spark: SparkSession, sf_dir: str, stage_cut) -> DataFrame:
     t73 = persist_tracked(t73)
     g = persist_tracked(g)
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # MERGE pin (r8): firsts is gram-scale — the sf30 broadcast-OOM
+    # class caught in corpus_span_scrub (PLANS.md Round-8).
     occ = (
-        g.join(firsts, "gram")
+        g.join(firsts.hint("MERGE"), "gram")
         .filter(F.col("first_doc") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
