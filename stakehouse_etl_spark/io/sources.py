@@ -53,10 +53,22 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     path = _table_path(sf_dir, name)
     if os.path.isfile(path):
         return pq.read_metadata(path).num_rows
+    # Recurse: the partitioned (time-bucket subdirectory) layout the
+    # module docstring promises must count too — a top-level-only scan
+    # silently returned 0 there, collapsing every footer-sized sizing
+    # decision to its minimum (ADVICE r8).
     total = 0
-    for entry in sorted(os.listdir(path)):
-        if entry.endswith(".parquet"):
-            total += pq.read_metadata(os.path.join(path, entry)).num_rows
+    n_footers = 0
+    for root, _dirs, files in os.walk(path):
+        for entry in sorted(files):
+            if entry.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, entry)).num_rows
+                n_footers += 1
+    if n_footers == 0:
+        raise FileNotFoundError(
+            f"table_num_rows: no parquet footers under {path!r} — "
+            f"refusing to report 0 rows for a sizing decision"
+        )
     return total
 
 

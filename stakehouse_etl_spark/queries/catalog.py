@@ -142,72 +142,61 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 #
 # ROTATION (VERDICT r7 task #1, unchanged policy): a small standing
 # spine so the driver sample always covers the core §2 families, then
-# changed-code-first, then never-driver-checked. Round 8: 7 anchors +
-# 5 changed-code repeats (this round's review fixes: the export
-# ledger's NULL-flag coalesce + tracked-checkpoint stage cuts, the
-# drop ledger's matching coalesce, stream_incremental_dedup's
-# retry-idempotent rewrite, stream_span_scrub's narrowed index probe,
-# the BPE trainer's depth parametrization) + 37 FIRST-TIME entries:
-# 4 changed-code first-timers (the two NEW queries — landed export,
-# deep BPE — and the two ground-truth arms that gained programmatic
-# quarantine guards) + 33 never-driver-checked picks spread across
-# the portable-SQL / join / aggregate / time-series / text / ML /
-# dedup-eval / streaming / graph / maintenance / multimodal families.
-# Cumulative external coverage target: >= 205/394. Queries rotated
-# out stay under the local full-catalog gate (tools/check.py,
-# EXPECTED_MIN_QUERIES entries, same DuckDB value-hash methodology).
+# changed-code-first, then never-driver-checked. Round 9: 7 anchors
+# (w2/j3 rotate back in for j1/j9 — all seven driver-green in prior
+# rounds) + 3 changed-code repeats (sim_pq_codebook: the r8 RED row,
+# its pq_codes array packed into one BIGINT; the two staged-stream
+# queries that now share the guarded stage_id_range_batches scaffold;
+# graph_kcore_peel, whose n_part sizing now survives partitioned
+# table layouts via the recursive table_num_rows) + 40 FIRST-TIME
+# entries: sim_quantize_int8 (same array→scalar contract fix, never
+# driver-checked) and 39 never-driver-checked picks spread across the
+# portable-SQL / join / aggregate / time-series / text / ML / graph /
+# streaming / DQ / multimodal families. Cumulative external coverage
+# target: >= 244/394 hashed. Queries rotated out stay under the local
+# full-catalog gate (tools/check.py, EXPECTED_MIN_QUERIES entries,
+# same DuckDB value-hash methodology).
 DRIVER_PRIORITY = [
-    # --- §2 spine (7 anchors, all driver-green r1–r7; w2/j3 rotate
-    # out this round — their families stay covered by w1/the join
-    # first-timers, and dedup_prefix_filter_pairs turns out to be an
-    # early-round repeat, so the freed slot keeps first-time at 37 ---
+    # --- §2 spine (7 anchors, all driver-green r1–r8) ---
     "w1_user_income",
-    "j1_latest_order_per_customer", "j9_asof_last_signup",
+    "w2_income_epoch_hourly", "j3_order_lineitem_agg",
     "a1_pricing_summary",
     "k1_upsert_sink",
     "dedup_minhash_lsh",
     "stream_stateful_income",
     # --- changed-code-first: repeats whose code changed this round ---
-    "pipeline_corpus_export",    # coalesce'd ledger + tracked ckpt cuts
-    "corpus_drop_ledger",        # same coalesce fix, both arms
-    "stream_incremental_dedup",  # retry-idempotent bno= rewrite
-    "stream_span_scrub",         # narrowed PATH-MISSING index probe
-    "ml_bpe_train_merges",       # trainer depth parametrization (k=3 path)
-    # --- changed-code first-timers (4) ---
-    "pipeline_corpus_export_landed",  # NEW: restartable stage landing
-    "ml_bpe_train_merges_deep",       # NEW: k=8 depth variant
-    "dedup_lsh_eval_pr",              # ground-truth guard added
-    "dedup_prefix_filter_pairs",      # ground-truth guard added
-    # --- never-driver-checked (34; + the 3 true first-timers above
-    # = 37 first-time, dedup_prefix_filter_pairs being the noted
-    # early-round repeat) ---
+    "sim_pq_codebook",           # r8 red row: pq_codes packed to BIGINT
+    "stream_incremental_dedup",  # shared staging scaffold gained guards
+    "graph_kcore_peel",          # table_num_rows now recurses (sizing)
+    # --- never-driver-checked (40, incl. the other contract fix) ---
+    "sim_quantize_int8",         # q8 array → lossless CSV string
+    "sim_dim_ablation",
     # portable-SQL surface
-    "sql_portable_join_agg", "sql_portable_window_topn",
-    "sql_portable_recursive", "sql_portable_setops",
+    "sql_portable_cte_case", "sql_portable_exists",
+    "sql_portable_not_exists",
+    "sql_portable_filter_agg", "sql_portable_group_by_all",
     # joins
-    "j12_asof_tolerance", "j14_scd2_pit_join", "j17_null_safe_join",
-    "j21_dpp_month_join",
-    # aggregates / sketches
-    "a_stats_kernel", "a_decimal_exact_sum", "a_count_min_sketch",
+    "j13_bloom_prefilter_join", "j19_interval_overlap_pairs",
+    "j25_asof_forward", "j29_asof_nearest", "j30_null_join_matrix",
+    # aggregates
+    "a_percentile_kernel", "a_mode_kernel",
+    "a_trimmed_mean", "a_bool_agg_family",
     # time series
-    "ts_gap_fill_interpolate", "ts_resample_ohlc", "ts_max_drawdown",
+    "ts_time_weighted_avg", "ts_anomaly_zscore", "ts_interval_coalesce",
+    "ts_max_concurrency", "ts_run_length_encode",
     # text / corpus
-    "text_tfidf_top_terms", "text_pii_redact",
-    "corpus_chunk_documents", "corpus_intradoc_dedup",
+    "text_vocab_overlap", "text_collocations_pmi", "text_url_normalize",
+    "corpus_sample_stratified", "corpus_token_budget_trim",
     # ML / eval plumbing
-    "ml_kmeans_update", "ml_confusion_langid", "ml_bpe_apply_encode",
-    "ml_ndcg_at_10",
-    # dedup / similarity evaluation
-    "dedup_lsh_bucket_stats", "dedup_minhash_estimate_eval",
-    "sim_pq_codebook", "dedup_cluster_size_histogram",
+    "ml_kmeans_assign", "ml_knn_label_precision", "ml_ab_welch_t",
+    "ml_wilson_ci", "ml_f1_per_class",
     # streaming
-    "stream_snapshot_publish", "stream_rocksdb_state",
-    "s1_datasource_stream",
+    "stream_append_eviction", "stream_topk_leaderboard",
     # graph
-    "graph_kcore_peel", "graph_2hop_reach",
-    # maintenance / DQ / multimodal / set ops
-    "maint_write_audit_publish", "mm_bmp_resize_nn",
-    "u4_intersect_all",
+    "graph_degree_distribution", "graph_tree_rollup",
+    # DQ / maintenance / multimodal / set ops / scalar kernels
+    "dq_constraint_report", "maint_compact_small_files",
+    "mm_bmp_histogram", "u5_symmetric_diff", "f11_array_kernel",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

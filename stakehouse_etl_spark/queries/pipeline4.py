@@ -223,9 +223,10 @@ s AS (
   FROM e
 )
 SELECT vec_id, label, scale,
-       CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-            ELSE list_transform(v, x -> CAST(round((x * 127) / scale) AS BIGINT))
-       END AS q8
+       array_to_string(
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round((x * 127) / scale) AS BIGINT))
+         END, ',') AS q8_csv
 FROM s
 """,
 )
@@ -236,6 +237,12 @@ def sim_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle: a scan-shaped map that at 100 TB quarters the ANN
     index footprint. Parity: both engines round half-away-from-zero
     and share the identical ``(x*127)/scale`` op shape.
+
+    Output is the LOSSLESS comma-joined string of the 64 int8 codes
+    (``q8_csv``) rather than ``array<bigint>`` — the driver's pandas
+    canonicalizer cannot hash list values (the r8 red-row class; see
+    tests/test_catalog_contract.py). Integer→string formatting is
+    identical in Spark and DuckDB, so parity is byte-exact.
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -251,7 +258,8 @@ def sim_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round((x * 127) / F.col("scale")).cast("long"),
         )
     )
-    return df.select("vec_id", "label", "scale", q.alias("q8"))
+    q_csv = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+    return df.select("vec_id", "label", "scale", q_csv.alias("q8_csv"))
 
 
 # ---------------------------------------------------------------------------

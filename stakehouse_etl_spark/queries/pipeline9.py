@@ -198,11 +198,15 @@ def _pq_sql() -> str:
             )
             dists.append(f"({terms})")
         arr = f"[{', '.join(dists)}]"
+        # Sub-code s occupies bits [8s, 8s+8) of the packed code —
+        # scalar BIGINT output (the driver's canonicalizer cannot hash
+        # list values; r8 red row).
         parts_code.append(
-            f"CAST(list_position({arr}, list_min({arr})) - 1 AS BIGINT)"
+            f"(CAST(list_position({arr}, list_min({arr})) - 1 AS BIGINT)"
+            f" * {1 << (8 * s)})"
         )
         parts_err.append(f"list_min({arr})")
-    codes = ", ".join(parts_code)
+    codes = " + ".join(parts_code)
     err = " + ".join(parts_err)
     return f"""
 WITH e AS (
@@ -212,7 +216,7 @@ WITH e AS (
            AS qe
   FROM embeddings
 )
-SELECT vec_id, label, [{codes}] AS pq_codes,
+SELECT vec_id, label, CAST({codes} AS BIGINT) AS pq_code,
        CAST({err} AS BIGINT) AS sq_error
 FROM e
 """
@@ -229,6 +233,11 @@ def sim_pq_codebook_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer distances make the assignment bit-reproducible in both
     engines. (A production codebook comes from k-means — the
     ``ml_kmeans_*`` queries — this pins the ASSIGNMENT kernel.)
+
+    The 8 sub-codes are PACKED into one BIGINT (sub-code ``s`` in bits
+    ``[8s, 8s+8)``) — the literal PQ memory layout, and a scalar
+    output the driver's pandas canonicalizer can hash (``array``
+    outputs broke it in round 8; see tests/test_catalog_contract.py).
     """
     from stakehouse_etl_spark.operators.similarity import quantize
 
@@ -256,9 +265,12 @@ def sim_pq_codebook_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_err = code_cols and err_cols[0]
     for ec in err_cols[1:]:
         total_err = total_err + ec
+    packed = code_cols[0]
+    for s, cc in enumerate(code_cols[1:], start=1):
+        packed = packed + cc * F.lit(1 << (8 * s)).cast("long")
     return e.select(
         "vec_id",
         "label",
-        F.array(*code_cols).alias("pq_codes"),
+        packed.cast("long").alias("pq_code"),
         total_err.cast("long").alias("sq_error"),
     )

@@ -46,7 +46,17 @@ def stage_id_range_batches(
     as batches 0..n-1 in order.
     """
     n_b = n_batches if n_batches is not None else stream_batch_count()
+    if n_b < 1:
+        raise ValueError(
+            f"stage_id_range_batches: n_batches must be >= 1, got {n_b} "
+            f"(check SPARK_GRAFT_STREAM_BATCHES)"
+        )
     mx = df.agg(F.max(id_col)).collect()[0][0]
+    if mx is None:
+        raise ValueError(
+            f"stage_id_range_batches: input has no rows (max({id_col}) is "
+            f"NULL) — nothing to stage under {workdir!r}"
+        )
     cuts = [mx * i // n_b for i in range(1, n_b)]
     edges = [None] + cuts + [None]
     src = os.path.join(workdir, "src")

@@ -37,3 +37,33 @@ def test_priority_queries_all_have_oracles():
 def test_oracle_names_subset_of_queries():
     qs = set(query_map())
     assert set(oracle_map()) <= qs
+
+
+def test_no_query_outputs_complex_types(spark, sf_dir):
+    """Driver-output type contract (VERDICT r8 #1): every registered
+    query's output schema must be scalar-only. The driver's
+    canonicalizer lexsorts the result through pandas, which throws
+    ``TypeError: unhashable type: 'list'`` on Array/Map/Struct cells —
+    the r8 red row (``sim_pq_codebook``, value-correct, failed only on
+    its ``array<bigint>`` column). Enforce the rule for the WHOLE
+    catalog so rotation roulette can never surface another instance:
+    a complex intermediate is fine, a complex OUTPUT column is not
+    (pack it — bit-pack small codes into a BIGINT, CSV-join wide
+    arrays, or aggregate to scalars).
+
+    Cost note: building all ~394 DataFrames at sf0.001 is a few
+    minutes (the streaming/landed queries materialize inside their
+    builders); this is the only test that sweeps the full catalog and
+    it is exactly the sweep the external gate performs.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: list[tuple[str, str, str]] = []
+    for name, qd in QUERIES.items():
+        df = qd.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert bad == [], (
+        f"queries with driver-unhashable output columns: {bad}"
+    )

@@ -345,10 +345,18 @@ def test_lsh_verify_joins_never_broadcast_the_set_side(spark):
     # corpus at fixed partitions — r8 sf30 executor OOM in
     # corpus_drop_ledger). Sort-merge is the only arm whose memory is
     # bounded at any scale; hint("MERGE") pins it on both set sides.
+    # ADVICE r8: the old same-line regex (`BroadcastHashJoin.*set`)
+    # missed multi-line explain output where the set-side scan sits in
+    # the indented subtree below the join node. Pin the broadcast-join
+    # COUNT instead: today's broadcasts are all scalar-bound/dim-sized
+    # sides (threshold literals, doc-count scalars), so any NEW
+    # BroadcastHashJoin — which could only be a set side slipping off
+    # its MERGE pin — fails here and forces review.
+    bhj_max = {"dedup_minhash_lsh": 2, "dedup_prefix_filter_pairs": 7}
     for q in ("dedup_minhash_lsh", "dedup_prefix_filter_pairs"):
         plan = plan_of(spark, q)
         assert plan.count("SortMergeJoin") >= 2, (q, plan)
-        assert not re.search(r"BroadcastHashJoin.*set", plan), (q, plan)
+        assert plan.count("BroadcastHashJoin") <= bhj_max[q], (q, plan)
 
 
 def test_span_scrub_position_antijoin_is_sort_merge(spark):

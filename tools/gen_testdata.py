@@ -215,13 +215,65 @@ def gen(sf: float, outdir: str) -> None:
     }))
 
 
+def gen_zipf_documents(sf: float, outdir: str) -> None:
+    """Skewed-text arm (VERDICT r8 task 8): a ``documents`` table whose
+    token/shingle distributions look like real web text instead of the
+    uniform 31-word engine vocabulary — Zipf rank-frequency over a
+    10k-type vocabulary (s≈1.05, the published English slope) and
+    lognormal doc lengths (median ~60 tokens, heavy right tail). Hot
+    shingles are exactly what the prefix filter's df-ordering and the
+    LSH hot-bucket caps guard against; the uniform corpus never
+    exercises them. Same schema and the same 0.2% exact / 1% near-dup
+    injection as ``gen`` so the dedup ladder runs unchanged.
+    """
+    os.makedirs(outdir, exist_ok=True)
+    n_docs = int(50_000 * sf)
+    r = _rng("zipf_documents", sf)
+    v = 10_000
+    # Explicit normalized Zipf over a FIXED vocab (np's r.zipf is
+    # unbounded); ranks 1..v, p(rank) ∝ rank^-1.05.
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = ranks ** -1.05
+    p /= p.sum()
+    vocab = np.array([f"w{i:05d}" for i in range(v)])
+    # Lognormal lengths: median exp(4.1)≈60 tokens, σ=0.8 → p99 ≈ 390.
+    lens = np.clip(
+        r.lognormal(4.1, 0.8, n_docs).astype(np.int64), 8, 2000
+    )
+    texts: list[str] = []
+    for i in range(n_docs):
+        texts.append(" ".join(vocab[r.choice(v, lens[i], p=p)]))
+    for i in range(n_docs):
+        u = r.random()
+        if i > 10 and u < 0.002:
+            texts[i] = texts[int(r.integers(0, i))]
+        elif i > 10 and u < 0.012:
+            toks = texts[int(r.integers(0, i))].split()
+            toks[int(r.integers(0, len(toks)))] = str(
+                vocab[int(r.choice(v, p=p))]
+            )
+            texts[i] = " ".join(toks)
+    _write(outdir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[r.choice(5, n_docs, p=LANG_W)]),
+        "source": [f"src{int(x)}" for x in r.integers(0, 20, n_docs)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+
 def main(argv: list[str]) -> int:
+    zipf = "--zipf" in argv
+    argv = [a for a in argv if a != "--zipf"]
     sf = float(argv[0]) if argv else 1.0
-    sfname = f"sf{sf:g}"
+    sfname = ("zipf_" if zipf else "") + f"sf{sf:g}"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outdir = argv[1] if len(argv) > 1 else os.path.join(repo, "localdata", sfname)
     print(f"generating {sfname} -> {outdir}")
-    gen(sf, outdir)
+    if zipf:
+        gen_zipf_documents(sf, outdir)
+    else:
+        gen(sf, outdir)
     return 0
 
 

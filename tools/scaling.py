@@ -163,9 +163,18 @@ def main(argv: list[str]) -> int:
             return ("local_" if d.startswith(REPO) else "") + os.path.basename(d)
 
         rungs = [d for d in rungs if _key(d) in keep]
-    spark = get_spark("scaling")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    fresh = os.environ.get("SPARK_GRAFT_SCALING_FRESH") == "1"
+    # Fresh mode exists to isolate each cell's heap; keeping a shared
+    # full-heap outer JVM alive alongside each cell subprocess would
+    # mean two heaps coexist and can OOM the constrained boxes the
+    # mode targets (ADVICE r8) — so the shared session is only created
+    # for in-process mode, and fresh mode warms the page cache with
+    # plain file reads.
+    spark = None
+    if not fresh:
+        spark = get_spark("scaling")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     out: dict[str, dict[str, float]] = {}
     for sf_dir in rungs:
@@ -173,12 +182,29 @@ def main(argv: list[str]) -> int:
             sf_dir
         )
         # warm the page cache per rung so rung-to-rung ratios compare
-        # compute, not cold reads
+        # compute, not cold reads. In fresh mode there is no outer
+        # JVM — plain sequential file reads touch the same pages.
         import glob
 
         for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
             try:
-                spark.read.parquet(p).count()
+                if spark is None:
+                    paths = (
+                        [p]
+                        if os.path.isfile(p)
+                        else [
+                            os.path.join(r, fn)
+                            for r, _d, fs in os.walk(p)
+                            for fn in fs
+                            if fn.endswith(".parquet")
+                        ]
+                    )
+                    for fp in paths:
+                        with open(fp, "rb") as fh:
+                            while fh.read(1 << 22):
+                                pass
+                else:
+                    spark.read.parquet(p).count()
             except Exception:
                 pass
         # Best-of-N cells (SPARK_GRAFT_SCALING_RUNS, default 2):
@@ -234,7 +260,8 @@ def main(argv: list[str]) -> int:
                 row["local_sf30"] / row["local_sf10"], 2
             )
     print(json.dumps({"queries": out, "rungs": rungs}))
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     return 0
 
 
