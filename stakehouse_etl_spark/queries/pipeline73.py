@@ -474,23 +474,32 @@ def span_scrub_against_index(
     tb, gb = _positional_grams(batch)
     tb = persist_tracked(tb)
     gb = persist_tracked(gb)
-    ci = gram_index.select("gram").distinct().withColumn(
-        "in_corpus", F.lit(1)
-    )
     fb = gb.groupBy("gram").agg(F.min("doc_id").alias("first_b"))
-    # MERGE pins (r8): the stored gram index (543 MB parquet at sf10,
-    # growing with the corpus) and the batch firsts table are both
-    # gram-scale — the r7 fuzz OBSERVED SortMergeJoin here; the pins
-    # make that load-bearing property a contract rather than an AQE
-    # mood (the sf30 broadcast OOM in corpus_span_scrub is this exact
-    # class one query over).
-    occ = (
-        gb.join(ci.hint("MERGE"), "gram", "left")
-        .join(fb.hint("MERGE"), "gram")
-        .filter(
-            F.col("in_corpus").isNotNull()
-            | (F.col("first_b") < F.col("doc_id"))
-        )
+    # MERGE pins (r8): the stored gram index (hundreds of MB parquet
+    # at sf10, growing with the corpus) and the batch firsts table are
+    # both gram-scale — the r7 fuzz OBSERVED SortMergeJoin here; the
+    # pins make that load-bearing property a contract rather than an
+    # AQE mood (the sf30 broadcast OOM in corpus_span_scrub is this
+    # exact class one query over).
+    #
+    # r9 (20-batch fuzz follow-up): the old probe DISTINCT-shuffled
+    # the whole index every batch (a second O(state) shuffle per
+    # batch on top of the join's own) purely to defend against
+    # duplicate gram rows fanning out a left join. A LEFT SEMI join
+    # cannot fan out regardless of right-side duplicates, so the
+    # "claimed by corpus OR claimed by an earlier doc in batch"
+    # predicate is expressed as a UNION of the two claim sources —
+    # duplicated (doc_id, pos) rows are exactly what _scrub_tail's
+    # island merge is specified to absorb. One state-sized shuffle
+    # per batch remains (the semi join itself): inherent to a
+    # join-probe against global keep-first history; the point-lookup
+    # alternative is the RocksDB state-store arm.
+    occ_corpus = gb.join(
+        gram_index.select("gram").hint("MERGE"), "gram", "left_semi"
+    ).select("doc_id", "pos")
+    occ_batch = (
+        gb.join(fb.hint("MERGE"), "gram")
+        .filter(F.col("first_b") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
-    return _scrub_tail(tb, occ)
+    return _scrub_tail(tb, occ_corpus.unionByName(occ_batch))

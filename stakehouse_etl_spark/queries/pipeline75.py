@@ -340,9 +340,18 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Distinct-merge the batch's ORIGINAL grams into the
                 # index (keep-first claims come from original text,
                 # scrubbed or not — matching the global firsts =
-                # min(doc_id) oracle).
+                # min(doc_id) oracle). NEW grams only (r9): grams
+                # already claimed in an earlier batch add nothing to
+                # the presence predicate but were previously stored
+                # again every batch, growing the index — and the
+                # per-batch probe that scans it — past the global-
+                # distinct floor. The anti-join reads the same
+                # pre-batch index state as the probe (bid < batch_id),
+                # so a micro-batch retry lands an identical chunk.
                 _, gb = _pg(batch_df)
-                gb.select("gram").distinct().write.mode(
+                gb.select("gram").distinct().join(
+                    idx.hint("MERGE"), "gram", "left_anti"
+                ).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(idx_dir, f"bid={int(batch_id)}"))
 

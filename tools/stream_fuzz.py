@@ -183,6 +183,30 @@ def main(argv: list[str]) -> int:
                     rec["steady_window_flat_ok"] = bool(
                         max(steady) / smed <= FLAT_THRESH
                     )
+            # Spike-robust trend (r9): at 20 batches each batch is
+            # small enough that a single host-noise spike (GC pause,
+            # outside load) breaks max/median while the series is
+            # trendless — measured: back-to-back 20-batch runs put a
+            # ~2x spike at batch 2 and batch 16 respectively, position-
+            # random. State growth is a TREND, not a spike: report the
+            # Theil-Sen slope (median of pairwise slopes — one spike
+            # moves O(n) of O(n²) pairs) over the steady window,
+            # normalized by the steady median, in fraction-per-batch.
+            # Contract (one-sided — the failure mode is GROWTH; a
+            # negative slope is warmup decay, benign): slope_rel <=
+            # +0.01/batch (<= ~20% growth across a 20-batch horizon).
+            if len(steady) >= 6:
+                slopes = [
+                    (steady[j] - steady[i]) / (j - i)
+                    for i in range(len(steady))
+                    for j in range(i + 1, len(steady))
+                ]
+                ts = statistics.median(slopes)
+                smed = statistics.median(steady)
+                if smed:
+                    rel = ts / smed
+                    rec["steady_theilsen_slope_rel"] = round(rel, 4)
+                    rec["steady_trend_flat_ok"] = bool(rel <= 0.01)
         out[name] = rec
         print(f"{name}: {rec}", file=sys.stderr)
 
