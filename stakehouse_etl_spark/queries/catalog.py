@@ -127,7 +127,8 @@ for _m in _QUERY_MODULES:
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
 # r8: +pipeline_corpus_export_landed, +ml_bpe_train_merges_deep.
-EXPECTED_MIN_QUERIES = 394
+# r9: +stream_span_scrub_bucketed (bucketed-index probe arm).
+EXPECTED_MIN_QUERIES = 395
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -170,7 +171,7 @@ DRIVER_PRIORITY = [
     "graph_kcore_peel",          # table_num_rows now recurses (sizing)
     # --- never-driver-checked (40, incl. the other contract fix) ---
     "sim_quantize_int8",         # q8 array → lossless CSV string
-    "sim_dim_ablation",
+    "stream_span_scrub_bucketed",  # NEW r9: bucketed-index probe arm
     # portable-SQL surface
     "sql_portable_cte_case", "sql_portable_exists",
     "sql_portable_not_exists",

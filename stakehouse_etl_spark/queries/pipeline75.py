@@ -213,10 +213,9 @@ def dedup_span_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_span_scrub",
-    tags=("dedup", "spans", "streaming", "incremental", "T6"),
-    oracle=f"""
+# Shared by the plain and bucketed-index streaming arms: the streamed
+# output must hash-equal corpus_span_scrub plus the tercile batch_no.
+_STREAM_SPAN_SQL = f"""
 WITH {_TOKS_CTE}, {_GRAMS_CTE},
 firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
 occ AS (
@@ -253,7 +252,13 @@ SELECT t.doc_id,
                  WHEN t.doc_id <= (SELECT 2 * mx // 3 FROM lim) THEN 2
                  ELSE 3 END AS INT) AS batch_no
 FROM t LEFT JOIN reb r USING (doc_id)
-""",
+"""
+
+
+@register(
+    "stream_span_scrub",
+    tags=("dedup", "spans", "streaming", "incremental", "T6"),
+    oracle=_STREAM_SPAN_SQL,
 )
 def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span dedup as a STREAM: three doc_id-tercile micro-batches flow
@@ -373,4 +378,115 @@ def stream_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "stream_span_scrub_bucketed",
+    tags=("dedup", "spans", "streaming", "incremental", "bucketing", "T6"),
+    oracle=_STREAM_SPAN_SQL,
+)
+def stream_span_scrub_bucketed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``stream_span_scrub`` with the stored gram index landed as a
+    BUCKETED catalog table (``bucketBy(gram)``, partitioned by
+    ``bid``) instead of plain parquet — the escalation the 20-batch
+    fuzz motivated (PLANS.md Round-9): against a plain-parquet index,
+    every per-batch probe join SHUFFLES the whole stored index (the
+    one remaining O(state) term); a bucketed scan reports
+    ``HashPartitioning(gram, B)``, so the MERGE semi-join shuffles
+    ONLY the batch side (verified: 1 Exchange in the probe plan vs 2
+    for the plain arm). At 100 TB this is the difference between
+    re-shuffling the whole claimed-gram history per micro-batch and
+    paying a scan+local-sort of it.
+
+    Retry idempotence moves from overwrite-my-subdir to DYNAMIC
+    PARTITION OVERWRITE: after the table exists, each batch
+    ``insertInto(overwrite=True)`` replaces exactly its own ``bid``
+    partition, so a micro-batch re-execution lands an identical
+    partition (the anti-join reads the same ``bid < batch_id`` state
+    the first execution saw). Value-identical to ``stream_span_scrub``
+    — same oracle, same output schema."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stakehouse_etl_spark.streaming.staging import stage_id_range_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    workdir = tempfile.mkdtemp(prefix="stream_span_bkt_")
+    tbl = f"gram_idx_{uuid.uuid4().hex[:12]}"
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        src = stage_id_range_batches(docs, workdir)
+        out_dir = os.path.join(workdir, "out")
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            if s.catalog.tableExists(tbl):
+                idx = (
+                    s.table(tbl)
+                    .filter(F.col("bid") < int(batch_id))
+                    .select("gram")
+                )
+            else:
+                idx = s.createDataFrame([], "gram string")
+            from stakehouse_etl_spark.caches import cache_scope
+            from stakehouse_etl_spark.queries.pipeline73 import (
+                _positional_grams as _pg,
+            )
+
+            with cache_scope():
+                scrubbed = span_scrub_against_index(
+                    idx, batch_df
+                ).withColumn("batch_no", F.lit(int(batch_id) + 1))
+                scrubbed.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"bid={int(batch_id)}")
+                )
+                _, gb = _pg(batch_df)
+                new_grams = (
+                    gb.select("gram")
+                    .distinct()
+                    .join(idx.hint("MERGE"), "gram", "left_anti")
+                    .withColumn("bid", F.lit(int(batch_id)))
+                )
+                if not s.catalog.tableExists(tbl):
+                    new_grams.write.partitionBy("bid").bucketBy(
+                        32, "gram"
+                    ).sortBy("gram").mode("overwrite").saveAsTable(tbl)
+                else:
+                    # Positional insert: column order must match the
+                    # table (gram, then the bid partition column).
+                    new_grams.select("gram", "bid").write.insertInto(
+                        tbl, overwrite=True
+                    )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(out_dir).select(
+            "doc_id", "n_tokens", "n_kept", "n_scrubbed", "cleaned_fp",
+            "batch_no",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(workdir, ignore_errors=True)
