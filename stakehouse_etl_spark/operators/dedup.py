@@ -460,6 +460,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     threshold_pct: int = 70,
     max_prefix_df: int | None = None,
+    n_part: int | None = None,
 ) -> DataFrame:
     """Tier-2b: exact Jaccard similarity join via PREFIX FILTERING
     (the AllPairs/PPJoin family of set-similarity joins).
@@ -492,6 +493,15 @@ def prefix_filter_jaccard_pairs(
     then missed (lossy, like the LSH bucket cap — and like it, hot
     shingles are near-contentless boilerplate). None (default) keeps
     the query's lossless-vs-oracle contract for ground-truth use.
+
+    ``n_part``: partition count for the per-doc array aggregation
+    (callers size it from catalog stats — ``table_num_rows`` — at
+    ~10k docs/task). At the fixed 32 shuffle partitions the
+    ``collect_list`` agg holds each task's slice of PER-DOC ARRAYS in
+    heap, growing linearly with corpus — the r9 sf30 ladder killed
+    the 8 g heap exactly there (stage-11 executor OOM; same class as
+    the r8 k-core catch). The pre-repartition's HashPartitioning
+    satisfies the agg's required distribution, so no extra exchange.
     """
     # ONE per-doc aggregation carries the whole operator's state: the
     # doc's shingles as structs (df, shingle) sorted rarest-first —
@@ -509,25 +519,41 @@ def prefix_filter_jaccard_pairs(
     # frame (map-only, no per-shingle row blowup) and re-derive the
     # exploded pairs from the cached arrays — a narrow explode, not a
     # second corpus scan.
+    # DISK_ONLY persists (r9): both cached frames carry corpus-scale
+    # shingle ARRAYS; at sf30 their blocks plus the agg's execution
+    # memory exceeded the heap (executor OOM, task-level
+    # java.lang.OutOfMemoryError in the per-doc agg stage). Disk-backed
+    # blocks bound the storage side at any scale; the frames are
+    # compact (one row per doc) so the re-read is cheap.
+    from pyspark.storagelevel import StorageLevel
+
     arrs = persist_tracked(
         fan_out(df).select(
             F.col(id_col), shingles(F.col(text_col), k).alias("__sh_arr")
-        )
+        ),
+        level=StorageLevel.DISK_ONLY,
     )
     sh = arrs.select(
         F.col(id_col), F.explode("__sh_arr").alias("shingle")
     ).filter(F.col("shingle") != "")
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    enriched = sh.join(dfreq, "shingle")
+    if n_part is not None:
+        # Input-scaled agg parallelism: hash on the grouping key so
+        # EnsureRequirements reuses this layout for the groupBy (no
+        # second exchange) and each task's collect_list state stays
+        # ~10k docs regardless of corpus size.
+        enriched = enriched.repartition(n_part, F.col(id_col))
     per_doc = persist_tracked(
-        sh.join(dfreq, "shingle")
-        .groupBy(id_col)
+        enriched.groupBy(id_col)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("df", "shingle"))
             ).alias("__arr"),
             F.count(F.lit(1)).alias("n_sh"),
-        )
+        ),
+        level=StorageLevel.DISK_ONLY,
     )
     # prefix length p = n - ceil(t*n) + 1, integer form (>= 1 for any
     # threshold <= 100, so the slice is never empty).

@@ -20,6 +20,22 @@ from stakehouse_etl_spark.operators.dedup import (
 from stakehouse_etl_spark.queries.datapipe import _JACCARD_CTE, _SHINGLES_CTE
 from stakehouse_etl_spark.queries.registry import register
 
+
+def _prefix_n_part(sf_dir: str) -> int:
+    """Input-scaled partition count for the prefix-filter per-doc
+    aggregation: ~10k docs/task from parquet FOOTER row counts (the
+    catalog-stats lookup; zero data scan). At the fixed 32 shuffle
+    partitions the collect_list agg's per-task array state grows
+    linearly with corpus — executor OOM at sf30 (1.5M docs, r9
+    ladder; the r8 k-core class)."""
+    from stakehouse_etl_spark.io.sources import table_num_rows
+
+    try:
+        n_docs = table_num_rows(sf_dir, "documents")
+    except (FileNotFoundError, OSError):
+        return 32
+    return max(32, n_docs // 10_000)
+
 # ---------------------------------------------------------------------------
 # Set-similarity joins
 # ---------------------------------------------------------------------------
@@ -59,7 +75,9 @@ def dedup_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         query="dedup_prefix_filter_pairs",
         twin="dedup_prefix_filter_pairs_capped",
     )
-    return prefix_filter_jaccard_pairs(docs, threshold_pct=70)
+    return prefix_filter_jaccard_pairs(
+        docs, threshold_pct=70, n_part=_prefix_n_part(sf_dir)
+    )
 
 
 # AllPairs df-cap for the bounded tier. Against the synthetic corpus:
@@ -140,6 +158,7 @@ def dedup_prefix_filter_pairs_capped_q(
         load_table(spark, sf_dir, "documents"),
         threshold_pct=70,
         max_prefix_df=PREFIX_DF_CAP,
+        n_part=_prefix_n_part(sf_dir),
     )
 
 

@@ -224,8 +224,29 @@ def main(argv: list[str]) -> int:
                     file=sys.stderr,
                     flush=True,
                 )
-                best = _cell_fresh(name, sf_dir, n_runs)
+                # One cell's failure must not discard the completed
+                # cells of a 45-minute ladder (r9: an sf30 cell died
+                # after 7 green cells and the whole run's results were
+                # lost — the JSON printed only at the end). Record the
+                # error in the row, log the result incrementally, and
+                # keep going.
+                try:
+                    best = _cell_fresh(name, sf_dir, n_runs)
+                except RuntimeError as e:
+                    out.setdefault(name, {})[f"{key}_error"] = str(e)[-300:]
+                    print(
+                        f"[scaling] RESULT {key} {name} FAILED: "
+                        f"{str(e)[-300:]}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    continue
                 out.setdefault(name, {})[key] = round(best, 3)
+                print(
+                    f"[scaling] RESULT {key} {name} {round(best, 3)}",
+                    file=sys.stderr,
+                    flush=True,
+                )
                 continue
             best = None
             for run_i in range(n_runs):
