@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from stakehouse_etl_spark.caches import persist_tracked
 from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators.text import fan_out, tokens
@@ -198,8 +200,14 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # t feeds both the gram pipeline and the final n_tokens join —
     # persist it or the corpus re-scans and re-tokenizes for the
     # closing join (review r5; the scrub query persists the same way).
-    t = persist_tracked(t)
-    g = persist_tracked(g)
+    # DISK_ONLY (r9): t carries full token arrays and g the exploded
+    # positional-gram rows — both corpus-scale. Memory-first blocks of
+    # that size squeeze the unified pool at sf30 (the execution side
+    # then spill-churns every gram shuffle; measured wall ratio 4.73
+    # vs the 3.0x data step before the change). One row-linear disk
+    # re-read per consumer is the bounded alternative.
+    t = persist_tracked(t, level=StorageLevel.DISK_ONLY)
+    g = persist_tracked(g, level=StorageLevel.DISK_ONLY)
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -362,8 +370,10 @@ def corpus_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t, g = _positional_grams(docs)
-    t = persist_tracked(t)
-    g = persist_tracked(g)
+    # DISK_ONLY (r9): same rationale as dedup_span_inventory above —
+    # corpus-scale token/gram frames must not occupy the memory pool.
+    t = persist_tracked(t, level=StorageLevel.DISK_ONLY)
+    g = persist_tracked(g, level=StorageLevel.DISK_ONLY)
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     # MERGE pin (r8): firsts is gram-scale; AQE auto-broadcast it at
     # sf30 from its compressed stats and the driver OOM'd building
