@@ -240,9 +240,29 @@ def gen_zipf_documents(sf: float, outdir: str) -> None:
     lens = np.clip(
         r.lognormal(4.1, 0.8, n_docs).astype(np.int64), 8, 2000
     )
+    # Web-style boilerplate: 5 fixed 30-token templates (cookie
+    # banners, footers). 15% of docs carry one as a prefix; 2% are
+    # TEMPLATE-ONLY (template + <=3 random tokens) — the tight
+    # near-dup clusters (error pages, stub pages) that actually
+    # create hot LSH band buckets and hot grams. Token skew alone
+    # does not (measured: max band bucket 3 on both the uniform and
+    # the plain-Zipf corpus at sf1).
+    templates = [
+        " ".join(vocab[r.choice(v, 30, p=p)]) for _ in range(5)
+    ]
     texts: list[str] = []
     for i in range(n_docs):
-        texts.append(" ".join(vocab[r.choice(v, lens[i], p=p)]))
+        u = r.random()
+        body = " ".join(vocab[r.choice(v, lens[i], p=p)])
+        if u < 0.02:
+            tail = " ".join(vocab[r.choice(v, int(r.integers(0, 4)), p=p)])
+            texts.append(
+                (templates[int(r.integers(0, 5))] + " " + tail).strip()
+            )
+        elif u < 0.17:
+            texts.append(templates[int(r.integers(0, 5))] + " " + body)
+        else:
+            texts.append(body)
     for i in range(n_docs):
         u = r.random()
         if i > 10 and u < 0.002:
