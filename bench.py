@@ -60,10 +60,15 @@ REGRESSION_RATIO = 1.2
 # shift attributed to host load); the q3/q5 pair stays for one more
 # round of history.
 # Override with SPARK_GRAFT_BENCH_WATCH (comma list, empty disables).
+# r9 adds sim_ivf_topk: the r9 quiet-host run put its 3-sample median
+# at 2.72 s vs the 1.1-1.7 s steady band (solo probe: 6.4 s cold then
+# 1.68/1.54/1.37/1.11) — the catalog reorder moved it away from a
+# plan-warming neighbor, so pass 1's cold-codegen sample dominates a
+# 3-sample median. 10 samples wash that out.
 WATCH_DEFAULT = (
     "tpch_q3_shipping_priority,tpch_q5_local_supplier_volume,"
     "tpch_q4_order_priority,tpch_q18_large_orders,"
-    "j11_range_join_bucketed,dedup_span_inventory"
+    "j11_range_join_bucketed,dedup_span_inventory,sim_ivf_topk"
 )
 WATCH_RUNS = 10
 
