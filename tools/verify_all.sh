@@ -65,10 +65,10 @@ else
     python tools/stream_fuzz.py localdata/sf1
 fi
 
-echo "== 12/15 long-horizon stream fuzz: 9 batches, index -> 8x batch size (r8) =="
+echo "== 12/15 long-horizon stream fuzz: 20 batches, index -> 19x batch size (r9) =="
 if [[ -d localdata/sf10 ]]; then
-    python tools/stream_fuzz.py --batches=9 localdata/sf10 \
-        stream_span_scrub stream_incremental_dedup
+    python tools/stream_fuzz.py --batches=20 localdata/sf10 \
+        stream_span_scrub stream_span_scrub_bucketed stream_incremental_dedup
 fi
 
 echo "== 13/15 BPE depth curve: k=16, per-iteration walls (r8) =="
@@ -79,6 +79,17 @@ if [[ -d localdata/sf1 ]]; then
     python tools/loadtest_concurrent.py localdata/sf1 4 30
 fi
 
+echo "== 14b/15 export kill/resume at sf10 (r9) =="
+if [[ -d localdata/sf10 ]]; then
+    python tools/export_resume.py localdata/sf10 4
+fi
+
+echo "== 14c/15 skewed-corpus dedup guards (r9) =="
+if [[ -d localdata/sf1 ]]; then
+    [[ -d localdata/zipf_sf1 ]] || python tools/gen_testdata.py 1 --zipf
+    python tools/zipf_compare.py
+fi
+
 echo "== 15/15 sf30 heavy-tier ladder (opt-in: SPARK_GRAFT_VERIFY_SF30=1) =="
 if [[ "${SPARK_GRAFT_VERIFY_SF30:-}" == "1" ]]; then
     [[ -d localdata/sf10 ]] || python tools/gen_testdata.py 10
@@ -87,7 +98,10 @@ if [[ "${SPARK_GRAFT_VERIFY_SF30:-}" == "1" ]]; then
     SPARK_GRAFT_SCALING_SF30=1 \
     SPARK_GRAFT_SCALING_RUNGS=local_sf10,local_sf30 \
     python tools/scaling.py corpus_drop_ledger pipeline_corpus_export \
-        graph_kcore_peel mm_hamming_dedup ml_bpe_train_merges
+        graph_kcore_peel mm_hamming_dedup ml_bpe_train_merges \
+        ml_bpe_train_merges_deep stream_span_scrub stream_span_scrub_bucketed \
+        dedup_prefix_filter_pairs_capped pipeline_corpus_export_landed \
+        corpus_span_scrub
 else
     echo "skipped (set SPARK_GRAFT_VERIFY_SF30=1; ~8 GB disk + ~40 min)"
 fi
