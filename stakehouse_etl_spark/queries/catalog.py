@@ -127,8 +127,9 @@ for _m in _QUERY_MODULES:
 # the test suite assert against it. A broken registration path then
 # fails here, visibly, instead of producing a smaller catalog.
 # r8: +pipeline_corpus_export_landed, +ml_bpe_train_merges_deep.
-# r9: +stream_span_scrub_bucketed (bucketed-index probe arm).
-EXPECTED_MIN_QUERIES = 395
+# r9: +stream_span_scrub_bucketed, +stream_incremental_dedup_bucketed
+# (bucketed-index probe arms).
+EXPECTED_MIN_QUERIES = 396
 if len(QUERIES) < EXPECTED_MIN_QUERIES:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, expected >= "
@@ -172,10 +173,10 @@ DRIVER_PRIORITY = [
     # --- never-driver-checked (40, incl. the other contract fix) ---
     "sim_quantize_int8",         # q8 array → lossless CSV string
     "stream_span_scrub_bucketed",  # NEW r9: bucketed-index probe arm
+    "stream_incremental_dedup_bucketed",  # NEW r9: same, dedup index
     # portable-SQL surface
     "sql_portable_cte_case", "sql_portable_exists",
-    "sql_portable_not_exists",
-    "sql_portable_filter_agg", "sql_portable_group_by_all",
+    "sql_portable_not_exists", "sql_portable_filter_agg",
     # joins
     "j13_bloom_prefilter_join", "j19_interval_overlap_pairs",
     "j25_asof_forward", "j29_asof_nearest", "j30_null_join_matrix",

@@ -646,10 +646,9 @@ def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(corpus, batch, threshold_pct=20)
 
 
-@register(
-    "stream_incremental_dedup",
-    tags=("dedup", "streaming", "incremental", "T6"),
-    oracle=f"""
+# Shared by the plain and bucketed-index streaming dedup arms: the
+# streamed kept table must match the global 3-stage greedy unroll.
+_STREAM_INC_DEDUP_SQL = f"""
 WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -702,7 +701,13 @@ k3 AS (
 SELECT doc_id, 1 AS batch_no FROM k1
 UNION ALL SELECT doc_id, 2 FROM k2
 UNION ALL SELECT doc_id, 3 FROM k3
-""",
+"""
+
+
+@register(
+    "stream_incremental_dedup",
+    tags=("dedup", "streaming", "incremental", "T6"),
+    oracle=_STREAM_INC_DEDUP_SQL,
 )
 def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus maintenance as a STREAM: three doc_id-tercile micro-
@@ -841,4 +846,146 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "stream_incremental_dedup_bucketed",
+    tags=("dedup", "streaming", "incremental", "bucketing", "T6"),
+    oracle=_STREAM_INC_DEDUP_SQL,
+)
+def stream_incremental_dedup_bucketed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``stream_incremental_dedup`` with BOTH stored index tables
+    landed as bucketed catalog tables and the probe restructured so no
+    per-batch operation shuffles the stored state
+    (``incremental_minhash_dedup_probed``): the band table is bucketed
+    on (band_idx, band_key) — the hot-bucket count agg and the
+    candidate join reuse its layout with zero exchange — and the
+    shingle-set table on doc_id, so the verify join shuffles only the
+    candidate pairs. The over-cap key set (buckets > cap, tiny by
+    construction) is broadcast anti-joined instead of a window over
+    corpus∪batch. Retry idempotence via dynamic partition overwrite of
+    the batch's own ``bno`` partition, as in the span arm. Same oracle
+    as ``stream_incremental_dedup``; value-identical kept table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stakehouse_etl_spark.caches import cache_scope, persist_tracked
+    from stakehouse_etl_spark.operators.dedup import (
+        incremental_minhash_dedup_probed,
+        minhash_index_for,
+    )
+    from stakehouse_etl_spark.streaming.staging import stage_id_range_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_bkt_")
+    run_id = uuid.uuid4().hex[:12]
+    bands_tbl = f"band_idx_{run_id}"
+    sets_tbl = f"set_idx_{run_id}"
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        src = stage_id_range_batches(docs, workdir)
+        kept_dir = os.path.join(workdir, "kept")
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            bno = int(batch_id) + 1
+            have_idx = s.catalog.tableExists(bands_tbl) and (
+                s.catalog.tableExists(sets_tbl)
+            )
+            if have_idx:
+                corpus_bands = (
+                    s.table(bands_tbl)
+                    .filter(F.col("bno") < bno)
+                    .select("doc_id", "band_idx", "band_key")
+                )
+                corpus_sets = (
+                    s.table(sets_tbl)
+                    .filter(F.col("bno") < bno)
+                    .select("doc_id", "shingle_set", "n_sh")
+                )
+            else:
+                corpus_bands = s.createDataFrame(
+                    [], "doc_id long, band_idx int, band_key string"
+                )
+                corpus_sets = s.createDataFrame(
+                    [],
+                    "doc_id long, shingle_set array<string>, n_sh long",
+                )
+            with cache_scope():
+                batch_bands, batch_sets = minhash_index_for(batch_df)
+                batch_bands = persist_tracked(batch_bands)
+                batch_sets = persist_tracked(batch_sets)
+                kept_ids = incremental_minhash_dedup_probed(
+                    corpus_bands,
+                    corpus_sets,
+                    batch_bands,
+                    batch_sets,
+                    batch_df.select("doc_id"),
+                )
+                kept_ids.write.mode("overwrite").parquet(
+                    os.path.join(kept_dir, f"bno={bno}")
+                )
+                kept_again = s.read.parquet(
+                    os.path.join(kept_dir, f"bno={bno}")
+                )
+                land_bands = (
+                    batch_bands.join(kept_again, "doc_id", "semi")
+                    .withColumn("bno", F.lit(bno))
+                )
+                land_sets = (
+                    batch_sets.join(kept_again, "doc_id", "semi")
+                    .withColumn("bno", F.lit(bno))
+                )
+                if not s.catalog.tableExists(bands_tbl):
+                    land_bands.write.partitionBy("bno").bucketBy(
+                        32, "band_idx", "band_key"
+                    ).sortBy("band_idx", "band_key").mode(
+                        "overwrite"
+                    ).saveAsTable(bands_tbl)
+                else:
+                    land_bands.select(
+                        "doc_id", "band_idx", "band_key", "bno"
+                    ).write.insertInto(bands_tbl, overwrite=True)
+                if not s.catalog.tableExists(sets_tbl):
+                    land_sets.write.partitionBy("bno").bucketBy(
+                        32, "doc_id"
+                    ).sortBy("doc_id").mode("overwrite").saveAsTable(
+                        sets_tbl
+                    )
+                else:
+                    land_sets.select(
+                        "doc_id", "shingle_set", "n_sh", "bno"
+                    ).write.insertInto(sets_tbl, overwrite=True)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(kept_dir).select(
+            "doc_id", F.col("bno").cast("int").alias("batch_no")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {bands_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {sets_tbl}")
         shutil.rmtree(workdir, ignore_errors=True)

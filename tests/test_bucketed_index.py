@@ -92,3 +92,72 @@ def test_bucketed_arm_matches_plain_arm(spark, sf_dir):
         .collect()
     }
     assert plain == bucketed
+
+
+def test_bucketed_dedup_arm_matches_plain_arm(spark, sf_dir):
+    from stakehouse_etl_spark.queries.catalog import QUERIES
+
+    plain = {
+        (r["doc_id"], r["batch_no"])
+        for r in QUERIES["stream_incremental_dedup"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    bucketed = {
+        (r["doc_id"], r["batch_no"])
+        for r in QUERIES["stream_incremental_dedup_bucketed"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert plain == bucketed
+
+
+def test_probed_core_caps_exactly_like_the_window_form(spark):
+    """The probed core's count+broadcast-anti-join cap must drop
+    exactly the rows the union-window form drops — build a corpus with
+    one over-cap band bucket and assert both forms keep the same ids.
+    """
+    from pyspark.sql import functions as F
+
+    from stakehouse_etl_spark.operators.dedup import (
+        incremental_minhash_dedup_indexed,
+        incremental_minhash_dedup_probed,
+    )
+
+    # 6 corpus docs + 2 batch docs share band ("b", "hot") → bucket of
+    # 8 > cap 5; one other bucket stays under cap and verifies a real
+    # near-dup pair (identical singleton sets → Jaccard 100).
+    cb = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(6)] + [(6, 1, "cold")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    cs = spark.createDataFrame(
+        [(i, ["x"], 1) for i in range(7)],
+        "doc_id long, shingle_set array<string>, n_sh long",
+    )
+    bb = spark.createDataFrame(
+        [(10, 0, "hot"), (11, 0, "hot"), (12, 1, "cold")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    bs = spark.createDataFrame(
+        [(10, ["x"], 1), (11, ["x"], 1), (12, ["x"], 1)],
+        "doc_id long, shingle_set array<string>, n_sh long",
+    )
+    ids = spark.createDataFrame([(10,), (11,), (12,)], "doc_id long")
+    args = dict(threshold_pct=20, max_bucket=5)
+    window_form = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup_indexed(
+            cb, cs, bb, bs, ids, **args
+        ).collect()
+    }
+    probed_form = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup_probed(
+            cb, cs, bb, bs, ids, **args
+        ).collect()
+    }
+    # hot bucket capped → docs 10/11 keep (no candidates); cold bucket
+    # under cap → doc 12 verified against doc 6 (J=1.0 ≥ 0.2) → drop.
+    assert window_form == {10, 11}
+    assert probed_form == window_form
