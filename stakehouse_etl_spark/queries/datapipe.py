@@ -858,17 +858,25 @@ def stream_incremental_dedup_bucketed_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """``stream_incremental_dedup`` with BOTH stored index tables
-    landed as bucketed catalog tables and the probe restructured so no
-    per-batch operation shuffles the stored state
-    (``incremental_minhash_dedup_probed``): the band table is bucketed
-    on (band_idx, band_key) — the hot-bucket count agg and the
-    candidate join reuse its layout with zero exchange — and the
-    shingle-set table on doc_id, so the verify join shuffles only the
-    candidate pairs. The over-cap key set (buckets > cap, tiny by
-    construction) is broadcast anti-joined instead of a window over
-    corpus∪batch. Retry idempotence via dynamic partition overwrite of
-    the batch's own ``bno`` partition, as in the span arm. Same oracle
-    as ``stream_incremental_dedup``; value-identical kept table."""
+    landed as bucketed catalog tables and the probe restructured
+    (``incremental_minhash_dedup_probed``) so the per-batch plan has
+    no state-sized EXCHANGE: the band table is bucketed on (band_idx,
+    band_key), the set table on doc_id, and the hot-bucket cap is a
+    shuffle-free bucketed count + broadcast anti-join of the over-cap
+    keys instead of a window over corpus∪batch.
+
+    MEASURED NEGATIVE RESULT (r9, kept as the documented experiment —
+    the PLAIN arm remains the recommended form): at the 20-batch sf10
+    horizon this arm's per-batch wall GROWS +7.7%/batch (10 → 38 s)
+    while the plain arm stays flat (~5.5 s). Removing the exchange is
+    not the win here: the plain form's union window plus both join
+    consumers share ONE pass over the state via exchange reuse,
+    whereas the split probe makes TWO full passes (the count agg and
+    the candidate join's sort) — static plans: 31 exchanges/27 sorts
+    vs the window form's 15/11. Bucketing pays when it REMOVES a pass
+    (the span arm's redundant per-batch distinct), not when the
+    restructure adds one. Value-identical throughout (same oracle,
+    equivalence + cap-exactness pinned in tests/test_bucketed_index)."""
     import os
     import shutil
     import tempfile
