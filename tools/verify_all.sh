@@ -25,6 +25,9 @@ python -m pytest tests/ -q
 echo "== 2/15 oracle gate, sf0.01 (the driver's rung) =="
 python tools/check.py /root/testdata/sf0.01
 
+echo "== 2b/15 driver-canonicalizer simulation on the rotation sample =="
+python tools/driver_canon_sim.py /root/testdata/sf0.01
+
 echo "== 3/15 bench (sf0.1 headline suite) =="
 python bench.py
 
