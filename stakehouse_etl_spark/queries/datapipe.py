@@ -954,11 +954,14 @@ def stream_incremental_dedup_bucketed_q(
                     .withColumn("bno", F.lit(bno))
                 )
                 if not s.catalog.tableExists(bands_tbl):
+                    # EXTERNAL tables under the query's tempdir — the
+                    # managed default is the driver session's
+                    # warehouse dir, not assumed writable.
                     land_bands.write.partitionBy("bno").bucketBy(
                         32, "band_idx", "band_key"
-                    ).sortBy("band_idx", "band_key").mode(
-                        "overwrite"
-                    ).saveAsTable(bands_tbl)
+                    ).sortBy("band_idx", "band_key").option(
+                        "path", os.path.join(workdir, "bands_tbl")
+                    ).mode("overwrite").saveAsTable(bands_tbl)
                 else:
                     land_bands.select(
                         "doc_id", "band_idx", "band_key", "bno"
@@ -966,9 +969,9 @@ def stream_incremental_dedup_bucketed_q(
                 if not s.catalog.tableExists(sets_tbl):
                     land_sets.write.partitionBy("bno").bucketBy(
                         32, "doc_id"
-                    ).sortBy("doc_id").mode("overwrite").saveAsTable(
-                        sets_tbl
-                    )
+                    ).sortBy("doc_id").option(
+                        "path", os.path.join(workdir, "sets_tbl")
+                    ).mode("overwrite").saveAsTable(sets_tbl)
                 else:
                     land_sets.select(
                         "doc_id", "shingle_set", "n_sh", "bno"

@@ -457,9 +457,15 @@ def stream_span_scrub_bucketed_q(
                     .withColumn("bid", F.lit(int(batch_id)))
                 )
                 if not s.catalog.tableExists(tbl):
+                    # EXTERNAL table under the query's own tempdir:
+                    # the default managed location is the session's
+                    # warehouse dir (the DRIVER's cwd), which this
+                    # query must not assume writable.
                     new_grams.write.partitionBy("bid").bucketBy(
                         32, "gram"
-                    ).sortBy("gram").mode("overwrite").saveAsTable(tbl)
+                    ).sortBy("gram").option(
+                        "path", os.path.join(workdir, "idx_tbl")
+                    ).mode("overwrite").saveAsTable(tbl)
                 else:
                     # Positional insert: column order must match the
                     # table (gram, then the bid partition column).
