@@ -94,6 +94,29 @@ def test_bucketed_arm_matches_plain_arm(spark, sf_dir):
     assert plain == bucketed
 
 
+def test_compaction_preserves_scrub_output(spark, sf_dir, monkeypatch):
+    """Run the bucketed span arm with compaction triggering TWICE
+    (6 batches, compact every 2) and assert the scrub output still
+    equals the plain arm's — the presence-set crash-safety argument
+    (duplicates inert under semi/anti probes) plus the pre-batch-only
+    compaction window, exercised end-to-end."""
+    from stakehouse_etl_spark.queries.catalog import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCHES", "6")
+    monkeypatch.setenv("SPARK_GRAFT_SPAN_COMPACT_EVERY", "2")
+    plain = {
+        (r["doc_id"], r["cleaned_fp"], r["n_kept"], r["batch_no"])
+        for r in QUERIES["stream_span_scrub"].fn(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r["doc_id"], r["cleaned_fp"], r["n_kept"], r["batch_no"])
+        for r in QUERIES["stream_span_scrub_bucketed"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert plain == bucketed
+
+
 def test_bucketed_dedup_arm_matches_plain_arm(spark, sf_dir):
     from stakehouse_etl_spark.queries.catalog import QUERIES
 
