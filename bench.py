@@ -307,13 +307,27 @@ def run() -> None:
         # rather than print an over-limit line the driver truncates
         # mid-JSON.
         while len(line) > 1900 and line_rec["queries"]:
-            keep = sorted(line_rec["queries"])[: len(line_rec["queries"]) - 5]
+            keep = sorted(line_rec["queries"])[
+                : max(0, len(line_rec["queries"]) - 5)
+            ]
             line_rec["queries"] = {
                 k: line_rec["queries"][k] for k in keep
             }
             line_rec["queries_truncated"] = True
             line = json.dumps(line_rec, separators=(",", ":"))
-        assert len(line) <= 1900, f"bench line still {len(line)} chars"
+        if len(line) > 1900:
+            # Spec-minimum fallback: never lose the whole bench line.
+            line = json.dumps(
+                {
+                    "metric": record["metric"],
+                    "value": record["value"],
+                    "unit": record["unit"],
+                    "queries": {},
+                    "queries_truncated": True,
+                    "sf": record["sf"],
+                },
+                separators=(",", ":"),
+            )
     print(line)
     spark.stop()
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":

@@ -72,6 +72,19 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     return total
 
 
+def table_num_rows_or(sf_dir: str, name: str, default: int) -> int:
+    """Sized-or-default form of :func:`table_num_rows` for PLANNING
+    decisions (partition counts, dispatch thresholds): a footerless or
+    missing layout degrades to ``default`` instead of crashing the
+    query — the actual scan will then surface the real error, or read
+    whatever layout Spark itself can resolve (ADVICE r9: pipeline41
+    called the raising form unguarded while pipeline3 fell back)."""
+    try:
+        return table_num_rows(sf_dir, name)
+    except (FileNotFoundError, OSError):
+        return default
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain ``spark.read.parquet`` — no schema fudging,
     so Parquet statistics, pushdown and vectorized decoding all apply.

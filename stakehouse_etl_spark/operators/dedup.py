@@ -964,8 +964,20 @@ def incremental_minhash_dedup_probed(
             )
             .select(*keys)
         )
-        bb = batch_bands.join(F.broadcast(overcap), keys, "left_anti")
-        cb = corpus_bands.join(F.broadcast(overcap), keys, "left_anti")
+        # The over-cap key set is tiny on measured corpora, but its
+        # only hard bound is total_rows/max_bucket — under extreme
+        # skew a pinned broadcast could OOM the driver (ADVICE r9).
+        # Guard with an actual count (one cheap job over the already-
+        # aggregated counts) and fall back to a MERGE anti-join, the
+        # same bounded-memory strategy the verify joins pin.
+        overcap = persist_tracked(overcap)
+        n_overcap = overcap.count()
+        if n_overcap <= 2_000_000:
+            oc_b, oc_c = F.broadcast(overcap), F.broadcast(overcap)
+        else:
+            oc_b, oc_c = overcap.hint("MERGE"), overcap.hint("MERGE")
+        bb = batch_bands.join(oc_b, keys, "left_anti")
+        cb = corpus_bands.join(oc_c, keys, "left_anti")
     else:
         bb = batch_bands
         cb = corpus_bands

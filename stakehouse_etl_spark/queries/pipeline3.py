@@ -28,13 +28,9 @@ def _prefix_n_part(sf_dir: str) -> int:
     partitions the collect_list agg's per-task array state grows
     linearly with corpus — executor OOM at sf30 (1.5M docs, r9
     ladder; the r8 k-core class)."""
-    from stakehouse_etl_spark.io.sources import table_num_rows
+    from stakehouse_etl_spark.io.sources import table_num_rows_or
 
-    try:
-        n_docs = table_num_rows(sf_dir, "documents")
-    except (FileNotFoundError, OSError):
-        return 32
-    return max(32, n_docs // 10_000)
+    return max(32, table_num_rows_or(sf_dir, "documents", 0) // 10_000)
 
 # ---------------------------------------------------------------------------
 # Set-similarity joins

@@ -94,9 +94,12 @@ def graph_kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (footer-metadata row count, zero scan; ~3M pairs per task at
     # any sf) — what a 100 TB deployment does with
     # spark.sql.shuffle.partitions sized from catalog stats.
-    from stakehouse_etl_spark.io.sources import table_num_rows
+    from stakehouse_etl_spark.io.sources import table_num_rows_or
 
-    n_pairs_est = 2 * table_num_rows(sf_dir, "lineitem")
+    # Sized-or-default (ADVICE r9): a footerless/missing lineitem
+    # layout degrades to the 32-partition floor instead of crashing
+    # the sizing step before the scan even runs.
+    n_pairs_est = 2 * table_num_rows_or(sf_dir, "lineitem", 0)
     n_part = max(32, min(4096, n_pairs_est // 3_000_000))
     # The self-join's sort-merge also works per-partition slices that
     # grow with data at a fixed partition count — co-partition both

@@ -404,6 +404,8 @@ def _compact_gram_index(s, tbl: str, bno0: int, workdir: str) -> None:
     """
     import os
 
+    import shutil
+
     comp_tmp = os.path.join(workdir, f"compact_{bno0}")
     s.table(tbl).filter(F.col("bid") < bno0).select(
         "gram"
@@ -415,6 +417,15 @@ def _compact_gram_index(s, tbl: str, bno0: int, workdir: str) -> None:
         b = int(str(row[0]).split("=", 1)[1])
         if b < bno0 and b != -bno0:
             s.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (bid={b})")
+            # EXTERNAL table: DROP PARTITION only removes the catalog
+            # entry and RETAINS the data files, so without this rmtree
+            # a long-horizon run accumulates every dropped generation
+            # on disk alongside its compacted copy.
+            shutil.rmtree(
+                os.path.join(workdir, "idx_tbl", f"bid={b}"),
+                ignore_errors=True,
+            )
+    shutil.rmtree(comp_tmp, ignore_errors=True)
 
 
 @register(

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from stakehouse_etl_spark.io.sources import table_num_rows
+from stakehouse_etl_spark.io.sources import table_num_rows, table_num_rows_or
 
 
 def _write_chunk(path: str, n: int) -> None:
@@ -59,3 +59,12 @@ def test_num_rows_refuses_footerless_directory(tmp_path):
     shutil.rmtree(d)
     with pytest.raises(FileNotFoundError):
         table_num_rows(str(tmp_path), "t")
+
+
+def test_num_rows_or_degrades_not_crashes(tmp_path):
+    # Sizing call sites use the sized-or-default form (ADVICE r9:
+    # pipeline41 crashed on footerless layouts while pipeline3 fell
+    # back — the helper makes the hardening uniform).
+    assert table_num_rows_or(str(tmp_path), "missing", 0) == 0
+    _write_chunk(str(tmp_path / "t.parquet"), 7)
+    assert table_num_rows_or(str(tmp_path), "t", 0) == 7
