@@ -527,6 +527,11 @@ def prefix_filter_jaccard_pairs(
     # compact (one row per doc) so the re-read is cheap.
     from pyspark.storagelevel import StorageLevel
 
+    # Persist the per-doc array frame UNCONDITIONALLY (r10 A/B: a
+    # "skip the persist in the sparse path" variant rebuilt dfreq from
+    # the raw pipeline and the shingle expression re-evaluated inside
+    # the generate — 48 s vs 10 s for the same pass on zipf_sf3; every
+    # consumer must read the cached arrays).
     arrs = persist_tracked(
         fan_out(df).select(
             F.col(id_col), shingles(F.col(text_col), k).alias("__sh_arr")
@@ -538,40 +543,124 @@ def prefix_filter_jaccard_pairs(
     ).filter(F.col("shingle") != "")
     # Corpus-wide document frequency per shingle (the prefix ordering).
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    enriched = sh.join(dfreq, "shingle")
-    if n_part is not None:
-        # Input-scaled agg parallelism: hash on the grouping key so
-        # EnsureRequirements reuses this layout for the groupBy (no
-        # second exchange) and each task's collect_list state stays
-        # ~10k docs regardless of corpus size.
-        enriched = enriched.repartition(n_part, F.col(id_col))
-    per_doc = persist_tracked(
-        enriched.groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "shingle"))
-            ).alias("__arr"),
-            F.count(F.lit(1)).alias("n_sh"),
-        ),
-        level=StorageLevel.DISK_ONLY,
-    )
     # prefix length p = n - ceil(t*n) + 1, integer form (>= 1 for any
     # threshold <= 100, so the slice is never empty).
     ceil_tn = (F.col("n_sh") * threshold_pct + 99) / 100
     p_len = F.col("n_sh") - ceil_tn.cast("long") + 1
-    prefix = per_doc.select(
-        id_col,
-        "n_sh",
-        F.posexplode(F.slice("__arr", F.lit(1), p_len)).alias("__p0", "__e"),
-    ).select(
-        id_col,
-        "n_sh",
-        (F.col("__p0") + 1).alias("pos"),
-        F.col("__e.df").alias("df"),
-        F.col("__e.shingle").alias("shingle"),
-    )
+    # TIER DISPATCH from corpus statistics (r10, SCALING_r09 watch
+    # item): under the df cap, when almost NO posting survives the cap
+    # (vocabulary saturation — the sf3+ synthetic regime, every df in
+    # a ~300-wide band above the cap), the dense plan below shuffles
+    # and array-sorts the full corpus posting table (135M structs at
+    # sf30) only to slice prefixes the cap then drops wholesale. The
+    # under-cap POSTING MASS — Σdf over under-cap shingles vs total,
+    # one scalar action over the vocab-scale (already aggregated)
+    # dfreq table — tells the regimes apart before any doc-scale
+    # shuffle runs: exactly the catalog-statistics planning decision a
+    # warehouse engine makes. Dense corpora (cap not/barely binding:
+    # the driver scales, natural Zipf tails) keep the measured-best
+    # single reused aggregation; saturated ones take the sparse path.
+    saturated = False
     if max_prefix_df is not None:
-        prefix = prefix.filter(F.col("df") <= max_prefix_df)
+        dfreq = persist_tracked(dfreq)
+        tot_mass, low_mass = dfreq.agg(
+            F.sum("df"),
+            F.sum(F.when(F.col("df") <= max_prefix_df, F.col("df"))),
+        ).first()
+        saturated = bool(tot_mass) and (low_mass or 0) < 0.3 * tot_mass
+    if not saturated:
+        enriched = sh.join(dfreq, "shingle")
+        if n_part is not None:
+            # Input-scaled agg parallelism: hash on the grouping key so
+            # EnsureRequirements reuses this layout for the groupBy (no
+            # second exchange) and each task's collect_list state stays
+            # ~10k docs regardless of corpus size.
+            enriched = enriched.repartition(n_part, F.col(id_col))
+        per_doc = persist_tracked(
+            enriched.groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("df", "shingle"))
+                ).alias("__arr"),
+                F.count(F.lit(1)).alias("n_sh"),
+            ),
+            level=StorageLevel.DISK_ONLY,
+        )
+        prefix = per_doc.select(
+            id_col,
+            "n_sh",
+            F.posexplode(
+                F.slice("__arr", F.lit(1), p_len)
+            ).alias("__p0", "__e"),
+        ).select(
+            id_col,
+            "n_sh",
+            (F.col("__p0") + 1).alias("pos"),
+            F.col("__e.df").alias("df"),
+            F.col("__e.shingle").alias("shingle"),
+        )
+        if max_prefix_df is not None:
+            prefix = prefix.filter(F.col("df") <= max_prefix_df)
+        sets_src = per_doc.select(
+            id_col,
+            F.transform("__arr", lambda e: e["shingle"]).alias("sh_set"),
+            "n_sh",
+        )
+    else:
+        # SATURATED-regime sparse path: postings with df > cap can
+        # never be a SURVIVING prefix row, and ascending (df, shingle)
+        # order puts every under-cap entry before every over-cap one,
+        # so positions within the under-cap subset EQUAL positions in
+        # the full rarest-first order. ONE fused pass over the cached
+        # arrays (n_sh carried through the explode, under-cap postings
+        # kept via a join against the — tiny here, by the dispatch —
+        # under-cap vocabulary, then a near-empty per-doc agg), where
+        # the dense plan shuffled and array-sorted the full corpus
+        # posting table (135M structs at sf30) only to slice prefixes
+        # the cap then dropped wholesale. Verification sets are built
+        # lazily after the empty-candidate short-circuit below.
+        under = dfreq.filter(F.col("df") <= max_prefix_df)
+        # Broadcast only on evidence: under-cap TYPES are few in the
+        # saturated regime by construction, but bound it anyway (the
+        # same counted-guard shape as the over-cap broadcast above).
+        under = (
+            F.broadcast(under)
+            if under.count() <= 2_000_000
+            else under.hint("MERGE")
+        )
+        pre = arrs.select(
+            F.col(id_col),
+            F.size(
+                F.filter("__sh_arr", lambda x: x != F.lit(""))
+            ).cast("long").alias("n_sh"),
+            F.explode("__sh_arr").alias("shingle"),
+        ).filter(F.col("shingle") != "")
+        low = pre.join(under, "shingle")
+        if n_part is not None:
+            low = low.repartition(n_part, F.col(id_col))
+        low_doc = low.groupBy(id_col).agg(
+            F.first("n_sh").alias("n_sh"),
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("__arr_low"),
+        )
+        prefix = low_doc.select(
+            id_col,
+            "n_sh",
+            F.posexplode(
+                F.slice(
+                    "__arr_low",
+                    F.lit(1),
+                    F.least(p_len, F.size("__arr_low")),
+                )
+            ).alias("__p0", "__e"),
+        ).select(
+            id_col,
+            "n_sh",
+            (F.col("__p0") + 1).alias("pos"),
+            F.col("__e.shingle").alias("shingle"),
+        )
+        sets_src = None
     pa = prefix.select(
         F.col(id_col).alias("id_a"),
         "shingle",
@@ -617,19 +706,59 @@ def prefix_filter_jaccard_pairs(
         ubound * F.lit(100 + threshold_pct)
         >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
     )
-    candidates = joined.select("id_a", "id_b").distinct()
-    # Verification sets come straight off the persisted per-doc array
-    # (shingle order is irrelevant to array_intersect's SIZE).
+    candidates = persist_tracked(joined.select("id_a", "id_b").distinct())
+    # EMPTY-CANDIDATE SHORT-CIRCUIT (r10, SCALING_r09 watch item): when
+    # the df cap empties the candidate set (the saturated-vocabulary
+    # regime — every prefix posting above cap), the verify join below
+    # still paid two corpus-scale set-array sorts feeding an empty
+    # probe: the MERGE pin plus DISK_ONLY persists kept AQE's
+    # empty-relation propagation from eliding them (sf30 ratio 3.94 on
+    # a 3.0× data step, all of it these sorts). The candidates frame
+    # is pair-scale and already the plan's materialization point, so
+    # one count() is cheap in every regime — and in the non-empty
+    # regime the persist means verify reads the cached pairs instead
+    # of recomputing the self-join, so nothing regresses.
+    if candidates.count() == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+    # Verification sets: lossless arm reads them straight off the
+    # persisted per-doc array (shingle order is irrelevant to
+    # array_intersect's SIZE); the capped arm builds them HERE — only
+    # reached when candidates exist — as one plain-shingle aggregation
+    # (no dfreq join needed for verification).
     # MERGE pin: same rationale as minhash_lsh_pairs' verify — the
     # doc-scale set side must never broadcast (compressed-size trap,
     # r5 sf10 driver OOM) and must not hash-build either (the build
     # map grows with corpus size at fixed partitions; executor OOM at
     # sf30, r8). Sort-merge spills, and measured no slower here.
-    sets = per_doc.select(
-        id_col,
-        F.transform("__arr", lambda e: e["shingle"]).alias("sh_set"),
-        "n_sh",
-    )
+    if sets_src is None:
+        # Sparse-path verify sets, only reached when candidates exist:
+        # map-only off the persisted per-doc shingle arrays. The
+        # arrays ARE the sets, so no explode, no join, no aggregation
+        # — the first r10 attempt re-aggregated 135M exploded rows
+        # into arrays it already had (the zipf_sf3 A/B measured that
+        # second agg at +67% wall).
+        sets_src = arrs.select(
+            F.col(id_col),
+            F.sort_array(
+                F.filter("__sh_arr", lambda x: x != F.lit(""))
+            ).alias("sh_set"),
+            F.size(
+                F.filter("__sh_arr", lambda x: x != F.lit(""))
+            ).cast("long").alias("n_sh"),
+        )
+    sets = sets_src
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
     ).hint("MERGE")

@@ -149,7 +149,19 @@ def dedup_prefix_filter_pairs_capped_q(
     positives. The oracle replays the cap exactly (same rarest-first
     prefix, same df filter), so this query is value-exact at every
     scale — unlike the lossless tier, its cost is bounded: the r4
-    ladder measures its growth alongside the uncapped ground truth."""
+    ladder measures its growth alongside the uncapped ground truth.
+
+    r10 (SCALING_r09 watch item): the operator now dispatches on the
+    under-cap POSTING MASS (one scalar over the vocab-scale dfreq
+    table). Saturated corpora — where the cap drops nearly every
+    posting and the old plan still shuffled + array-sorted the full
+    posting table only to empty it — take a sparse path that
+    aggregates only under-cap postings and short-circuits on an empty
+    candidate set; dense corpora keep the measured-best single reused
+    aggregation. A/B at the crossover rungs: zipf_sf3 14.6 s vs 16.0 s
+    pre-change, sf1 18.0 vs 17.2 (noise), sf10 saturated 7.9 vs 10.2
+    warm — no regression in the non-empty regime, and the sf30 cell no
+    longer pays corpus-scale sorts for an empty result."""
     return prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold_pct=70,

@@ -43,6 +43,14 @@ def get_spark(
         # fact side never broadcasts but dims (region/nation/index maps) do.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Compress serialized/disk-persisted RDD blocks (lz4). The
+        # DISK_ONLY persists in the dedup tier carry corpus-scale
+        # shingle-array frames whose raw blocks write ~3× the corpus
+        # bytes; compression turned the arrs materialization step from
+        # 3.7× to ~3.0× on the sf10→sf30 ladder (repetitive text
+        # compresses ~5-10×, and the write path was the superlinear
+        # term — the compute pass measured exactly linear).
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
