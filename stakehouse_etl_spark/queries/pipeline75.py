@@ -469,22 +469,72 @@ def stream_span_scrub_bucketed_q(
     index; the compacted bid is ``-batch_id``, strictly below every
     probe's ``bid < batch_id`` filter, and covers only PRE-batch bids
     so a re-executed batch never probes its own grams."""
-    import os
     import shutil
     import tempfile
     import uuid
 
+    workdir = tempfile.mkdtemp(prefix="stream_span_bkt_")
+    tbl = f"gram_idx_{uuid.uuid4().hex[:12]}"
+    try:
+        out = span_scrub_bucketed_run(spark, sf_dir, workdir, tbl)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _ensure_gram_table(spark: SparkSession, tbl: str, workdir: str) -> None:
+    """Re-register the landed EXTERNAL bucketed gram index in a fresh
+    session — the local stand-in for the persistent metastore a real
+    deployment has. A restarted driver (r10 crash-resume exercise)
+    gets a new in-memory catalog, but the index DATA (bucketed parquet
+    under ``workdir/idx_tbl``) survived; declaring the same schema +
+    bucketing over the surviving location and recovering partitions
+    restores exactly the table the crashed session had."""
+    import os
+
+    idx_path = os.path.join(workdir, "idx_tbl")
+    if spark.catalog.tableExists(tbl) or not os.path.isdir(idx_path):
+        return
+    spark.sql(
+        f"CREATE TABLE {tbl} (gram STRING, bid INT) USING parquet "
+        f"PARTITIONED BY (bid) "
+        f"CLUSTERED BY (gram) SORTED BY (gram) INTO 32 BUCKETS "
+        f"LOCATION '{idx_path}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+
+
+def span_scrub_bucketed_run(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    tbl: str,
+    fail_mid_batch: int | None = None,
+) -> DataFrame:
+    """Resumable core of ``stream_span_scrub_bucketed``: all state —
+    staged source, streaming checkpoint, scrubbed output, landed index
+    — lives under the caller's ``workdir``, and a fresh session
+    re-registers the surviving index table, so a run killed mid-batch
+    resumes from the checkpoint and must produce output hash-identical
+    to an uninterrupted run (tools/stream_resume.py exercises exactly
+    that at sf10; the caller owns teardown).
+
+    ``fail_mid_batch``: crash injection — raise inside that batch_id
+    AFTER the scrubbed-output write but BEFORE the index landing (the
+    torn mid-batch state the dynamic-partition-overwrite retry path
+    exists for)."""
+    import os
+
     from stakehouse_etl_spark.streaming.staging import stage_id_range_batches
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    workdir = tempfile.mkdtemp(prefix="stream_span_bkt_")
-    tbl = f"gram_idx_{uuid.uuid4().hex[:12]}"
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        _ensure_gram_table(spark, tbl, workdir)
         src = stage_id_range_batches(docs, workdir)
         out_dir = os.path.join(workdir, "out")
 
@@ -510,6 +560,13 @@ def stream_span_scrub_bucketed_q(
                 scrubbed.write.mode("overwrite").parquet(
                     os.path.join(out_dir, f"bid={int(batch_id)}")
                 )
+                if fail_mid_batch is not None and int(batch_id) == int(
+                    fail_mid_batch
+                ):
+                    raise RuntimeError(
+                        f"injected mid-batch crash at batch {batch_id}: "
+                        f"output committed, index NOT landed"
+                    )
                 _, gb = _pg(batch_df)
                 new_grams = (
                     gb.select("gram")
@@ -547,16 +604,20 @@ def stream_span_scrub_bucketed_q(
             .option("checkpointLocation", os.path.join(workdir, "ckpt"))
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
-        out = spark.read.parquet(out_dir).select(
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # Surface a foreachBatch failure as an exception (the injected
+        # crash, or any real one): processAllAvailable returns when the
+        # stream TERMINATES, including by error.
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.read.parquet(out_dir).select(
             "doc_id", "n_tokens", "n_kept", "n_scrubbed", "cleaned_fp",
             "batch_no",
         )
-        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(workdir, ignore_errors=True)

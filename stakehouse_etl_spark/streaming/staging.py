@@ -60,7 +60,18 @@ def stage_id_range_batches(
     cuts = [mx * i // n_b for i in range(1, n_b)]
     edges = [None] + cuts + [None]
     src = os.path.join(workdir, "src")
-    os.makedirs(src)
+    # Idempotent re-stage (r10 crash-resume): a restarted run reusing
+    # the same workdir must see the IDENTICAL already-staged source —
+    # chunk content is a deterministic function of (df, n_b), so if
+    # every chunk file is present the directory is that function's
+    # output and restaging would only disturb the mtime order the
+    # file source already checkpointed against.
+    if os.path.isdir(src) and all(
+        os.path.exists(os.path.join(src, f"{i}.parquet"))
+        for i in range(1, n_b + 1)
+    ):
+        return src
+    os.makedirs(src, exist_ok=True)
     for i in range(1, n_b + 1):
         lo, hi = edges[i - 1], edges[i]
         chunk = df
