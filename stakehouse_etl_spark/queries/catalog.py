@@ -144,22 +144,25 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 #
 # ROTATION (VERDICT r7 task #1, unchanged policy): a small standing
 # spine so the driver sample always covers the core §2 families, then
-# changed-code-first, then never-driver-checked. Round 9: 7 anchors
-# (w2/j3 rotate back in for j1/j9 — all seven driver-green in prior
-# rounds) + 3 changed-code repeats (sim_pq_codebook: the r8 RED row,
-# its pq_codes array packed into one BIGINT; the two staged-stream
-# queries that now share the guarded stage_id_range_batches scaffold;
-# graph_kcore_peel, whose n_part sizing now survives partitioned
-# table layouts via the recursive table_num_rows) + 40 FIRST-TIME
-# entries: sim_quantize_int8 (same array→scalar contract fix, never
-# driver-checked) and 39 never-driver-checked picks spread across the
-# portable-SQL / join / aggregate / time-series / text / ML / graph /
-# streaming / DQ / multimodal families. Cumulative external coverage
-# target: >= 244/394 hashed. Queries rotated out stay under the local
-# full-catalog gate (tools/check.py, EXPECTED_MIN_QUERIES entries,
-# same DuckDB value-hash methodology).
+# changed-code-first, then never-driver-checked. Round 10: 7 anchors
+# (unchanged from r9 — all driver-green across prior rounds) + 5
+# changed-code repeats (BOTH prefix-filter arms: the operator gained
+# the posting-mass tier dispatch, the sparse saturated path, and the
+# empty-candidate short-circuit; all THREE streaming index arms:
+# plain dedup gained periodic band/set-index compaction, the probed
+# bucketed dedup gained the counted over-cap broadcast guard, and the
+# bucketed span scrub was split into a crash-resumable core with
+# compaction disk reclaim) + 38 FIRST-TIME entries spread across the
+# portable-SQL / set-op / scalar / sink / join / window / aggregate /
+# time-series / ML / DQ / graph / corpus / dedup / streaming /
+# similarity / layout / multimodal / incremental families. Cumulative
+# external coverage target: >= 283/396 hashed (151 never-checked
+# remain before this round; ~2 more rounds close the catalog).
+# Queries rotated out stay under the local full-catalog gate
+# (tools/check.py, EXPECTED_MIN_QUERIES entries, same DuckDB
+# value-hash methodology).
 DRIVER_PRIORITY = [
-    # --- §2 spine (7 anchors, all driver-green r1–r8) ---
+    # --- §2 spine (7 anchors, all driver-green r1–r9) ---
     "w1_user_income",
     "w2_income_epoch_hourly", "j3_order_lineitem_agg",
     "a1_pricing_summary",
@@ -167,38 +170,41 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "stream_stateful_income",
     # --- changed-code-first: repeats whose code changed this round ---
-    "sim_pq_codebook",           # r8 red row: pq_codes packed to BIGINT
-    "stream_incremental_dedup",  # shared staging scaffold gained guards
-    "graph_kcore_peel",          # table_num_rows now recurses (sizing)
-    # --- never-driver-checked (40, incl. the other contract fix) ---
-    "sim_quantize_int8",         # q8 array → lossless CSV string
-    "stream_span_scrub_bucketed",  # NEW r9: bucketed-index probe arm
-    "stream_incremental_dedup_bucketed",  # NEW r9: same, dedup index
+    "dedup_prefix_filter_pairs",         # lossless arm: shared restructure
+    "dedup_prefix_filter_pairs_capped",  # tier dispatch + short-circuit
+    "stream_incremental_dedup",          # index compaction every K batches
+    "stream_span_scrub_bucketed",        # resumable core + disk reclaim
+    "stream_incremental_dedup_bucketed", # counted over-cap broadcast guard
+    # --- never-driver-checked (38) ---
     # portable-SQL surface
-    "sql_portable_cte_case", "sql_portable_exists",
-    "sql_portable_not_exists", "sql_portable_filter_agg",
-    # joins
-    "j13_bloom_prefilter_join", "j19_interval_overlap_pairs",
-    "j25_asof_forward", "j29_asof_nearest", "j30_null_join_matrix",
+    "sql_portable_rollup", "sql_portable_left_coalesce",
+    "sql_portable_group_by_all", "sql_portable_lateral",
+    "sql_param_binding",
+    # set ops / scalar kernels / sinks / joins / windows
+    "u2_except_all", "u6_unpivot_long",
+    "f15_month_end_clamp", "f16_null_agg_kernel",
+    "k7_snapshot_version_diff",
+    "j15_drill_across", "j23_late_dim_inferred",
+    "w9_percent_of_total",
     # aggregates
-    "a_percentile_kernel", "a_mode_kernel",
-    "a_trimmed_mean", "a_bool_agg_family",
+    "a_rollup_region_nation", "a_cube_region_segment",
+    "a_weighted_median",
     # time series
-    "ts_time_weighted_avg", "ts_anomaly_zscore", "ts_interval_coalesce",
-    "ts_max_concurrency", "ts_run_length_encode",
-    # text / corpus
-    "text_vocab_overlap", "text_collocations_pmi", "text_url_normalize",
-    "corpus_sample_stratified", "corpus_token_budget_trim",
+    "ts_cohort_retention", "ts_mom_growth", "ts_markov_transitions",
+    "ts_vwap_monthly",
     # ML / eval plumbing
-    "ml_kmeans_assign", "ml_knn_label_precision", "ml_ab_welch_t",
-    "ml_wilson_ci", "ml_f1_per_class",
-    # streaming
-    "stream_append_eviction", "stream_topk_leaderboard",
-    # graph
-    "graph_degree_distribution", "graph_tree_rollup",
-    # DQ / maintenance / multimodal / set ops / scalar kernels
-    "dq_constraint_report", "maint_compact_small_files",
-    "mm_bmp_histogram", "u5_symmetric_diff", "f11_array_kernel",
+    "ml_group_ols_trend", "ml_chi2_drift", "ml_ks_two_sample",
+    "ml_kaplan_meier",
+    # DQ
+    "dq_freshness_lag", "dq_golden_record", "dq_uniqueness_profile",
+    # graph / corpus / dedup
+    "graph_jaccard_similarity",
+    "corpus_sample_weighted", "corpus_dedup_rate_by_source",
+    "dedup_snm_pairs", "dedup_threshold_sweep",
+    # streaming / similarity / layout / multimodal / incremental
+    "stream_cusum_drift", "stream_observe_metrics",
+    "sim_dim_ablation", "layout_zorder_stats",
+    "mm_multiframe_sample", "inc_topk_merge",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

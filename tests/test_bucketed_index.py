@@ -184,3 +184,68 @@ def test_probed_core_caps_exactly_like_the_window_form(spark):
     # under cap → doc 12 verified against doc 6 (J=1.0 ≥ 0.2) → drop.
     assert window_form == {10, 11}
     assert probed_form == window_form
+
+
+def test_crash_resume_replays_torn_batch(spark, sf_dir, tmp_path):
+    """In-session kill/resume pin for the resumable core (the
+    cross-process twin runs at sf10 via tools/stream_resume.py,
+    STREAMRESUME_r10.json): inject a crash in batch 1 AFTER the
+    scrubbed-output write but BEFORE the index landing — the torn
+    mid-batch state — then re-enter the same workdir. The checkpoint
+    must replay exactly the torn batch and the final output must equal
+    an uninterrupted run's."""
+    import uuid as _uuid
+
+    from stakehouse_etl_spark.queries.pipeline75 import (
+        span_scrub_bucketed_run,
+    )
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["cleaned_fp"], r["n_kept"], r["batch_no"])
+            for r in df.collect()
+        }
+
+    ref_tbl = f"gram_idx_test_ref_{_uuid.uuid4().hex[:8]}"
+    res_tbl = f"gram_idx_test_res_{_uuid.uuid4().hex[:8]}"
+    try:
+        ref = rows(
+            span_scrub_bucketed_run(
+                spark, sf_dir, str(tmp_path / "ref"), ref_tbl
+            )
+        )
+        workdir = str(tmp_path / "crash")
+        with pytest.raises(Exception, match="injected mid-batch crash"):
+            span_scrub_bucketed_run(
+                spark, sf_dir, workdir, res_tbl, fail_mid_batch=1
+            )
+        resumed = rows(
+            span_scrub_bucketed_run(spark, sf_dir, workdir, res_tbl)
+        )
+        assert resumed == ref
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ref_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {res_tbl}")
+
+
+def test_plain_dedup_compaction_preserves_output(spark, sf_dir, monkeypatch):
+    """The plain arm's band/set-index compaction (every K batches)
+    must be value-invisible: 6 batches with compaction at K=2 equals
+    compaction disabled."""
+    from stakehouse_etl_spark.queries.catalog import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCHES", "6")
+
+    def run():
+        return {
+            (r["doc_id"], r["batch_no"])
+            for r in QUERIES["stream_incremental_dedup"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "2")
+    compacted = run()
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "0")
+    plain = run()
+    assert compacted == plain
