@@ -391,31 +391,55 @@ def _compact_every(default: int = 8) -> int:
 
 
 def _compact_gram_index(s, tbl: str, bno0: int, workdir: str) -> None:
-    """Rewrite every PRE-batch generation (``bid < bno0``) into one
-    negative-bid partition (``bid = -bno0``) and drop the originals.
+    """TIERED fold (r10): rewrite only the POSITIVE pre-batch
+    generations (``0 <= bid < bno0`` — landed since the last
+    compaction) into one ``bid = -bno0`` partition and drop them,
+    leaving prior compacted (negative-bid) runs untouched. Each
+    compaction event then costs ~K batch-sizes of IO regardless of
+    total state; the r9 full-rewrite form re-folded the whole index
+    every event, so its spikes grew with state (the plain-index twin
+    measured 7.1 s → 29.8 s across a 40-batch horizon before the same
+    fix, datapipe._compact_plain_index).
 
     Ordering makes every crash point safe for a presence-set index
     probed by semi/anti joins (duplicates are inert): the compacted
     generation is fully committed before any original is dropped, a
     torn compacted partition is a subset of the still-present
     originals, and a compaction retry recomputes from whatever
-    remains. The temp-parquet bounce exists because Spark refuses an
-    ``insertInto`` whose source reads the table being overwritten.
+    remains (an empty refold re-overwrites ``bid=-bno0`` with a subset
+    — only if the originals were already dropped, in which case the
+    dynamic-partition overwrite of an identical-content partition is a
+    no-op in effect). The temp-parquet bounce exists because Spark
+    refuses an ``insertInto`` whose source reads the table being
+    overwritten.
     """
     import os
 
     import shutil
 
+    # Retry guard: if a previous execution already dropped the
+    # positive generations, re-inserting an empty fold would ERASE the
+    # committed -bno0 partition (dynamic overwrite replaces it).
+    positives = [
+        int(str(row[0]).split("=", 1)[1])
+        for row in s.sql(f"SHOW PARTITIONS {tbl}").collect()
+    ]
+    if not any(0 <= b < bno0 for b in positives):
+        return
     comp_tmp = os.path.join(workdir, f"compact_{bno0}")
-    s.table(tbl).filter(F.col("bid") < bno0).select(
-        "gram"
+    s.table(tbl).filter(
+        (F.col("bid") >= 0) & (F.col("bid") < bno0)
+    ).select("gram").unionByName(
+        # Fold the previous target too if a torn retry left it behind
+        # alongside surviving positives (subset-safe either way).
+        s.table(tbl).filter(F.col("bid") == -bno0).select("gram")
     ).distinct().write.mode("overwrite").parquet(comp_tmp)
     s.read.parquet(comp_tmp).withColumn(
         "bid", F.lit(-bno0)
     ).select("gram", "bid").write.insertInto(tbl, overwrite=True)
     for row in s.sql(f"SHOW PARTITIONS {tbl}").collect():
         b = int(str(row[0]).split("=", 1)[1])
-        if b < bno0 and b != -bno0:
+        if 0 <= b < bno0:
             s.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (bid={b})")
             # EXTERNAL table: DROP PARTITION only removes the catalog
             # entry and RETAINS the data files, so without this rmtree

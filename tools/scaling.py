@@ -79,6 +79,14 @@ if os.environ.get("SPARK_GRAFT_SCALING_SF10") == "1":
     LOCAL.append(os.path.join(REPO, "localdata", "sf10"))
 if os.environ.get("SPARK_GRAFT_SCALING_SF30") == "1":
     LOCAL.append(os.path.join(REPO, "localdata", "sf30"))
+# Zipf rungs (VERDICT r9 task 4): the non-saturated skewed-text corpus
+# — 10k-type Zipf vocabulary that grows its gram space with size — for
+# ladders whose uniform-corpus cells are confounded by vocabulary
+# saturation (the span family). Select via SPARK_GRAFT_SCALING_RUNGS
+# with the local_zipf_sf* keys.
+if os.environ.get("SPARK_GRAFT_SCALING_ZIPF") == "1":
+    for _z in ("zipf_sf1", "zipf_sf3", "zipf_sf10"):
+        LOCAL.append(os.path.join(REPO, "localdata", _z))
 
 DEFAULT = [
     "w1_user_income",
