@@ -80,6 +80,31 @@ def fan_out(df: DataFrame) -> DataFrame:
                 return df
     except Exception:
         pass  # non-scan-rooted plans: fall through to the exact probe
+    # Byte-range splits LIE about parallelism for few-file parquet
+    # inputs: FileSourceScanExec plans `size/maxSplitBytes` splits, but
+    # a parquet split only produces rows when a ROW-GROUP start falls
+    # inside it — a single 130 MB file with 3 row groups plans 32
+    # splits of which 29 read nothing (r10 zipf ladder: the whole
+    # explode+hash pipeline ran at parallelism 3/32 and the cell read
+    # as 8x superlinear). Footers are metadata-cheap at this file
+    # count; when effective parallelism (total row groups) is below
+    # target, force the spread.
+    try:
+        files = df.inputFiles()
+        if files and len(files) < target and all(
+            f.endswith(".parquet") for f in files
+        ):
+            import pyarrow.parquet as pq
+            from urllib.parse import urlparse
+
+            n_rg = sum(
+                pq.read_metadata(urlparse(f).path).num_row_groups
+                for f in files
+            )
+            if n_rg < target:
+                return df.repartition(target)
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

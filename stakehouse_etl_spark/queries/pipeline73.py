@@ -117,14 +117,32 @@ def _positional_grams(
     n = F.size("toks")
     # sequence(0, -1) would generate a DESCENDING range for docs
     # shorter than K tokens — guard to an empty array instead.
+    # Shifted-slice construction (r10), NOT slice-inside-transform:
+    # `transform(sequence(0, n-k), i -> slice(toks, i+1, k))` copies k
+    # elements from the FULL array per window through an interpreted
+    # lambda — O(n·k) copies plus per-element overhead that measured
+    # O(n²)-shaped on long documents (one 5000-token doc cost 3.5× the
+    # same gram count spread over 50 short docs; the zipf lognormal
+    # length tail turned that into the dominant ladder term). Zipping
+    # k shifted slices builds each window by position — the same fix
+    # as operators/text.shingles (round-6 sf10 fuzz).
+    n_out = n - (k - 1)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("toks"), j + 1, n_out).alias(f"w{j}")
+            for j in range(k)
+        ]
+    )
     gram_structs = F.when(
         n >= k,
         F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.struct(
+            zipped,
+            lambda x, i: F.struct(
                 i.cast("long").alias("pos"),
                 F.md5(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))
+                    F.concat_ws(
+                        " ", *[x[f"w{j}"] for j in range(k)]
+                    )
                 ).alias("gram"),
             ),
         ),
