@@ -461,6 +461,7 @@ def prefix_filter_jaccard_pairs(
     threshold_pct: int = 70,
     max_prefix_df: int | None = None,
     n_part: int | None = None,
+    approx_doc_count: int | None = None,
 ) -> DataFrame:
     """Tier-2b: exact Jaccard similarity join via PREFIX FILTERING
     (the AllPairs/PPJoin family of set-similarity joins).
@@ -560,8 +561,18 @@ def prefix_filter_jaccard_pairs(
     # warehouse engine makes. Dense corpora (cap not/barely binding:
     # the driver scales, natural Zipf tails) keep the measured-best
     # single reused aggregation; saturated ones take the sparse path.
+    # The dispatch's mass action and the empty-candidate count are
+    # each a job barrier (~0.3-0.5 s of fixed cost) that only pays off
+    # where corpus-scale work is at stake; below ~100k docs the dense
+    # plan's whole cost is smaller than the barriers (bench r10 flagged
+    # +1.4x at sf0.1 from exactly these). Callers pass the footer-
+    # metadata doc count (zero scan); None (direct operator use) keeps
+    # the scale-safe behavior unconditionally.
+    small_corpus = (
+        approx_doc_count is not None and approx_doc_count < 100_000
+    )
     saturated = False
-    if max_prefix_df is not None:
+    if max_prefix_df is not None and not small_corpus:
         dfreq = persist_tracked(dfreq)
         tot_mass, low_mass = dfreq.agg(
             F.sum("df"),
@@ -706,7 +717,7 @@ def prefix_filter_jaccard_pairs(
         ubound * F.lit(100 + threshold_pct)
         >= (F.col("__na") + F.col("__nb")) * F.lit(threshold_pct)
     )
-    candidates = persist_tracked(joined.select("id_a", "id_b").distinct())
+    candidates = joined.select("id_a", "id_b").distinct()
     # EMPTY-CANDIDATE SHORT-CIRCUIT (r10, SCALING_r09 watch item): when
     # the df cap empties the candidate set (the saturated-vocabulary
     # regime — every prefix posting above cap), the verify join below
@@ -715,10 +726,13 @@ def prefix_filter_jaccard_pairs(
     # empty-relation propagation from eliding them (sf30 ratio 3.94 on
     # a 3.0× data step, all of it these sorts). The candidates frame
     # is pair-scale and already the plan's materialization point, so
-    # one count() is cheap in every regime — and in the non-empty
-    # regime the persist means verify reads the cached pairs instead
-    # of recomputing the self-join, so nothing regresses.
-    if candidates.count() == 0:
+    # one count() is cheap at scale — and in the non-empty regime the
+    # persist means verify reads the cached pairs instead of
+    # recomputing the self-join. Skipped below the small-corpus gate,
+    # where the barrier costs more than the verify it could save.
+    if not small_corpus:
+        candidates = persist_tracked(candidates)
+    if not small_corpus and candidates.count() == 0:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         id_type = df.schema[id_col].dataType

@@ -32,6 +32,15 @@ def _prefix_n_part(sf_dir: str) -> int:
 
     return max(32, table_num_rows_or(sf_dir, "documents", 0) // 10_000)
 
+
+def _doc_count_or_none(sf_dir: str) -> int | None:
+    """Footer-metadata doc count for the operator's small-corpus gate;
+    None (scale-safe behavior) when footers are unavailable."""
+    from stakehouse_etl_spark.io.sources import table_num_rows_or
+
+    n = table_num_rows_or(sf_dir, "documents", 0)
+    return n if n > 0 else None
+
 # ---------------------------------------------------------------------------
 # Set-similarity joins
 # ---------------------------------------------------------------------------
@@ -72,7 +81,10 @@ def dedup_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         twin="dedup_prefix_filter_pairs_capped",
     )
     return prefix_filter_jaccard_pairs(
-        docs, threshold_pct=70, n_part=_prefix_n_part(sf_dir)
+        docs,
+        threshold_pct=70,
+        n_part=_prefix_n_part(sf_dir),
+        approx_doc_count=_doc_count_or_none(sf_dir),
     )
 
 
@@ -167,6 +179,7 @@ def dedup_prefix_filter_pairs_capped_q(
         threshold_pct=70,
         max_prefix_df=PREFIX_DF_CAP,
         n_part=_prefix_n_part(sf_dir),
+        approx_doc_count=_doc_count_or_none(sf_dir),
     )
 
 
