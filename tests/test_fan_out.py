@@ -60,3 +60,53 @@ def test_small_single_file_input_fans_out(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     out = fan_out(docs)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_single_file_few_row_groups_fans_out(spark, tmp_path):
+    """Byte-range splits LIE for few-file parquet (r10 zipf catch): a
+    single file large enough to plan >= target splits but holding ONE
+    row group produces rows in exactly one task — fan_out must detect
+    the row-group ceiling from footers and repartition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = spark.sparkContext.defaultParallelism
+    import random
+
+    rng = random.Random(7)
+    n = 100_000
+    path = os.path.join(str(tmp_path), "one_rg.parquet")
+    # Incompressible payload so the file is big enough to plan many
+    # byte-range splits at the shrunk maxPartitionBytes below.
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(n)),
+                "payload": [
+                    "%064x" % rng.getrandbits(256) for _ in range(n)
+                ],
+            }
+        ),
+        path,
+        row_group_size=n,  # ONE row group
+    )
+    assert pq.read_metadata(path).num_row_groups == 1
+    df = spark.read.parquet(path)
+    # Precondition: the scan plans multiple byte-range splits (the
+    # pre-fix pass-through condition). If the file is too small for
+    # that on some conf, shrink maxPartitionBytes for the probe.
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        df = spark.read.parquet(path)
+        assert df.rdd.getNumPartitions() >= target, "precondition"
+        out = fan_out(df)
+        assert out.rdd.getNumPartitions() >= target
+        # The real invariant: rows actually SPREAD across tasks.
+        per_part = out.rdd.glom().map(len).collect()
+        assert sum(1 for c in per_part if c > 0) >= target // 2
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", before)
