@@ -94,15 +94,33 @@ def fan_out(df: DataFrame) -> DataFrame:
         if files and len(files) < target and all(
             f.endswith(".parquet") for f in files
         ):
-            import pyarrow.parquet as pq
-            from urllib.parse import urlparse
+            # Scan-rooted plans ONLY (ADVICE r10): inputFiles()
+            # traverses to leaf scans, so a frame already
+            # repartitioned (or shuffle-parallelized by a join/agg)
+            # upstream of us would still report the few leaf files —
+            # its partitions are REAL shuffle outputs and forcing a
+            # second full shuffle on row-group evidence would be
+            # pointless. Note the gate can't be getNumPartitions():
+            # for a scan-rooted frame that count is the byte-range
+            # split count, which over-reports effective parallelism in
+            # exactly the case this branch exists for (r10 zipf
+            # ladder). Plan shape is the discriminator: any node that
+            # introduces an exchange means the row-group count no
+            # longer describes the frame's parallelism.
+            plan_str = str(df._jdf.queryExecution().optimizedPlan())
+            if not any(
+                tok in plan_str
+                for tok in ("Repartition", "Join", "Aggregate", "Window", "Sort")
+            ):
+                import pyarrow.parquet as pq
+                from urllib.parse import urlparse
 
-            n_rg = sum(
-                pq.read_metadata(urlparse(f).path).num_row_groups
-                for f in files
-            )
-            if n_rg < target:
-                return df.repartition(target)
+                n_rg = sum(
+                    pq.read_metadata(urlparse(f).path).num_row_groups
+                    for f in files
+                )
+                if n_rg < target:
+                    return df.repartition(target)
     except Exception:
         pass
     if df.rdd.getNumPartitions() < target:

@@ -162,49 +162,48 @@ if len(QUERIES) < EXPECTED_MIN_QUERIES:
 # (tools/check.py, EXPECTED_MIN_QUERIES entries, same DuckDB
 # value-hash methodology).
 DRIVER_PRIORITY = [
-    # --- §2 spine (7 anchors, all driver-green r1–r9) ---
+    # --- §2 spine (7 anchors, all driver-green r1–r10) ---
     "w1_user_income",
     "w2_income_epoch_hourly", "j3_order_lineitem_agg",
     "a1_pricing_summary",
     "k1_upsert_sink",
     "dedup_minhash_lsh",
     "stream_stateful_income",
-    # --- changed-code-first: repeats whose code changed this round ---
-    "dedup_prefix_filter_pairs",         # lossless arm: shared restructure
-    "dedup_prefix_filter_pairs_capped",  # tier dispatch + short-circuit
-    "stream_incremental_dedup",          # index compaction every K batches
-    "stream_span_scrub_bucketed",        # resumable core + disk reclaim
-    "stream_incremental_dedup_bucketed", # counted over-cap broadcast guard
-    # --- never-driver-checked (38) ---
-    # portable-SQL surface
-    "sql_portable_rollup", "sql_portable_left_coalesce",
-    "sql_portable_group_by_all", "sql_portable_lateral",
-    "sql_param_binding",
-    # set ops / scalar kernels / sinks / joins / windows
-    "u2_except_all", "u6_unpivot_long",
-    "f15_month_end_clamp", "f16_null_agg_kernel",
-    "k7_snapshot_version_diff",
-    "j15_drill_across", "j23_late_dim_inferred",
-    "w9_percent_of_total",
-    # aggregates
-    "a_rollup_region_nation", "a_cube_region_segment",
-    "a_weighted_median",
-    # time series
-    "ts_cohort_retention", "ts_mom_growth", "ts_markov_transitions",
-    "ts_vwap_monthly",
-    # ML / eval plumbing
-    "ml_group_ols_trend", "ml_chi2_drift", "ml_ks_two_sample",
-    "ml_kaplan_meier",
-    # DQ
-    "dq_freshness_lag", "dq_golden_record", "dq_uniqueness_profile",
-    # graph / corpus / dedup
-    "graph_jaccard_similarity",
-    "corpus_sample_weighted", "corpus_dedup_rate_by_source",
-    "dedup_snm_pairs", "dedup_threshold_sweep",
-    # streaming / similarity / layout / multimodal / incremental
-    "stream_cusum_drift", "stream_observe_metrics",
-    "sim_dim_ablation", "layout_zorder_stats",
-    "mm_multiframe_sample", "inc_topk_merge",
+    # --- changed-code-first: repeats whose code changed this round
+    # (staging.py manifest guard, datapipe/pipeline75 compaction
+    # crash-safety — all three run through both) ---
+    "stream_incremental_dedup",
+    "stream_incremental_dedup_bucketed",
+    "stream_span_scrub_bucketed",
+    # --- never-driver-checked (40 of the 113 remaining) ---
+    # fan_out/text-path neighbors (operators/text.py changed r10+r11)
+    "text_oov_rate", "text_ngram_novelty", "text_bpe_pretoken_stats",
+    "text_rake_keywords", "text_stopword_discovery", "text_keyness_llr",
+    "corpus_length_bucket_stats", "corpus_filter_attribution",
+    # pipeline21: feature/dq plumbing
+    "ml_group_corr", "ml_kfold_assign", "ts_locf_resample",
+    "ml_quantile_bin_assign", "ml_target_encode_loo",
+    "dq_snapshot_diff", "dq_table_diff_digest",
+    # pipeline35: rank stats / dq
+    "ml_mannwhitney_u", "a_gini_region", "ml_decision_stump",
+    "dq_benford_digits", "dq_observe_metrics",
+    # analytics: pivot/explode/histogram kernels
+    "a_pivot_event_types", "a_unpivot_metrics",
+    "arr_posexplode_stats", "a_histogram_fixed_width",
+    # pipeline17 neighbors of the BPE tier
+    "ml_logit_hashed_score", "inc_join_view_delta",
+    "dq_join_cardinality_report",
+    # pipeline18: portable-SQL surface + calendar
+    "sql_portable_having_scalar", "sql_portable_window_values",
+    "sql_portable_bitwise_agg", "ts_weekday_profile",
+    # pipeline20: sketch/sampling/ewma
+    "a_pivot_status_matrix", "inc_distinct_sketch_merge",
+    "ml_negative_sampling", "ts_ewma_dyadic",
+    # pipeline22: graph/attribution/bitmask
+    "graph_copurchase_pairs", "ts_attribution_last_touch",
+    "ts_activity_bitmask", "ml_class_weights",
+    # W-family neighbor
+    "w1_income_with_withdrawals",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -714,6 +714,25 @@ def _dedup_compact_every(default: int = 8) -> int:
     )
 
 
+def _compact_maybe_fail(point: str, bno_cur: int) -> None:
+    """Env-gated crash injection for tools/stream_resume.py (VERDICT
+    r10 task 5: kill the plain dedup loop DURING a compaction fold).
+    ``SPARK_GRAFT_COMPACT_FAIL_POINT`` names the torn state to create
+    (pre_commit | mid_merge | post_commit); the optional
+    ``SPARK_GRAFT_COMPACT_FAIL_BNO`` restricts it to one fold event.
+    Never set outside the harness."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_COMPACT_FAIL_POINT") != point:
+        return
+    want_bno = os.environ.get("SPARK_GRAFT_COMPACT_FAIL_BNO")
+    if want_bno and int(want_bno) != bno_cur:
+        return
+    raise RuntimeError(
+        f"injected compaction crash at {point} (bno={bno_cur})"
+    )
+
+
 def _compact_plain_index(s: SparkSession, index_dir: str, bno_cur: int) -> None:
     """TIERED fold: rewrite only the POSITIVE pre-batch generations
     (``0 < bno < bno_cur`` — the ones landed since the last
@@ -737,6 +756,39 @@ def _compact_plain_index(s: SparkSession, index_dir: str, bno_cur: int) -> None:
     import os
     import shutil
 
+    # Orphan sweep (ADVICE r10): fold back sibling tmp dirs a prior
+    # torn execution left behind BEFORE reading the index. A `.merge_b`
+    # whose `bno=-b` target is missing is the one window where
+    # committed content exists ONLY in the tmp (crash between the
+    # rename-aside and the rename-in below) — renaming it in completes
+    # that fold. An `.old_b` aside is a subset of the merged run, and a
+    # `.compact_b` is derivable from still-present positives (both are
+    # only created before their content is committed elsewhere), so
+    # with the target present they are safe to drop.
+    base = os.path.basename(index_dir)
+    parent = os.path.dirname(index_dir) or "."
+
+    def _orphans(kind: str) -> list[tuple[int, str]]:
+        found = []
+        for name in os.listdir(parent):
+            if not name.startswith(f"{base}.{kind}_"):
+                continue
+            try:
+                found.append((int(name.rsplit("_", 1)[1]), os.path.join(parent, name)))
+            except ValueError:
+                continue
+        return found
+
+    for kind in ("merge", "old"):
+        for b, path in _orphans(kind):
+            tgt = os.path.join(index_dir, f"bno=-{b}")
+            if not os.path.isdir(tgt):
+                os.rename(path, tgt)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+    for _b, path in _orphans("compact"):
+        shutil.rmtree(path, ignore_errors=True)
+
     comp_tmp = index_dir + f".compact_{bno_cur}"
     (
         s.read.parquet(index_dir)
@@ -746,6 +798,7 @@ def _compact_plain_index(s: SparkSession, index_dir: str, bno_cur: int) -> None:
         .write.mode("overwrite")
         .parquet(comp_tmp)
     )
+    _compact_maybe_fail("pre_commit", bno_cur)
     target = os.path.join(index_dir, f"bno=-{bno_cur}")
     # A retried batch re-runs compaction with the same bno_cur: the
     # positive generations it folds were deleted by the first
@@ -775,10 +828,20 @@ def _compact_plain_index(s: SparkSession, index_dir: str, bno_cur: int) -> None:
             .parquet(merged_tmp)
         )
         shutil.rmtree(comp_tmp, ignore_errors=True)
-        shutil.rmtree(target, ignore_errors=True)
+        # Never delete the committed target before its replacement is
+        # in place (ADVICE r10): rename it ASIDE, rename the merge in,
+        # then drop the aside. A crash between the two renames leaves
+        # the content in `.merge_` (recovered by the entry sweep); a
+        # crash after leaves only the subset-aside (safe to drop).
+        aside = index_dir + f".old_{bno_cur}"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(target, aside)
+        _compact_maybe_fail("mid_merge", bno_cur)
         os.rename(merged_tmp, target)
+        shutil.rmtree(aside, ignore_errors=True)
     else:
         os.rename(comp_tmp, target)
+    _compact_maybe_fail("post_commit", bno_cur)
     for sub in os.listdir(index_dir):
         if not sub.startswith("bno="):
             continue
@@ -814,9 +877,37 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes. Banding and set-building are deterministic, so stored rows
     equal what the recompute form derives — value-identical by
     construction, proved by the unchanged oracle."""
-    import os
     import shutil
     import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        out = incremental_dedup_run(spark, sf_dir, workdir)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def incremental_dedup_run(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    fail_mid_batch: int | None = None,
+) -> DataFrame:
+    """Resumable core of ``stream_incremental_dedup``: all state —
+    staged source, streaming checkpoint, kept output, band + set
+    indexes (and their tiered compaction folds) — lives under the
+    caller's ``workdir``, so a run killed mid-batch (or mid-fold, via
+    the ``SPARK_GRAFT_COMPACT_FAIL_POINT`` injection in
+    ``_compact_plain_index``) resumes from the checkpoint and must
+    produce output hash-identical to an uninterrupted run
+    (tools/stream_resume.py --arm plain exercises that at sf10; the
+    caller owns teardown).
+
+    ``fail_mid_batch``: crash injection — raise inside that batch_id
+    AFTER the kept-ids write but BEFORE the index landings (the torn
+    mid-batch state the per-batch overwrite retry path exists for)."""
+    import os
 
     from stakehouse_etl_spark.caches import cache_scope, persist_tracked
     from stakehouse_etl_spark.operators.dedup import (
@@ -827,127 +918,138 @@ def stream_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    # Shared scaffold (streaming/staging.py): one mtime-ordered
+    # single-file chunk per intended micro-batch; batch count 3 at
+    # the gates, SPARK_GRAFT_STREAM_BATCHES for the fuzz harness.
+    src = stage_id_range_batches(docs, workdir)
+    kept_dir = os.path.join(workdir, "kept")
+    bands_dir = os.path.join(workdir, "band_index")
+    sets_dir = os.path.join(workdir, "set_index")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_no derives from the engine's batch_id and each
+        # batch OVERWRITES its own bno=<n> subdirectory in all
+        # three stored tables — same retry-idempotence shape as
+        # stream_span_scrub (review r7): a foreachBatch
+        # re-execution neither double-counts the batch number nor
+        # double-appends survivors, and every probe excludes the
+        # batch's own (already committed) partitions so the retry
+        # sees the exact state the first execution saw.
+        s = batch_df.sparkSession
+        bno = int(batch_id) + 1
+        # Only the batch-0 PATH-MISSING case may fall back to an
+        # empty index; any other read failure must propagate —
+        # a swallowed error silently skips dedup for the whole
+        # batch (ADVICE r7's wrong-answer-path class). BOTH dirs
+        # must exist: writes land bands before sets, so a crash
+        # between them leaves bands committed and sets missing —
+        # that is the batch-1 partial-commit retry state (its own
+        # bno would be filtered out anyway), not a corrupt index,
+        # and the retry must see the same empty corpus the first
+        # execution saw rather than fail on the sets read forever
+        # (review r8).
+        if os.path.exists(bands_dir) and os.path.exists(sets_dir):
+            corpus_bands = (
+                s.read.parquet(bands_dir)
+                .filter(F.col("bno") < bno)
+                .select("doc_id", "band_idx", "band_key")
+            )
+            corpus_sets = (
+                s.read.parquet(sets_dir)
+                .filter(F.col("bno") < bno)
+                .select("doc_id", "shingle_set", "n_sh")
+            )
+        else:
+            corpus_bands = s.createDataFrame(
+                [], "doc_id long, band_idx int, band_key string"
+            )
+            corpus_sets = s.createDataFrame(
+                [],
+                "doc_id long, shingle_set array<string>, n_sh long",
+            )
+        # cache_scope: the per-batch persists (the batch shingle
+        # table) release at batch end — on a 9-batch horizon the
+        # old leak-until-session-clear shape held 2 frames/batch.
+        with cache_scope():
+            batch_bands, batch_sets = minhash_index_for(batch_df)
+            # Three actions consume these (the kept_ids write and
+            # the two index landings); persisted, the banding /
+            # set-collection shuffles run once per batch instead
+            # of three times (review r8).
+            batch_bands = persist_tracked(batch_bands)
+            batch_sets = persist_tracked(batch_sets)
+            kept_ids = incremental_minhash_dedup_indexed(
+                corpus_bands,
+                corpus_sets,
+                batch_bands,
+                batch_sets,
+                batch_df.select("doc_id"),
+            )
+            kept_ids.write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"bno={bno}")
+            )
+            if fail_mid_batch is not None and int(batch_id) == int(
+                fail_mid_batch
+            ):
+                raise RuntimeError(
+                    f"injected mid-batch crash at batch {batch_id}: "
+                    f"output committed, index NOT landed"
+                )
+            # Land the SURVIVORS' index rows (the corpus side of
+            # every later batch is kept docs only, matching the
+            # recompute form's corpus = kept table).
+            kept_again = s.read.parquet(
+                os.path.join(kept_dir, f"bno={bno}")
+            )
+            batch_bands.join(kept_again, "doc_id", "semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(bands_dir, f"bno={bno}"))
+            batch_sets.join(kept_again, "doc_id", "semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sets_dir, f"bno={bno}"))
+        # INDEX COMPACTION every K batches (r10, VERDICT r9 #3):
+        # each batch lands one generation (32 files) per index, so
+        # at long horizons every probe's scan re-plans and re-reads
+        # k generations of small files — the same local-cost growth
+        # term the span family's bucketed arm retired with
+        # compaction (slope +1.8% → +0.41%/batch). Runs AFTER the
+        # batch's own landing and folds only PRE-batch generations
+        # (bno < current), so a re-executed batch still probes
+        # exactly the state its first execution saw (the compacted
+        # generation is content-equal to the originals it
+        # replaces); the index is probed by semi/anti joins and
+        # DISTINCT candidates, so a crash between the compacted
+        # write and the original deletes leaves duplicates that
+        # cannot change any result.
+        ce = _dedup_compact_every()
+        if ce and bno > 1 and bno % ce == 0:
+            for d in (bands_dir, sets_dir):
+                _compact_plain_index(s, d, bno)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
     try:
-        # Shared scaffold (streaming/staging.py): one mtime-ordered
-        # single-file chunk per intended micro-batch; batch count 3 at
-        # the gates, SPARK_GRAFT_STREAM_BATCHES for the fuzz harness.
-        src = stage_id_range_batches(docs, workdir)
-        kept_dir = os.path.join(workdir, "kept")
-        bands_dir = os.path.join(workdir, "band_index")
-        sets_dir = os.path.join(workdir, "set_index")
-
-        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-            # batch_no derives from the engine's batch_id and each
-            # batch OVERWRITES its own bno=<n> subdirectory in all
-            # three stored tables — same retry-idempotence shape as
-            # stream_span_scrub (review r7): a foreachBatch
-            # re-execution neither double-counts the batch number nor
-            # double-appends survivors, and every probe excludes the
-            # batch's own (already committed) partitions so the retry
-            # sees the exact state the first execution saw.
-            s = batch_df.sparkSession
-            bno = int(batch_id) + 1
-            # Only the batch-0 PATH-MISSING case may fall back to an
-            # empty index; any other read failure must propagate —
-            # a swallowed error silently skips dedup for the whole
-            # batch (ADVICE r7's wrong-answer-path class). BOTH dirs
-            # must exist: writes land bands before sets, so a crash
-            # between them leaves bands committed and sets missing —
-            # that is the batch-1 partial-commit retry state (its own
-            # bno would be filtered out anyway), not a corrupt index,
-            # and the retry must see the same empty corpus the first
-            # execution saw rather than fail on the sets read forever
-            # (review r8).
-            if os.path.exists(bands_dir) and os.path.exists(sets_dir):
-                corpus_bands = (
-                    s.read.parquet(bands_dir)
-                    .filter(F.col("bno") < bno)
-                    .select("doc_id", "band_idx", "band_key")
-                )
-                corpus_sets = (
-                    s.read.parquet(sets_dir)
-                    .filter(F.col("bno") < bno)
-                    .select("doc_id", "shingle_set", "n_sh")
-                )
-            else:
-                corpus_bands = s.createDataFrame(
-                    [], "doc_id long, band_idx int, band_key string"
-                )
-                corpus_sets = s.createDataFrame(
-                    [],
-                    "doc_id long, shingle_set array<string>, n_sh long",
-                )
-            # cache_scope: the per-batch persists (the batch shingle
-            # table) release at batch end — on a 9-batch horizon the
-            # old leak-until-session-clear shape held 2 frames/batch.
-            with cache_scope():
-                batch_bands, batch_sets = minhash_index_for(batch_df)
-                # Three actions consume these (the kept_ids write and
-                # the two index landings); persisted, the banding /
-                # set-collection shuffles run once per batch instead
-                # of three times (review r8).
-                batch_bands = persist_tracked(batch_bands)
-                batch_sets = persist_tracked(batch_sets)
-                kept_ids = incremental_minhash_dedup_indexed(
-                    corpus_bands,
-                    corpus_sets,
-                    batch_bands,
-                    batch_sets,
-                    batch_df.select("doc_id"),
-                )
-                kept_ids.write.mode("overwrite").parquet(
-                    os.path.join(kept_dir, f"bno={bno}")
-                )
-                # Land the SURVIVORS' index rows (the corpus side of
-                # every later batch is kept docs only, matching the
-                # recompute form's corpus = kept table).
-                kept_again = s.read.parquet(
-                    os.path.join(kept_dir, f"bno={bno}")
-                )
-                batch_bands.join(kept_again, "doc_id", "semi").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(bands_dir, f"bno={bno}"))
-                batch_sets.join(kept_again, "doc_id", "semi").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(sets_dir, f"bno={bno}"))
-            # INDEX COMPACTION every K batches (r10, VERDICT r9 #3):
-            # each batch lands one generation (32 files) per index, so
-            # at long horizons every probe's scan re-plans and re-reads
-            # k generations of small files — the same local-cost growth
-            # term the span family's bucketed arm retired with
-            # compaction (slope +1.8% → +0.41%/batch). Runs AFTER the
-            # batch's own landing and folds only PRE-batch generations
-            # (bno < current), so a re-executed batch still probes
-            # exactly the state its first execution saw (the compacted
-            # generation is content-equal to the originals it
-            # replaces); the index is probed by semi/anti joins and
-            # DISTINCT candidates, so a crash between the compacted
-            # write and the original deletes leaves duplicates that
-            # cannot change any result.
-            ce = _dedup_compact_every()
-            if ce and bno > 1 and bno % ce == 0:
-                for d in (bands_dir, sets_dir):
-                    _compact_plain_index(s, d, bno)
-
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-            .start()
-        )
         q.processAllAvailable()
-        q.stop()
-        out = spark.read.parquet(kept_dir).select(
-            "doc_id", F.col("bno").cast("int").alias("batch_no")
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        q.stop()
+    # Surface a foreachBatch failure as an exception (the injected
+    # crash, or any real one): processAllAvailable returns when the
+    # stream TERMINATES, including by error.
+    if q.exception() is not None:
+        raise q.exception()
+    # Lazy frame over workdir state; the registered wrapper collects
+    # before tearing the workdir down, resume harnesses read in place.
+    return spark.read.parquet(kept_dir).select(
+        "doc_id", F.col("bno").cast("int").alias("batch_no")
+    )
 
 
 @register(

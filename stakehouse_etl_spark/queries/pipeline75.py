@@ -420,6 +420,22 @@ def _compact_gram_index(s, tbl: str, bno0: int, workdir: str) -> None:
     # Retry guard: if a previous execution already dropped the
     # positive generations, re-inserting an empty fold would ERASE the
     # committed -bno0 partition (dynamic overwrite replaces it).
+    # Sweep fold tmps left by prior torn runs (ADVICE r10): a crash
+    # after writing comp_tmp but before the insertInto leaves the dir
+    # behind, and both the early-return below and the normal path's
+    # cleanup only handle the CURRENT fold — without this, torn
+    # crash/retry cycles accumulate one stale dir per fold for the
+    # run's lifetime. Their content is always derivable (originals are
+    # only dropped after the fold is committed into the table), so
+    # dropping them loses nothing.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(workdir, "compact_*")):
+        try:
+            if int(os.path.basename(stale).split("_", 1)[1]) <= bno0:
+                shutil.rmtree(stale, ignore_errors=True)
+        except ValueError:
+            continue
     positives = [
         int(str(row[0]).split("=", 1)[1])
         for row in s.sql(f"SHOW PARTITIONS {tbl}").collect()

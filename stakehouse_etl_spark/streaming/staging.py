@@ -17,6 +17,7 @@ VERDICT r7 task 2) — the correctness gates always run the default.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -62,15 +63,34 @@ def stage_id_range_batches(
     src = os.path.join(workdir, "src")
     # Idempotent re-stage (r10 crash-resume): a restarted run reusing
     # the same workdir must see the IDENTICAL already-staged source —
-    # chunk content is a deterministic function of (df, n_b), so if
-    # every chunk file is present the directory is that function's
-    # output and restaging would only disturb the mtime order the
-    # file source already checkpointed against.
-    if os.path.isdir(src) and all(
-        os.path.exists(os.path.join(src, f"{i}.parquet"))
-        for i in range(1, n_b + 1)
-    ):
-        return src
+    # chunk content is a deterministic function of (df, n_b), so a
+    # COMPLETED prior staging with the same parameters is that
+    # function's output and restaging would only disturb the mtime
+    # order the file source already checkpointed against. Presence of
+    # chunk files alone is not enough (ADVICE r10): a resume with a
+    # different SPARK_GRAFT_STREAM_BATCHES would silently reuse (or
+    # rewrite under checkpointed paths) chunks cut at different id
+    # ranges, and a file torn mid-copy passes a presence check. The
+    # manifest is written LAST, so its presence certifies a completed
+    # staging and records the parameters it was cut with.
+    manifest = os.path.join(src, "_staging_manifest.json")
+    params = {"n_batches": n_b, "id_col": id_col, "max_id": int(mx)}
+    if os.path.isdir(src):
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                staged = json.load(fh)
+            if staged == params:
+                return src
+            raise RuntimeError(
+                f"stage_id_range_batches: {src} was staged with {staged} "
+                f"but this run wants {params}; restaging over a source a "
+                "checkpoint may have processed would make resumed output "
+                "inconsistent — use a fresh workdir (or the original "
+                "SPARK_GRAFT_STREAM_BATCHES) instead"
+            )
+        # No manifest: the prior staging never completed, so no stream
+        # (and no checkpoint) ever read it — safe to rebuild cleanly.
+        shutil.rmtree(src)
     os.makedirs(src, exist_ok=True)
     for i in range(1, n_b + 1):
         lo, hi = edges[i - 1], edges[i]
@@ -85,4 +105,9 @@ def stage_id_range_batches(
         dst = os.path.join(src, f"{i}.parquet")
         shutil.copy(os.path.join(tmp, part), dst)
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    # Written last: certifies completion. The leading underscore keeps
+    # Spark's file listing (and therefore the streaming file source)
+    # from treating it as data.
+    with open(manifest, "w") as fh:
+        json.dump(params, fh)
     return src

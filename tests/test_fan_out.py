@@ -54,6 +54,22 @@ def test_many_tiny_files_still_fan_out(spark, tmp_path):
                 spark.conf.set(k, v)
 
 
+def test_already_repartitioned_frame_passes_through(spark, tmp_path):
+    """ADVICE r10: inputFiles() traverses to leaf scans, so a frame
+    already repartitioned upstream over a few-row-group source still
+    reports the few leaf files — but its partitions are REAL shuffle
+    outputs. The row-group branch must not force a second full
+    shuffle on leaf-footer evidence."""
+    target = spark.sparkContext.defaultParallelism
+    path = os.path.join(str(tmp_path), "single")
+    spark.range(10_000).selectExpr(
+        "id", "repeat('x', 8) as payload"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path).repartition(target)
+    out = fan_out(df)
+    assert out is df, "expected identity pass-through, got a new plan"
+
+
 def test_small_single_file_input_fans_out(spark):
     from stakehouse_etl_spark.io.sources import load_table
 

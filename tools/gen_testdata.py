@@ -68,10 +68,53 @@ def _ts_col(us: np.ndarray) -> pa.Array:
     return pa.array(us, type=pa.timestamp("us"))
 
 
+
+# How many row groups a big table should carry. MEASUREMENT HAZARD
+# (r10 zipf ladder, fixed r11): a parquet byte-range split only
+# produces rows when a ROW-GROUP start falls inside it, so the old
+# fixed row_group_size=200_000 gave single-file rungs 1–3 row groups
+# and every CPU-heavy pipeline ran at parallelism 1–3/32 — the ladder
+# measured parallelism, not plans. Target well above local[32] so
+# scans parallelize like the many-file 100 TB shape; floor keeps tiny
+# tables from degenerating into per-row groups.
+_TARGET_ROW_GROUPS = 64
+_MIN_ROW_GROUP = 4096
+
+
+def _n_files() -> int:
+    """--files N: write each table as a DIRECTORY of N parquet files
+    (the multi-file 100 TB shape — exercises fan_out's metadata
+    pass-through instead of the repartition fallback)."""
+    return int(os.environ.get("_GEN_N_FILES", "1"))
+
+
 def _write(outdir: str, name: str, table: pa.Table) -> None:
     path = os.path.join(outdir, f"{name}.parquet")
-    pq.write_table(table, path, row_group_size=200_000)
-    print(f"  {name}: {table.num_rows} rows -> {path}")
+    rg = max(_MIN_ROW_GROUP, -(-table.num_rows // _TARGET_ROW_GROUPS))
+    n_files = _n_files()
+    if n_files > 1 and table.num_rows >= n_files * _MIN_ROW_GROUP:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        per = -(-table.num_rows // n_files)
+        for i in range(n_files):
+            chunk = table.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(
+                chunk,
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=max(_MIN_ROW_GROUP, -(-chunk.num_rows // 2)),
+            )
+        print(
+            f"  {name}: {table.num_rows} rows -> {path} "
+            f"({n_files} files)"
+        )
+        return
+    pq.write_table(table, path, row_group_size=rg)
+    print(f"  {name}: {table.num_rows} rows -> {path} (rg={rg})")
 
 
 def gen(sf: float, outdir: str) -> None:
@@ -285,8 +328,16 @@ def gen_zipf_documents(sf: float, outdir: str) -> None:
 def main(argv: list[str]) -> int:
     zipf = "--zipf" in argv
     argv = [a for a in argv if a != "--zipf"]
+    n_files = 1
+    for a in list(argv):
+        if a.startswith("--files="):
+            n_files = int(a.split("=", 1)[1])
+            argv.remove(a)
+    os.environ["_GEN_N_FILES"] = str(n_files)
     sf = float(argv[0]) if argv else 1.0
-    sfname = ("zipf_" if zipf else "") + f"sf{sf:g}"
+    sfname = ("zipf_" if zipf else "") + f"sf{sf:g}" + (
+        f"x{n_files}" if n_files > 1 else ""
+    )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outdir = argv[1] if len(argv) > 1 else os.path.join(repo, "localdata", sfname)
     print(f"generating {sfname} -> {outdir}")
