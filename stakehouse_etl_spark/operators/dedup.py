@@ -66,10 +66,16 @@ LSH_MAX_BUCKET = 1000
 # at scales where they are known-broken, so the guard is programmatic:
 # above this doc count the ground-truth arm REFUSES with a pointer to
 # its capped/sampled scale twin instead of OOMing an hour into a run.
-# 200k sits between the largest rung where both arms are measured
-# green (sf3 = 150k docs) and the documented failure rung (sf10 =
-# 500k). Env-overridable for operators who know their memory budget.
-GROUND_TRUTH_MAX_DOCS = 200_000
+# The bound moved r11: 200k sat between sf3 = 150k docs (then green)
+# and sf10 = 500k (measured OOM) — but sf3's "green" was an artifact
+# of the 1–3-row-group fixtures serializing the scan to ~3 concurrent
+# tasks. With the regenerated 64-row-group fixtures the scan
+# parallelizes 32-wide and 32 concurrent tasks' shingle aggregation
+# buffers blow the 8 g local JVM at sf3 (java.lang.OutOfMemoryError in
+# the posting build, SCALING_r11). 100k sits between sf1 = 50k
+# (measured green at full parallelism, 17.5 s) and that failure
+# point. Env-overridable for operators who know their memory budget.
+GROUND_TRUTH_MAX_DOCS = 100_000
 
 
 def ground_truth_guard(docs: DataFrame, query: str, twin: str) -> int:
@@ -563,13 +569,20 @@ def prefix_filter_jaccard_pairs(
     # single reused aggregation; saturated ones take the sparse path.
     # The dispatch's mass action and the empty-candidate count are
     # each a job barrier (~0.3-0.5 s of fixed cost) that only pays off
-    # where corpus-scale work is at stake; below ~100k docs the dense
+    # where corpus-scale work is at stake; below ~20k docs the dense
     # plan's whole cost is smaller than the barriers (bench r10 flagged
-    # +1.4x at sf0.1 from exactly these). Callers pass the footer-
-    # metadata doc count (zero scan); None (direct operator use) keeps
-    # the scale-safe behavior unconditionally.
+    # +1.4x at sf0.1 = 5k docs from exactly these). The gate was 100k
+    # until r11: at 50k docs (sf1) the saturated dense path costs
+    # ~19 s while the dispatched sparse path runs ~4 s — a regime the
+    # over-wide gate locked out of the dispatch that exists for it
+    # (SCALING_r11; the old 1–3-row-group fixtures had buried the sf1
+    # cell's true cost). 20k keeps the bench rung barrier-free and
+    # lets every corpus-scale input make the statistics decision.
+    # Callers pass the footer-metadata doc count (zero scan); None
+    # (direct operator use) keeps the scale-safe behavior
+    # unconditionally.
     small_corpus = (
-        approx_doc_count is not None and approx_doc_count < 100_000
+        approx_doc_count is not None and approx_doc_count < 20_000
     )
     saturated = False
     if max_prefix_df is not None and not small_corpus:

@@ -79,6 +79,13 @@ if os.environ.get("SPARK_GRAFT_SCALING_SF10") == "1":
     LOCAL.append(os.path.join(REPO, "localdata", "sf10"))
 if os.environ.get("SPARK_GRAFT_SCALING_SF30") == "1":
     LOCAL.append(os.path.join(REPO, "localdata", "sf30"))
+# Multi-file twin of sf10 (VERDICT r10 stretch #8): same rows, each
+# table as 64 parquet files — the 100 TB shape, where fan_out's
+# metadata fast path passes scans through untouched instead of the
+# single-file repartition fallback. Generate with
+# `python tools/gen_testdata.py 10 --files=64`.
+if os.environ.get("SPARK_GRAFT_SCALING_SF10X64") == "1":
+    LOCAL.append(os.path.join(REPO, "localdata", "sf10x64"))
 # Zipf rungs (VERDICT r9 task 4): the non-saturated skewed-text corpus
 # — 10k-type Zipf vocabulary that grows its gram space with size — for
 # ladders whose uniform-corpus cells are confounded by vocabulary

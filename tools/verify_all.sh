@@ -90,6 +90,16 @@ if [[ -d localdata/sf10 ]]; then
     python tools/export_resume.py localdata/sf10 4
 fi
 
+echo "== 14b2/15 plain-dedup crash/compaction-fold kill-resume at sf10 (r11) =="
+if [[ -d localdata/sf10 ]]; then
+    python tools/stream_resume.py --arm plain localdata/sf10 12 6
+fi
+
+echo "== 14b3/15 40-batch compaction value identity at sf10 (r11) =="
+if [[ -d localdata/sf10 ]]; then
+    python tools/stream_value_identity.py localdata/sf10 40
+fi
+
 echo "== 14c/15 skewed-corpus dedup guards (r9) =="
 if [[ -d localdata/sf1 ]]; then
     [[ -d localdata/zipf_sf1 ]] || python tools/gen_testdata.py 1 --zipf
