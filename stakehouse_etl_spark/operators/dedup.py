@@ -38,6 +38,8 @@ from stakehouse_etl_spark.operators.text import (
     hash32,
     normalized_fingerprint,
     shingles,
+    shingles_from_toks,
+    tokens,
 )
 
 # MinHash parameters — shared with the SQL oracle generator.
@@ -141,11 +143,29 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded pairs + per-doc distinct-shingle counts."""
-    return fan_out(df).select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    """(id, shingle) exploded pairs + per-doc distinct-shingle counts.
+
+    The token array is BOUND in its own projection before the explode
+    (r11, guide §1.2 per-task work): the inline ``shingles(text)``
+    expression re-ran the tokenizing regex split ~2k+1 times per
+    document (7 `split(lower(trim(text)))` occurrences in the
+    Generate node of the before-plan); CollapseProject keeps a
+    multiply-referenced non-cheap alias in its own project, so the
+    bound form splits exactly once. The projection sits ABOVE
+    fan_out's exchange so the shuffle still carries raw text bytes,
+    not text + token arrays."""
+    tmp = "__toks"
+    while tmp in df.columns:
+        tmp = "_" + tmp
+    return (
+        fan_out(df)
+        .withColumn(tmp, tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_toks(F.col(tmp), k)).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
 
 
 def jaccard_pairs(
@@ -539,9 +559,15 @@ def prefix_filter_jaccard_pairs(
     # the raw pipeline and the shingle expression re-evaluated inside
     # the generate — 48 s vs 10 s for the same pass on zipf_sf3; every
     # consumer must read the cached arrays).
+    # Token array bound in its own projection (r11): the inline
+    # shingles(text) form re-ran the tokenizing split ~7x per doc
+    # (see doc_shingles).
     arrs = persist_tracked(
-        fan_out(df).select(
-            F.col(id_col), shingles(F.col(text_col), k).alias("__sh_arr")
+        fan_out(df)
+        .withColumn("__pf_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            shingles_from_toks(F.col("__pf_toks"), k).alias("__sh_arr"),
         ),
         level=StorageLevel.DISK_ONLY,
     )

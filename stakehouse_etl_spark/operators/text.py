@@ -294,8 +294,26 @@ def shingles(text: Column, k: int = 3) -> Column:
     shingle, O(n²) splitting per document (round-6 sf10 fuzz; same
     fix as :func:`ordered_kgrams`). The slice form splits k+1 times
     per document and zips bound arrays.
+
+    r11: when the caller can afford a projection, prefer binding the
+    token array to a column first and calling
+    :func:`shingles_from_toks` on the BOUND column — the inline form
+    here evaluates the regex split ~2k+1 times per document (each
+    slice references both ``toks`` and ``n_out``), the bound form
+    exactly once (the ``doc_shingles`` plan's Generate expression
+    showed 7 `split(lower(trim(text)))` occurrences before the
+    change).
     """
-    toks = tokens(text)
+    return shingles_from_toks(tokens(text), k)
+
+
+def shingles_from_toks(toks: Column, k: int = 3) -> Column:
+    """:func:`shingles` over an already-computed token array column.
+
+    Callers should pass a column BOUND in its own projection (e.g.
+    ``df.withColumn("__toks", tokens(F.col(text)))``) so the regex
+    split runs once per document; passing a raw ``tokens(text)``
+    expression here re-evaluates it per reference (~2k+1 times)."""
     n_out = F.size(toks) - (k - 1)
     zipped = F.arrays_zip(
         *[F.slice(toks, j + 1, n_out).alias(f"w{j}") for j in range(k)]

@@ -251,16 +251,23 @@ def corpus_decontaminate_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: shingle semi-join against the (comparatively tiny,
     broadcastable) eval shingle set; no all-pairs comparison.
     """
-    from stakehouse_etl_spark.operators.text import fan_out, shingles
+    from stakehouse_etl_spark.operators.text import (
+        fan_out,
+        shingles_from_toks,
+        tokens,
+    )
     from stakehouse_etl_spark.queries.pipeline2 import _BENCH_SOURCES
 
     docs = load_table(spark, sf_dir, "documents")
+    # Token array bound before the explode (r11): inline
+    # shingles(text) re-splits the text ~7x per doc (see doc_shingles).
     sh = (
         fan_out(docs)
+        .withColumn("__toks", tokens(F.col("text")))
         .select(
             "doc_id",
             "source",
-            F.explode(shingles(F.col("text"))).alias("shingle"),
+            F.explode(shingles_from_toks(F.col("__toks"))).alias("shingle"),
         )
         .filter(F.col("shingle") != "")
     )

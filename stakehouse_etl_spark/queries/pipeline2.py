@@ -23,7 +23,7 @@ from stakehouse_etl_spark.operators.text import (
     fan_out,
     hash32,
     ordered_kgrams,
-    shingles,
+    shingles_from_toks,
     token_count,
     tokens,
 )
@@ -189,12 +189,15 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by shingle postings, the decontamination shape used on
     real pretraining corpora. Counts stay BIGINT; one final division."""
     docs = load_table(spark, sf_dir, "documents")
+    # Token array bound before the explode (r11): inline
+    # shingles(text) re-splits the text ~7x per doc (see doc_shingles).
     sh = (
         fan_out(docs)
+        .withColumn("__toks", tokens(F.col("text")))
         .select(
             "doc_id",
             "source",
-            F.explode(shingles(F.col("text"))).alias("shingle"),
+            F.explode(shingles_from_toks(F.col("__toks"))).alias("shingle"),
         )
         .filter(F.col("shingle") != "")
     )

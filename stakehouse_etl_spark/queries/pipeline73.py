@@ -153,6 +153,49 @@ def _positional_grams(
     return t, g
 
 
+def _dup_positions(g: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, pos) of grams occurring in >= 2 DISTINCT documents.
+
+    r11 (guide §2.4 — remove shuffles outright): a gram is
+    cross-document duplicated iff ``min(doc_id) != max(doc_id)``
+    within its gram group, so ONE window over the gram-keyed shuffle
+    replaces the former two-phase count_distinct aggregate PLUS the
+    gram-keyed sort-merge join back (g was shuffled twice: once
+    projected into the dup-set build, once for the join). The window
+    sorts by gram exactly where the SMJ sorted anyway; a hot gram
+    group buffers in WindowExec's spillable row buffer — the same
+    bounded-memory story as the MERGE join it replaces. Profiled at
+    sf0.1: the dup-agg stages (two exchanges) and the SMJ vanish from
+    the plan; g drops to a single consumer so its DISK_ONLY persist
+    (a corpus-scale cache write) goes too.
+    """
+    wg = Window.partitionBy("gram")
+    return (
+        g.withColumn("__mn", F.min("doc_id").over(wg))
+        .withColumn("__mx", F.max("doc_id").over(wg))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "pos")
+    )
+
+
+def _later_claimant_positions(g: DataFrame) -> DataFrame:
+    """(doc_id, pos) of gram occurrences whose gram was first claimed
+    by a LOWER doc_id (the keep-first scrub's occ set).
+
+    r11: ``min(doc_id) OVER (PARTITION BY gram) < doc_id`` — one
+    window on the gram shuffle replaces the firsts aggregate + the
+    gram-keyed MERGE join back (same argument as
+    :func:`_dup_positions`; the r8 broadcast-OOM class the MERGE pin
+    guarded against cannot arise at all without the join).
+    """
+    wg = Window.partitionBy("gram")
+    return (
+        g.withColumn("__first", F.min("doc_id").over(wg))
+        .filter(F.col("__first") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+
+
 def _merge_islands(occ: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Merge duplicated gram positions into maximal spans [s, e].
 
@@ -218,29 +261,18 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # t feeds both the gram pipeline and the final n_tokens join —
     # persist it or the corpus re-scans and re-tokenizes for the
     # closing join (review r5; the scrub query persists the same way).
-    # DISK_ONLY (r9): t carries full token arrays and g the exploded
-    # positional-gram rows — both corpus-scale. Memory-first blocks of
-    # that size squeeze the unified pool at sf30 (the execution side
-    # then spill-churns every gram shuffle; measured wall ratio 4.73
-    # vs the 3.0x data step before the change). One row-linear disk
-    # re-read per consumer is the bounded alternative.
+    # DISK_ONLY (r9): t carries full token arrays — corpus-scale;
+    # memory-first blocks of that size squeeze the unified pool at
+    # sf30 (the execution side then spill-churns every gram shuffle).
+    # g is NOT persisted since r11: the window rewrite below leaves it
+    # exactly one consumer, so caching it would only add a corpus-
+    # scale DISK write for nothing.
     t = persist_tracked(t, level=StorageLevel.DISK_ONLY)
-    g = persist_tracked(g, level=StorageLevel.DISK_ONLY)
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    # MERGE pin (r8): dup/firsts-style gram tables are GRAM-scale
-    # (≈ one row per distinct gram — token-scale divided by the dup
-    # factor) yet compress far under AQE's broadcast threshold, and
-    # the driver OOM'd building the broadcast at sf30
-    # (corpus_span_scrub — "Not enough memory to build and broadcast").
-    # Same spilling-arm rule as the dedup verifies (PLANS.md Round-8).
-    spans = _merge_islands(
-        g.join(dup.hint("MERGE"), "gram").select("doc_id", "pos")
-    )
+    # r11 (guide §2.4): duplicated-gram detection as ONE window pass —
+    # see _dup_positions. Before: a two-phase count_distinct aggregate
+    # over g plus a gram-keyed SMJ back onto g (g shuffled twice, plus
+    # its DISK_ONLY cache written and read twice).
+    spans = _merge_islands(_dup_positions(g))
     agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
@@ -273,63 +305,82 @@ def dedup_span_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scrub_tail(t: DataFrame, occ: DataFrame) -> DataFrame:
     """Shared scrub tail: duplicated gram positions ``occ`` → merged
-    spans → anti-join of token positions against the exploded covered
-    ranges → order-explicit reassembly + fingerprint, one row per doc
-    of ``t`` (docs with nothing scrubbed keep a full-stream
-    fingerprint via the left join's NULL → handled by callers).
+    spans, collected per doc → complement-interval slicing of the
+    doc's own token array → fingerprint. One row per doc of ``t``;
+    docs scrubbed to nothing get ``cleaned_fp = NULL`` (matching the
+    oracle's empty-group left join).
+
+    r11 restructure (guide §2.3/§8 — decide with small rows, move the
+    heavy bytes once): the previous tail posexploded every token of
+    every document, shuffled the token-scale rows TWICE (an anti-join
+    on (doc, pos) against the exploded covered positions, then a
+    collect_list re-assembly groupBy with a per-doc sort), with a
+    third position-scale explode feeding the anti-join's build side.
+    But the scrub DECISION per document is just its merged-span list
+    — a handful of (s, e) longs — while the token arrays already sit
+    intact in ``t``. So: aggregate the spans per doc (island output
+    is already doc_id-partitioned — no exchange), MERGE-join the tiny
+    span table onto ``t`` (ONE doc-keyed shuffle of the token arrays,
+    replacing two token-scale shuffles + one position-scale one), and
+    rebuild each doc map-side by slicing the COMPLEMENT intervals out
+    of its token array — O(n_tokens) copies per doc, order-preserving
+    by construction, no per-token membership test (the interpreted-HOF
+    O(n²) trap r10 removed from _positional_grams stays dead).
+
+    MERGE pin on the span side: it is doc-scale (one row per
+    span-carrying doc) — the r5/r8 class where compressed stats
+    sneak a corpus-scale table under the broadcast threshold; the
+    spilling sort-merge arm is bounded at any scale.
     """
-    # Merged spans are disjoint per doc, so the exploded positions are
-    # already distinct — no dedup needed before the anti-join.
-    # Disambiguated join columns: cov shares lineage with tok through
-    # `t`, so equi-keys must be renamed, not referenced positionally.
-    # MERGE pin: cov is ROW-SCALE (one row per covered token), but
-    # AQE sizes this join from the pre-explode shuffle stats (one row
-    # per merged island) and auto-broadcasts — the explode multiplies
-    # rows AFTER the stats point, and the broadcast build OOMs the
-    # driver at sf10 (measured r5). SHUFFLE_HASH fails the same way
-    # per-task (hash builds don't spill); sort-merge is the only arm
-    # of the join ladder that spills, i.e. survives any scale.
-    cov = _merge_islands(occ).select(
-        F.col("doc_id").alias("c_doc"),
-        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
-    ).hint("MERGE")
-    tok = t.select(
-        "doc_id", F.posexplode("toks").alias("tpos", "tok")
-    ).select("doc_id", F.col("tpos").cast("long").alias("tpos"), "tok")
-    kept = tok.join(
-        cov,
-        (tok["doc_id"] == cov["c_doc"]) & (tok["tpos"] == cov["p"]),
-        "left_anti",
+    spans = (
+        _merge_islands(occ)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "e"))
+            ).alias("__spans")
+        )
+        .hint("MERGE")
     )
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("tpos", "tok"))
-                    ),
-                    lambda st: st["tok"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_fp"),
+    toks = F.col("toks")
+    n = F.size(toks).cast("long")
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
     )
-    n_tokens = F.size("toks").cast("long")
+    # Complement intervals of the (sorted, disjoint) spans over
+    # [0, n): starts = 0 ++ (e_i + 1), ends(exclusive) = s_i ++ n.
+    # Degenerate segments (start == end) slice to empty arrays.
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(sp, lambda s: s["e"] + 1),
+    )
+    ends = F.concat(F.transform(sp, lambda s: s["s"]), F.array(n))
+    kept_toks = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda b, e: F.slice(
+                toks, b + 1, F.greatest(e - b, F.lit(0).cast("long"))
+            ),
+        )
+    )
+    # Materialize the kept-token array in its own projection: the
+    # flatten/zip_with subtree is interpreted (no codegen CSE), and
+    # four references below would evaluate it four times otherwise
+    # (the same single-binding rule as quality_features' __toks).
+    n_kept = F.size("__kept").cast("long")
     return (
-        t.select("doc_id", n_tokens.alias("n_tokens"))
-        .join(reb, "doc_id", "left")
+        t.join(spans, "doc_id", "left")
+        .withColumn("__kept", kept_toks)
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (
-                F.col("n_tokens")
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_scrubbed"),
-            "cleaned_fp",
+            n.alias("n_tokens"),
+            n_kept.alias("n_kept"),
+            (n - n_kept).alias("n_scrubbed"),
+            F.when(
+                n_kept > 0, F.md5(F.array_join("__kept", " "))
+            ).alias("cleaned_fp"),
         )
     )
 
@@ -388,20 +439,13 @@ def corpus_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t, g = _positional_grams(docs)
-    # DISK_ONLY (r9): same rationale as dedup_span_inventory above —
-    # corpus-scale token/gram frames must not occupy the memory pool.
+    # DISK_ONLY (r9): t carries corpus-scale token arrays and feeds
+    # two consumers (the gram build and the scrub-tail join). g is
+    # unpersisted since r11: the keep-first window leaves it a single
+    # consumer (see _later_claimant_positions — the firsts aggregate
+    # + gram-keyed MERGE join it replaces were g's second and third).
     t = persist_tracked(t, level=StorageLevel.DISK_ONLY)
-    g = persist_tracked(g, level=StorageLevel.DISK_ONLY)
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    # MERGE pin (r8): firsts is gram-scale; AQE auto-broadcast it at
-    # sf30 from its compressed stats and the driver OOM'd building
-    # the table. Sort-merge spills at any scale.
-    occ = (
-        g.join(firsts.hint("MERGE"), "gram")
-        .filter(F.col("first_doc") < F.col("doc_id"))
-        .select("doc_id", "pos")
-    )
-    return _scrub_tail(t, occ)
+    return _scrub_tail(t, _later_claimant_positions(g))
 
 
 @register(
@@ -501,14 +545,11 @@ def span_scrub_against_index(
     """
     tb, gb = _positional_grams(batch)
     tb = persist_tracked(tb)
-    gb = persist_tracked(gb)
-    fb = gb.groupBy("gram").agg(F.min("doc_id").alias("first_b"))
-    # MERGE pins (r8): the stored gram index (hundreds of MB parquet
-    # at sf10, growing with the corpus) and the batch firsts table are
-    # both gram-scale — the r7 fuzz OBSERVED SortMergeJoin here; the
-    # pins make that load-bearing property a contract rather than an
-    # AQE mood (the sf30 broadcast OOM in corpus_span_scrub is this
-    # exact class one query over).
+    # MERGE pin (r8): the stored gram index (hundreds of MB parquet
+    # at sf10, growing with the corpus) is gram-scale — the r7 fuzz
+    # OBSERVED SortMergeJoin here; the pin makes that load-bearing
+    # property a contract rather than an AQE mood (the sf30 broadcast
+    # OOM in corpus_span_scrub is this exact class one query over).
     #
     # r9 (20-batch fuzz follow-up): the old probe DISTINCT-shuffled
     # the whole index every batch (a second O(state) shuffle per
@@ -522,12 +563,24 @@ def span_scrub_against_index(
     # per batch remains (the semi join itself): inherent to a
     # join-probe against global keep-first history; the point-lookup
     # alternative is the RocksDB state-store arm.
-    occ_corpus = gb.join(
+    #
+    # r11: the within-batch firsts aggregate + gram-keyed MERGE join
+    # collapse into one window over the batch's gram shuffle
+    # (_later_claimant_positions' rule), and the CACHED frame is the
+    # WINDOWED one: its gram-hash layout feeds both claim arms, so
+    # the semi-join probe shuffles only the index side and the
+    # within-batch arm is a map-side filter over the cache — the
+    # batch's grams cross the wire once per batch instead of three
+    # times.
+    gw = persist_tracked(
+        gb.withColumn(
+            "__first", F.min("doc_id").over(Window.partitionBy("gram"))
+        )
+    )
+    occ_corpus = gw.join(
         gram_index.select("gram").hint("MERGE"), "gram", "left_semi"
     ).select("doc_id", "pos")
-    occ_batch = (
-        gb.join(fb.hint("MERGE"), "gram")
-        .filter(F.col("first_b") < F.col("doc_id"))
-        .select("doc_id", "pos")
+    occ_batch = gw.filter(F.col("__first") < F.col("doc_id")).select(
+        "doc_id", "pos"
     )
     return _scrub_tail(tb, occ_corpus.unionByName(occ_batch))

@@ -47,6 +47,7 @@ from stakehouse_etl_spark.queries.pipeline73 import (
     _ISLANDS_SQL,
     _TOKS_CTE,
     SPAN_K,
+    _dup_positions,
     _merge_islands,
     _positional_grams,
     span_scrub_against_index,
@@ -151,18 +152,10 @@ def dedup_span_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def covered(k: int, t_out: list) -> DataFrame:
         t, g = _positional_grams(docs, k)
         t_out.append(t)
-        dup = (
-            g.groupBy("gram")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= 2)
-            .select("gram")
-        )
-        # MERGE pin (r8): dup is gram-scale; compressed stats put it
-        # under AQE's broadcast threshold while the deserialized
-        # build OOMs the driver at corpus scale (the sf30
-        # corpus_span_scrub catch, PLANS.md Round-8).
-        occ = g.join(dup.hint("MERGE"), "gram").select("doc_id", "pos")
-        return _merge_islands(occ, k).select(
+        # r11: duplicated-gram occurrences via one window over the
+        # gram shuffle (pipeline73._dup_positions) — replaces the
+        # count_distinct aggregate + gram-keyed MERGE join back.
+        return _merge_islands(_dup_positions(g, k), k).select(
             "doc_id", F.explode(F.sequence("s", "e")).alias("p")
         )
 

@@ -62,12 +62,13 @@ from stakehouse_etl_spark.operators.graph import connected_components
 from stakehouse_etl_spark.operators.text import (
     normalized_fingerprint,
     quality_features,
-    shingles,
+    shingles_from_toks,
     tokens,
 )
 from stakehouse_etl_spark.operators.windows import skew_resistant_rank
 from stakehouse_etl_spark.queries.pipeline73 import (
     SPAN_K,
+    _later_claimant_positions,
     _positional_grams,
     _scrub_tail,
 )
@@ -616,15 +617,22 @@ def _export_ledger(spark: SparkSession, sf_dir: str, stage_cut) -> DataFrame:
     # shingle set. No broadcast pin (an eval set is small by design,
     # but AQE should decide — the r5/r6 rounds removed every row-scale
     # broadcast pin for exactly this reason).
+    # Token arrays bound before the explodes (r11): inline
+    # shingles(text) re-splits the text ~7x per doc (see doc_shingles).
     evs = (
         docs.filter(is_eval)
-        .select(F.explode(shingles(F.col("text"))).alias("shingle"))
+        .withColumn("__toks", tokens(F.col("text")))
+        .select(
+            F.explode(shingles_from_toks(F.col("__toks"))).alias("shingle")
+        )
         .filter(F.col("shingle") != "")
         .distinct()
     )
     nssh = (
-        ns.select(
-            "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+        ns.withColumn("__toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_toks(F.col("__toks"))).alias("shingle"),
         )
         .filter(F.col("shingle") != "")
     )
@@ -654,20 +662,13 @@ def _export_ledger(spark: SparkSession, sf_dir: str, stage_cut) -> DataFrame:
         ).select("doc_id", "source", "text")
     )
     # Span scrub (keep-first, SPAN_K grams) over the final kept set —
-    # pipeline73's exact machinery, including the MERGE pin on the
-    # exploded coverage join.
+    # pipeline73's exact machinery (r11: the keep-first window form;
+    # g has a single consumer now, so only t73 is cached).
     t73, g = _positional_grams(kept)
     t73 = persist_tracked(t73)
-    g = persist_tracked(g)
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    # MERGE pin (r8): firsts is gram-scale — the sf30 broadcast-OOM
-    # class caught in corpus_span_scrub (PLANS.md Round-8).
-    occ = (
-        g.join(firsts.hint("MERGE"), "gram")
-        .filter(F.col("first_doc") < F.col("doc_id"))
-        .select("doc_id", "pos")
+    scr = _scrub_tail(t73, _later_claimant_positions(g)).select(
+        "doc_id", "n_kept", "cleaned_fp"
     )
-    scr = _scrub_tail(t73, occ).select("doc_id", "n_kept", "cleaned_fp")
     scrub = stage_cut("s10_scrub", 
         scr.join(kept.select("doc_id", "source"), "doc_id")
     )
