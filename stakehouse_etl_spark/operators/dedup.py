@@ -303,17 +303,59 @@ def _band_candidates(
 def _candidates_from_banded(
     banded: DataFrame, id_col: str, max_bucket: int | None
 ) -> DataFrame:
-    from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
-
-    banded = drop_oversize_buckets(
-        banded, ["band_idx", "band_key"], max_bucket
+    # r11 (guide §2.4 — remove shuffles outright): bucket-collect +
+    # in-bucket pair generation replaces the former window-cap +
+    # sort-merge SELF-JOIN. The old shape recomputed the banded frame
+    # once per join side and paid, per side, an exchange + sort +
+    # window count (drop_oversize_buckets) before the SMJ — 3
+    # exchanges, 4 sorts, and two evaluations of the banding md5s.
+    # One groupBy builds each bucket ONCE (1 exchange); the cap is a
+    # size() filter on the collected array — semantically identical
+    # to the window count, every row of an over-cap bucket dropped —
+    # and i<j pairs over the SORTED member array reproduce the join's
+    # id_a < id_b output exactly (ids are distinct within a bucket:
+    # one row per doc per band). Memory stays bounded: a bucket holds
+    # ≤ max_bucket ids after the filter, so the generated pair array
+    # is ≤ cap·(cap−1)/2 structs — the same bound the window form
+    # enforced on the join output. The sorted array is bound in its
+    # own projection so the slice-per-element below copies O(bucket)
+    # per outer element (pair-count work), not re-sorts (the r10
+    # interpreted-lambda O(n²) trap).
+    if max_bucket is None:
+        # Uncapped (ground-truth/recall arms only, doc-count guarded):
+        # a hot bucket's pair set must STREAM through the join, not
+        # materialize as one in-memory array — keep the self-join.
+        ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+        return (
+            ca.join(cb, ["band_idx", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") <= max_bucket)
+        .select(F.array_sort("__ids").alias("__ids"))
     )
-    ca = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    cb = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    ids = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids,
+                    i + 2,
+                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        ca.join(cb, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
 

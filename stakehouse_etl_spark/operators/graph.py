@@ -104,7 +104,15 @@ def connected_components(
                 StructField("component", node_type, False),
             ]
         )
-        return spark.createDataFrame(sorted(comp.items()), schema)
+        # Broadcast-hint the result (r11, guide §3.1): this path's
+        # output is bounded at 2·driver_max_edges rows of two ids —
+        # a few MB at most — but reaches callers as a Python-RDD scan
+        # with UNKNOWN stats, so a consuming join (the dedup
+        # pipelines' keep-set anti-join) planned sort-merge and
+        # shuffled the corpus-scale probe side. The hint makes it a
+        # broadcast build; the distributed path below returns
+        # unhinted (its labels are node-scale).
+        return F.broadcast(spark.createDataFrame(sorted(comp.items()), schema))
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

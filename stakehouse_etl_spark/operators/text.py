@@ -236,6 +236,54 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_keep(text: Column) -> Column:
+    """``quality_features``' score ≥ 0.5 gate as ONE expression whose
+    tokenizing split occurs exactly ONCE (r11, guide §1.2/§2.3).
+
+    Filter-only consumers can't use ``quality_features``: predicate
+    pushdown inlines the score alias into the Filter condition and the
+    token split lands there THREE times (n_tokens, the stopword count,
+    and the stopword-ratio denominator — the before-plan of
+    ``pipeline_corpus_clean`` shows all three `split(lower(trim(text)))`
+    copies), and Filter codegen does no subexpression elimination. A
+    single ``aggregate`` pass folds token and stopword counts into one
+    LONG accumulator (token count in the low 32 bits, stopword hits in
+    the high 32 — `size` already types token counts as int, so 2^31
+    bounds them), so the merge lambda is pure long arithmetic with no
+    per-element struct allocation. The finish lambda unpacks the two
+    int counters and evaluates the SAME score expression as
+    ``quality_features`` — same int→double casts, same ``try_divide``,
+    same ``least`` nesting, same ≥ 0.5 compare — so the kept set is
+    value-identical (tests/test_text_quality.py pins the equivalence
+    property on the catalog fixtures).
+    """
+    t = text
+    wl = list(STOPWORDS_EN)
+
+    def _count(acc: Column, x: Column) -> Column:
+        return (
+            acc
+            + F.lit(1).cast("long")
+            + F.when(x.isin(wl), F.lit(1 << 32).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+
+    def _score(acc: Column) -> Column:
+        n_tok = acc.bitwiseAND(F.lit((1 << 32) - 1)).cast("int")
+        stop = F.shiftright(acc, 32).cast("int")
+        stop_ratio = F.try_divide(stop, n_tok)
+        punct_ratio = F.try_divide(punct_count(t), F.length(t))
+        score = (
+            F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+            + F.lit(0.3) * stop_ratio
+            + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5))
+        )
+        return score >= F.lit(0.5)
+
+    return F.aggregate(tokens(t), F.lit(0).cast("long"), _count, _score)
+
+
 def _membership_counter(words: tuple[str, ...]):
     """One-arg lambda factory (a default-arg closure would make Spark
     treat the lambda as the 2-arg (value, index) form)."""

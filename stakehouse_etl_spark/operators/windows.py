@@ -357,6 +357,29 @@ def skew_resistant_cumsum(
     # silently DROP NULL-key rows, while the plain-window form keeps
     # NULL as an ordinary key group — the two paths must stay
     # value-identical on any input (tested with NULL keys).
+    #
+    # r11 restructure (guide §2.4 — remove shuffles outright). The
+    # before-plan paid THREE row-scale prices this version deletes:
+    # (a) the offsets attach used eqNullSafe(key), whose rewritten
+    #     join keys (coalesce/isnull wrapping) no longer match the
+    #     within-window's hashpartitioning(key, chunk) — so the
+    #     row-scale windowed frame was re-exchanged AND re-sorted for
+    #     the final sort-merge join (Exchange(15)+Sort(16) in
+    #     plans/r11/w1_skew_hotkey_before.txt). The key now rides in
+    #     a one-field STRUCT column: struct equality has row
+    #     semantics (NULL field == NULL field), so a PLAIN equi-join
+    #     on (__jk, __chunk) is null-safe, its keys are the window's
+    #     own partitioning attributes, and the big side joins with no
+    #     exchange and no sort.
+    # (b) the totals path stays an aggregation of the PRE-window
+    #     frame: its partial (map-side) aggregate collapses each
+    #     task's rows to (key, chunk) partials before any exchange,
+    #     so the path's only shuffle is metadata-sized. (An A/B that
+    #     derived totals from the windowed frame instead — max_by of
+    #     the running sum — shared the big exchange via ReuseExchange
+    #     but re-ran the row-scale sort+window for the second
+    #     consumer: measured slower at bench scale, and sort×2 ≳
+    #     scan×2 at any scale for the 2-3 columns this reads.)
     stats = df.groupBy(key).agg(
         F.min(time).alias("__t_min"), F.max(time).alias("__t_max")
     ).withColumnRenamed(key, "__sk")
@@ -376,32 +399,25 @@ def skew_resistant_cumsum(
             ),
         )
         .drop("__t_min", "__t_max")
+        .withColumn("__jk", F.struct(F.col(key).alias("k")))
     )
-    within = Window.partitionBy(key, "__chunk").orderBy(time).rowsBetween(
+    within = Window.partitionBy("__jk", "__chunk").orderBy(time).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    chunked = chunked.withColumn("__within", F.sum(value).over(within))
-    totals = chunked.groupBy(key, "__chunk").agg(
+    totals = chunked.groupBy("__jk", "__chunk").agg(
         F.sum(value).alias("__chunk_total")
     )
-    prefix = Window.partitionBy(key).orderBy("__chunk").rowsBetween(
+    chunked = chunked.withColumn("__within", F.sum(value).over(within))
+    prefix = Window.partitionBy("__jk").orderBy("__chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__chunk_total").over(prefix), F.lit(0))
-    ).select(
-        F.col(key).alias("__ok"),
-        F.col("__chunk").alias("__oc"),
-        "__offset",
-    )
+    ).select("__jk", "__chunk", "__offset")
     return (
-        chunked.join(
-            offsets,
-            F.col(key).eqNullSafe(F.col("__ok"))
-            & (F.col("__chunk") == F.col("__oc")),
-        )
+        chunked.join(offsets, ["__jk", "__chunk"])
         .withColumn(out, F.col("__within") + F.col("__offset"))
-        .drop("__chunk", "__within", "__offset", "__ok", "__oc")
+        .drop("__jk", "__chunk", "__within", "__offset")
     )
 
 
@@ -568,36 +584,41 @@ def skew_resistant_rank(
         "__coff", F.coalesce(F.sum("__cc").over(wc), F.lit(0))
     ).select(value, "__chunk", "__coff")
 
-    # (C) bounded within-(value, chunk) rank
-    win = Window.partitionBy(value, "__chunk").orderBy(id_col)
-    ranked = t.withColumn("__within", F.row_number().over(win))
+    # (C) bounded within-(value, chunk) rank. The window partitions by
+    # the STRUCT-wrapped value so the offset join below can reuse this
+    # window's partitioning (struct grouping ≡ value grouping).
+    win = Window.partitionBy("__jv", "__chunk").orderBy(id_col)
+    ranked = t.withColumn(
+        "__jv", F.struct(F.col(value).alias("k"))
+    ).withColumn("__within", F.row_number().over(win))
 
-    # coff is ~n/chunk_width rows — joined on exactly the window
-    # partitioning key (partitioning reuse, no broadcast: at scale it
-    # does not fit an executor). voff is #distinct-values rows — NOT
-    # hint-broadcast (r4): near-unique rank values make it row-scale,
-    # so AQE picks broadcast while it fits and a keyed shuffle join
-    # when it doesn't. Joins are NULL-SAFE on the value column: a NULL
-    # rank value is an ordinary group for the window forms (desc →
-    # NULLS LAST in both the decomposition's prefix windows and the
-    # plain global window), and a null-unsafe join would silently drop
-    # those rows (same fix as skew_resistant_cumsum).
-    coff2 = coff.select(
-        F.col(value).alias("__cv"), F.col("__chunk").alias("__cc2"), "__coff"
-    )
+    # r11 (guide §2.4 — remove shuffles outright): the two offset
+    # tables (both value-keyed metadata scale) merge FIRST, and ONE
+    # combined table joins the row-scale ranked frame on exactly its
+    # window partitioning attributes (__jv, __chunk). The old tail
+    # joined the big frame twice with eqNullSafe keys, whose
+    # coalesce/isnull rewrite defeats partitioning reuse — the
+    # before-plan re-exchanged and re-sorted the row-scale frame for
+    # both attaches. A plain equi-join on the one-field struct is
+    # null-safe (struct equality has row semantics: NULL field ==
+    # NULL field — a NULL rank value is an ordinary group for the
+    # window forms, and must not be dropped), so the big side now
+    # joins with no exchange and no sort. The offset pre-merge stays
+    # unhinted: voff is #distinct-values rows — AQE broadcasts while
+    # it fits and falls back to a keyed shuffle join when it doesn't.
     voff2 = voff.select(F.col(value).alias("__vv"), "__voff")
+    off = (
+        coff.join(voff2, F.col(value).eqNullSafe(F.col("__vv")))
+        .select(
+            F.struct(F.col(value).alias("k")).alias("__jv"),
+            "__chunk",
+            (F.col("__voff") + F.col("__coff")).alias("__off"),
+        )
+    )
     return (
-        ranked.join(
-            coff2,
-            F.col(value).eqNullSafe(F.col("__cv"))
-            & (F.col("__chunk") == F.col("__cc2")),
-        )
-        .join(voff2, F.col(value).eqNullSafe(F.col("__vv")))
-        .withColumn(
-            out,
-            (F.col("__voff") + F.col("__coff") + F.col("__within")).cast("long"),
-        )
-        .drop("__chunk", "__within", "__voff", "__coff", "__cv", "__cc2", "__vv")
+        ranked.join(off, ["__jv", "__chunk"])
+        .withColumn(out, (F.col("__off") + F.col("__within")).cast("long"))
+        .drop("__chunk", "__within", "__off", "__jv")
     )
 
 

@@ -21,7 +21,7 @@ from stakehouse_etl_spark.operators.text import (
     fan_out,
     normalized_fingerprint,
     ordered_kgrams,
-    quality_features,
+    quality_keep,
     tokens,
 )
 from stakehouse_etl_spark.queries.datapipe import (
@@ -222,19 +222,31 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     right cost order at 100 TB. The exact-Jaccard tier stays
     available as the oracle/recall arm (``dedup_jaccard_pairs``)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Quality gate filters IN PLACE (quality_features keeps the source
-    # columns — no join back). Exact dedup shuffles ONLY (doc_id, fp)
-    # to the keep-min groupBy and broadcast-semi-joins the tiny winner
-    # set back: document text never crosses an exchange here (a
-    # row_number window over fp would shuffle every text byte — worse
-    # than re-reading cheap columnar parquet).
-    qdocs = (
-        quality_features(docs)
-        .filter(F.col("quality_score") >= 0.5)
-        .select(*docs.columns)
-    )
+    # Exact dedup shuffles ONLY (doc_id, fp) to the keep-min groupBy
+    # and semi-joins the winner set back: document text never crosses
+    # an exchange here (a row_number window over fp would shuffle
+    # every text byte — worse than re-reading cheap columnar parquet).
+    #
+    # r11 (guide §1.2 — remove work you throw away; §2.3):
+    # 1. fan_out BEFORE the quality gate: the before-profile ran the
+    #    whole quality+fingerprint map pipeline at the scan's
+    #    parallelism (ONE task on the single-row-group bench file);
+    #    one shared narrow shuffle spreads it, and ReuseExchange
+    #    serves both branches from the same shuffle files. At 100 TB
+    #    fan_out passes wide scans through untouched.
+    # 2. The quality gate runs ONCE, on the canon branch only. The
+    #    former survivor branch re-evaluated the full score expression
+    #    on its own scan — redundantly: canon ids are quality-passing
+    #    by construction, doc_id is unique, so `docs ⋉ canon` is
+    #    exactly `quality(docs) ⋉ canon`.
+    # 3. quality_keep replaces the quality_features+filter pair: the
+    #    pushed-down score predicate inlined the tokenizing split 3×
+    #    per row (before-plan Filter (5)/(8)); the single-aggregate
+    #    form splits once. Same value semantics (see operators.text).
+    wide = fan_out(docs)
     canon = (
-        qdocs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+        wide.filter(quality_keep(F.col("text")))
+        .select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -243,14 +255,14 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Survivors feed the near-dup edge build AND the final anti-join —
     # persist (tracked, released at the caller's action boundary) so
-    # the quality-filter scan doesn't run twice.
+    # the semi-join doesn't run twice.
     # No broadcast pin on canon (review r5): the keep-set is
     # DOC-scale (one row per distinct content), so a hard broadcast
     # is a guaranteed driver OOM at corpus scale. Left to AQE: a
     # narrow long column deserializes at ~16 B/row, so the
     # compressed-size trap can't bite, and AQE still broadcasts it at
     # bench scale while falling back to a keyed shuffle when big.
-    surv = persist_tracked(qdocs.join(canon, "doc_id", "left_semi"))
+    surv = persist_tracked(wide.join(canon, "doc_id", "left_semi"))
     edges = near_dup_pairs(surv, threshold_pct=20).select("id_a", "id_b")
     comp = connected_components(edges, src="id_a", dst="id_b")
     dropped = comp.filter(F.col("component") < F.col("node")).select(

@@ -364,16 +364,20 @@ def test_lsh_verify_joins_never_broadcast_the_set_side(spark):
                 assert not any(c in sect for c in set_cols), (q, sect)
 
 
-def test_span_scrub_position_antijoin_is_sort_merge(spark):
-    # The covered-positions anti-join must be sort-merge in BOTH span
-    # scrub queries: cov is row-scale (one row per covered token) but
-    # AQE sizes the join from the PRE-explode island stats and would
-    # auto-broadcast — the broadcast build OOM'd the driver at sf10,
-    # and a shuffled-hash build OOMs per-task (hash maps don't spill).
-    # Sort-merge is the only spilling arm, pinned via hint("MERGE").
+def test_span_scrub_span_join_is_sort_merge(spark):
+    # r11: the token-scale covered-positions anti-join was replaced by
+    # a doc-keyed LEFT join of the merged-span table onto the token
+    # arrays (complement slicing in _scrub_tail). The memory argument
+    # carries over unchanged: the span side is doc-scale (one row per
+    # span-carrying doc) and AQE's compressed stats would sneak it
+    # under the broadcast threshold — the r5/r8 OOM class — so the
+    # join stays pinned sort-merge, the only spilling arm. Pin BOTH
+    # halves of the restructure: the span join is a sort-merge
+    # LeftOuter, and the old token-scale anti-join is gone.
     for q in ("corpus_span_scrub", "dedup_span_incremental"):
         plan = plan_of(spark, q)
-        assert re.search(r"SortMergeJoin.*LeftAnti", plan), (q, plan)
+        assert re.search(r"SortMergeJoin.*LeftOuter", plan), (q, plan)
+        assert not re.search(r"SortMergeJoin.*LeftAnti", plan), (q, plan)
 
 
 def test_rrf_global_window_is_k_bounded(spark):
