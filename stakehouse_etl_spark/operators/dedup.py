@@ -1075,30 +1075,114 @@ def incremental_minhash_dedup_indexed(
 
     banded_c = corpus_bands.withColumn("__side", F.lit("c"))
     banded_b = batch_bands.withColumn("__side", F.lit("b"))
-    allb = drop_oversize_buckets(
-        banded_c.unionByName(banded_b), ["band_idx", "band_key"], max_bucket
-    )
-    new = allb.filter(F.col("__side") == "b").select(
-        F.col(id_col).alias("id_new"), "band_idx", "band_key"
-    )
-    partner = allb.select(
-        F.col(id_col).alias("id_old"),
-        F.col("__side").alias("side_old"),
-        "band_idx",
-        "band_key",
-    )
-    cand = (
-        new.join(partner, ["band_idx", "band_key"])
-        .filter(
-            (F.col("side_old") == "c")
-            | (
-                (F.col("side_old") == "b")
-                & (F.col("id_old") < F.col("id_new"))
+    allu = banded_c.unionByName(banded_b)
+    if max_bucket is None:
+        # Uncapped: a hot bucket's pairs must stream through a join,
+        # not materialize as one array (same split as
+        # _candidates_from_banded).
+        allb = drop_oversize_buckets(
+            allu, ["band_idx", "band_key"], max_bucket
+        )
+        new = allb.filter(F.col("__side") == "b").select(
+            F.col(id_col).alias("id_new"), "band_idx", "band_key"
+        )
+        partner = allb.select(
+            F.col(id_col).alias("id_old"),
+            F.col("__side").alias("side_old"),
+            "band_idx",
+            "band_key",
+        )
+        cand = (
+            new.join(partner, ["band_idx", "band_key"])
+            .filter(
+                (F.col("side_old") == "c")
+                | (
+                    (F.col("side_old") == "b")
+                    & (F.col("id_old") < F.col("id_new"))
+                )
+            )
+            .select("id_new", "id_old")
+            .distinct()
+        )
+    else:
+        # r11 (guide §2.4 — the bucket-collect form of
+        # _candidates_from_banded, side-aware): the former window-cap
+        # + union self-join shuffled the corpus∪batch band rows once
+        # per join side (two windows, two sorts, an SMJ) — at steady
+        # state that is two O(stored-state) shuffles per ingested
+        # batch. One groupBy builds each bucket once; the cap is the
+        # same every-row-of-an-over-cap-bucket drop; and the pair
+        # rule replays the join's predicate inside the sorted member
+        # array: for each batch-side member, every EARLIER member
+        # (lower id, either side) partners it, and later members
+        # partner it only from the corpus side. Ids are unique within
+        # a bucket (one row per doc per band; corpus and batch id
+        # sets are disjoint by the keep-set contract), so array_sort
+        # on (id, side) structs gives a strict id order and the
+        # generated pair set equals the join's exactly. Per-bucket
+        # arrays are bounded by the cap — same bound the window form
+        # enforced on the join output.
+        buckets = (
+            allu.groupBy("band_idx", "band_key")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__side").alias("s"))
+                ).alias("__ms")
+            )
+            .filter(F.size("__ms") <= max_bucket)
+            .select(F.array_sort("__ms").alias("__ms"))
+        )
+        ms = F.col("__ms")
+
+        def _pair_with(x):
+            return lambda y: F.struct(
+                x["i"].alias("id_new"), y["i"].alias("id_old")
+            )
+
+        pairs = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.concat(
+                    # members BEFORE x (id_old < id_new, either side):
+                    # partners only when x is batch-side — slice
+                    # length 0 otherwise.
+                    F.transform(
+                        F.slice(
+                            ms,
+                            1,
+                            F.when(x["s"] == "b", i).otherwise(F.lit(0)),
+                        ),
+                        _pair_with(x),
+                    ),
+                    # corpus members AFTER x (corpus partners pair
+                    # regardless of id order).
+                    F.transform(
+                        F.filter(
+                            F.slice(
+                                ms,
+                                i + 2,
+                                F.when(
+                                    x["s"] == "b",
+                                    F.greatest(
+                                        F.size(ms) - i - 1, F.lit(0)
+                                    ),
+                                ).otherwise(F.lit(0)),
+                            ),
+                            lambda y: y["s"] == F.lit("c"),
+                        ),
+                        _pair_with(x),
+                    ),
+                ),
             )
         )
-        .select("id_new", "id_old")
-        .distinct()
-    )
+        cand = (
+            buckets.select(F.explode(pairs).alias("__p"))
+            .select(
+                F.col("__p.id_new").alias("id_new"),
+                F.col("__p.id_old").alias("id_old"),
+            )
+            .distinct()
+        )
     sets = corpus_sets.unionByName(batch_sets)
     so = sets.select(
         F.col(id_col).alias("id_old"),

@@ -481,7 +481,15 @@ def chunk_docs(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Token array BOUND in its own projection (r11, same rule as
+    # doc_shingles/quality_keep): the inline split was referenced
+    # inside the interpreted transform lambda, so every chunk's
+    # slice() re-ran the tokenizing regex split — ~n/stride splits
+    # per document instead of one.
+    tmp = "__ck_toks"
+    while tmp in df.columns:
+        tmp = "_" + tmp
+    toks = F.col(tmp)
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),
@@ -498,7 +506,8 @@ def chunk_docs(
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        df.withColumn(tmp, F.split(F.trim(F.col(text_col)), r"\s+"))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
             F.col("c.chunk_idx").alias("chunk_idx"),

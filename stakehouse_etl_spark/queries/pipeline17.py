@@ -21,7 +21,7 @@ from stakehouse_etl_spark.io.sources import load_table
 from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
 from stakehouse_etl_spark.operators.dedup import near_dup_pairs
 from stakehouse_etl_spark.operators.graph import connected_components
-from stakehouse_etl_spark.operators.text import chunk_docs, feature_hash
+from stakehouse_etl_spark.operators.text import chunk_docs, fan_out, feature_hash
 from stakehouse_etl_spark.queries.datapipe import (
     _JACCARD_CTE,
     _SHINGLES_CTE,
@@ -86,17 +86,30 @@ def corpus_passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy partitioning. No self-join, no driver state.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ch = chunk_docs(docs, chunk_tokens=_PASSAGE_TOKENS, overlap=0)
+    # fan_out: the chunk+md5 map work otherwise runs at the scan's
+    # parallelism (one task on the single-row-group bench file).
+    ch = chunk_docs(fan_out(docs), chunk_tokens=_PASSAGE_TOKENS, overlap=0)
     fps = ch.select("doc_id", F.md5(F.col("chunk_text")).alias("fp"))
-    by_fp = fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
-    is_dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    # r11 (guide §2.4, the span-family window trick): the keep rule
+    # only needs nd >= 2 — "this passage occurs in more than one
+    # distinct doc" ⟺ min(doc_id) != max(doc_id) over the fp
+    # partition. The former count_distinct aggregate + join-back made
+    # the chunker pipeline run twice and the fp key shuffle twice
+    # (aggregate partials + join side); one bounded min/max window
+    # over the single fp shuffle replaces both, with none of
+    # collect_set's per-group memory (WindowExec buffers one spillable
+    # fp group at a time).
+    w = Window.partitionBy("fp")
+    is_dup = F.when(
+        F.min("doc_id").over(w) != F.max("doc_id").over(w), 1
+    ).otherwise(0)
     return (
-        fps.join(by_fp, "fp")
+        fps.withColumn("__dup", is_dup)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
-            F.sum(is_dup).cast("long").alias("n_dup_passages"),
-            (F.sum(is_dup) * 100 < F.count(F.lit(1)) * _PASSAGE_DUP_PCT).alias(
+            F.sum("__dup").cast("long").alias("n_dup_passages"),
+            (F.sum("__dup") * 100 < F.count(F.lit(1)) * _PASSAGE_DUP_PCT).alias(
                 "keep"
             ),
         )
