@@ -596,6 +596,20 @@ def prefix_filter_jaccard_pairs(
     # compact (one row per doc) so the re-read is cheap.
     from pyspark.storagelevel import StorageLevel
 
+    # Storage-level dispatch from the same footer-metadata doc count
+    # that gates the barriers below (r11, guide §5): the shingle-array
+    # caches were pinned DISK_ONLY after the r9 sf30 heap kill, but at
+    # sub-20k-doc scale the arrays are a few MB and every consumer
+    # pays a disk round-trip + deserialization instead of a memory
+    # read. MEMORY_AND_DISK below the gate (spills if wrong), the r9
+    # scale-safe DISK_ONLY at or above it / when the count is unknown.
+    small_corpus = (
+        approx_doc_count is not None and approx_doc_count < 20_000
+    )
+    cache_level = (
+        StorageLevel.MEMORY_AND_DISK if small_corpus else StorageLevel.DISK_ONLY
+    )
+
     # Persist the per-doc array frame UNCONDITIONALLY (r10 A/B: a
     # "skip the persist in the sparse path" variant rebuilt dfreq from
     # the raw pipeline and the shingle expression re-evaluated inside
@@ -611,7 +625,7 @@ def prefix_filter_jaccard_pairs(
             F.col(id_col),
             shingles_from_toks(F.col("__pf_toks"), k).alias("__sh_arr"),
         ),
-        level=StorageLevel.DISK_ONLY,
+        level=cache_level,
     )
     sh = arrs.select(
         F.col(id_col), F.explode("__sh_arr").alias("shingle")
@@ -649,9 +663,6 @@ def prefix_filter_jaccard_pairs(
     # Callers pass the footer-metadata doc count (zero scan); None
     # (direct operator use) keeps the scale-safe behavior
     # unconditionally.
-    small_corpus = (
-        approx_doc_count is not None and approx_doc_count < 20_000
-    )
     saturated = False
     if max_prefix_df is not None and not small_corpus:
         dfreq = persist_tracked(dfreq)
@@ -676,7 +687,7 @@ def prefix_filter_jaccard_pairs(
                 ).alias("__arr"),
                 F.count(F.lit(1)).alias("n_sh"),
             ),
-            level=StorageLevel.DISK_ONLY,
+            level=cache_level,
         )
         prefix = per_doc.select(
             id_col,

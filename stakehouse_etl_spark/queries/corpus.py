@@ -243,7 +243,12 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    pushed-down score predicate inlined the tokenizing split 3×
     #    per row (before-plan Filter (5)/(8)); the single-aggregate
     #    form splits once. Same value semantics (see operators.text).
-    wide = fan_out(docs)
+    # Project BEFORE the spread shuffle and the survivor cache (guide
+    # §2.3): everything downstream touches only (doc_id, text) — the
+    # near-dup tier shingles text, the final answer is doc_id — so
+    # the other document columns never cross an exchange or occupy
+    # cache here.
+    wide = fan_out(docs.select("doc_id", "text"))
     canon = (
         wide.filter(quality_keep(F.col("text")))
         .select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
