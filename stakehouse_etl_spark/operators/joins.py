@@ -165,23 +165,30 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     elif direction == "forward":
+        # r11: expressed over the REVERSED total order with a
+        # preceding frame — Spark evaluates [currentRow,
+        # unboundedFollowing] frames by re-aggregating the partition
+        # remainder per row (O(rows²) per key), while the preceding
+        # frame is incremental. Every sort key flips (asc↔desc,
+        # nulls_first↔nulls_last), so the frame holds exactly the
+        # original "current row onward" set and last(...) picks the
+        # original first(...).
         w = (
             Window.partitionBy(*keys)
             .orderBy(
-                F.col("__t").asc(),
-                F.col("__side").desc(),
-                F.col("__r").asc_nulls_first(),
+                F.col("__t").desc(),
+                F.col("__side").asc(),
+                F.col("__r").desc_nulls_last(),
             )
-            .rowsBetween(0, Window.unboundedFollowing)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    filled_struct = (
-        F.last("__r", ignorenulls=True).over(w)
-        if direction == "backward"
-        else F.first("__r", ignorenulls=True).over(w)
-    )
+    # Both directions now use last(...) over a preceding frame: the
+    # forward window's reversed order makes "last in frame" the
+    # original forward-nearest row.
+    filled_struct = F.last("__r", ignorenulls=True).over(w)
     fill = unioned.select(
         *keys,
         "__t",

@@ -495,11 +495,13 @@ def ann_lsh_pairs(
     max_bucket: int | None = ANN_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed: exact cosine computed
-    only within buckets. Equi-join on the bucket key — at 100 TB this
-    shuffles each vector once; no cross join ever materializes.
-    Buckets above ``max_bucket`` members are dropped before the join
-    (bounds per-bucket output at max_bucket²; the window count shuffles
-    on the join key itself, so no extra exchange).
+    only within buckets — at 100 TB each vector shuffles once on its
+    bucket key; no cross join ever materializes. Buckets above
+    ``max_bucket`` members are dropped before pair generation (bounds
+    per-bucket output at max_bucket²); the capped arm then collects
+    each surviving bucket once and emits i<j pairs from the id-sorted
+    member array (one exchange; the uncapped arm keeps a streaming
+    self-join).
 
     Recall is governed by N_PLANES (8 → ~|cos| high pairs collide with
     good probability); run multiple plane-sets and union for higher
@@ -510,26 +512,86 @@ def ann_lsh_pairs(
     b = drop_oversize_buckets(
         hyperplane_buckets(embeddings, id_col, emb_col), ["bucket"], max_bucket
     )
-    left = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col("q_emb").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "bucket",
+    if max_bucket is None:
+        # Uncapped (test/ground-truth arm): a hot bucket's pair set
+        # must STREAM through the join, never materialize as one
+        # in-memory array — keep the self-join.
+        left = b.select(
+            F.col(id_col).alias("id_a"),
+            F.col("q_emb").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+            "bucket",
+        )
+        right = b.select(
+            F.col(id_col).alias("id_b"),
+            F.col("q_emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+            "bucket",
+        )
+        return (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dot", int_dot(F.col("emb_a"), F.col("emb_b")))
+            .withColumn(
+                "cos_sim",
+                cosine(F.col("dot"), F.col("norm_a"), F.col("norm_b")),
+            )
+            .filter(F.col("cos_sim") >= min_cosine)
+            .select("id_a", "id_b", "cos_sim")
+            .distinct()
+        )
+    # Capped arm (r11, guide §2.3/§2.4): bucket-collect + in-bucket
+    # pair generation replaces the bucket-keyed SELF-JOIN. The old
+    # shape recomputed the bucketed frame per join side — the scan,
+    # the quantize, and all 8 interpreted hyperplane dots ran TWICE —
+    # and paid two bucket exchanges plus a pairs-scale distinct that
+    # is a no-op (each vector lives in exactly ONE bucket, so a pair
+    # can only arise once; the oracle has no DISTINCT either). The
+    # window cap stays (its spillable per-group buffer bounds memory
+    # on a hot bucket BEFORE collect_list sees it), and groupBy on
+    # the window's own partitioning key adds no exchange — one
+    # corpus-scale shuffle total. Pairs are generated in TWO explode
+    # steps so per-row memory stays O(cap · dim) (a flattened pair
+    # array with embedding payloads would materialize ~cap²·dim longs
+    # for one max-cap bucket). Position order over the id-sorted
+    # member array reproduces id_a < id_b exactly (ids unique within
+    # a bucket); the dot/cosine expressions are bound once in a
+    # projection instead of evaluating in both join condition and
+    # output project.
+    members = (
+        b.filter(F.col(id_col).isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("q_emb").alias("e"),
+                    F.col("norm").alias("n"),
+                )
+            ).alias("__ms")
+        )
+        .select(F.array_sort("__ms").alias("__ms"))
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col("q_emb").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        "bucket",
+    tail = F.slice(
+        F.col("__ms"),
+        F.col("__i") + F.lit(2),
+        F.greatest(F.size("__ms") - F.col("__i") - 1, F.lit(0)),
     )
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", int_dot(F.col("emb_a"), F.col("emb_b")))
+        members.select(
+            F.posexplode("__ms").alias("__i", "__a"), F.col("__ms")
+        )
+        .select("__a", F.explode(tail).alias("__b"))
+        .select(
+            F.col("__a.id").alias("id_a"),
+            F.col("__b.id").alias("id_b"),
+            int_dot(F.col("__a.e"), F.col("__b.e")).alias("dot"),
+            F.col("__a.n").alias("norm_a"),
+            F.col("__b.n").alias("norm_b"),
+        )
         .withColumn(
             "cos_sim", cosine(F.col("dot"), F.col("norm_a"), F.col("norm_b"))
         )
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cos_sim")
-        .distinct()
     )

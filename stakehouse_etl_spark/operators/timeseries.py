@@ -95,17 +95,26 @@ def gap_fill_linear(
         .orderBy(time)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # r11 (guide §2 — stragglers): Spark's [currentRow,
+    # unboundedFollowing] frame re-aggregates the partition REMAINDER
+    # for every row (UnboundedFollowingWindowFunctionFrame), i.e.
+    # O(rows²) per key — sf0.1 measured 23 s against 2.8 s at sf0.01
+    # on ~10k-epoch grids. The preceding frame is incremental, so the
+    # forward neighbor is computed as last(...ignorenulls) over the
+    # REVERSED total order (time is unique per key): identical frame
+    # contents, O(rows) evaluation, same single exchange (one extra
+    # in-partition sort).
     fwd = (
         Window.partitionBy(key)
-        .orderBy(time)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc(time))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value)
     t_obs = F.when(v.isNotNull(), F.col(time))
     prev_v = F.last(v, ignorenulls=True).over(back)
-    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_v = F.last(v, ignorenulls=True).over(fwd)
     prev_t = F.last(t_obs, ignorenulls=True).over(back)
-    next_t = F.first(t_obs, ignorenulls=True).over(fwd)
+    next_t = F.last(t_obs, ignorenulls=True).over(fwd)
     frac = (F.col(time) - prev_t) * 1.0 / (next_t - prev_t)
     filled = F.when(v.isNotNull(), v).otherwise(
         F.when(prev_v.isNull(), next_v)

@@ -91,6 +91,17 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     rev = edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     sym = fwd.union(rev).distinct()
+    # r11 (guide §5 — persist when reused AND recomputation is
+    # expensive): sym feeds deg, both iterations, and the final
+    # degree join — without a cut, the whole LSH edge pipeline
+    # (shingles → signatures → banding → verify) re-evaluated ~10×
+    # (profiled at sf0.1: ten identical 6-7 task-second stages, 128
+    # task-seconds total). The edge list is GRAPH-scale (1.1 MB at
+    # sf0.1 — orders of magnitude below corpus scale), so the eager
+    # checkpoint is cheap; same discipline as connected_components.
+    from stakehouse_etl_spark.caches import checkpoint_tracked
+
+    sym = checkpoint_tracked(sym)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
 
     base = F.lit(PR_BASE)

@@ -123,12 +123,19 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e1,e2,e3) pattern — two equi-joins on an edge list, no motif
     explosion, the standard distributed triangle algorithm.
     """
+    from stakehouse_etl_spark.caches import checkpoint_tracked
     from stakehouse_etl_spark.operators.dedup import minhash_lsh_pairs
 
     edges = (
         minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold_pct=20)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
+    # r11 (guide §5): edges feed three join legs plus the eager
+    # count — four LSH-pipeline evaluations without a cut. The edge
+    # list is graph-scale (~1 MB at sf0.1), the pipeline is the
+    # expensive part; same checkpoint discipline as the other graph
+    # consumers.
+    edges = checkpoint_tracked(edges)
     e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = edges.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     e3 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stakehouse_etl_spark.io.sources import _table_path, load_table
+from stakehouse_etl_spark.operators.text import fan_out
 from stakehouse_etl_spark.operators.windows import skew_resistant_rank
 from stakehouse_etl_spark.queries.registry import register
 
@@ -185,10 +186,43 @@ def ts_theilsen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c", F.lit(0)).alias("c"),
         )
     )
+    # r11 (guide §2.5 input-skew analog): the spine explodes from a
+    # 1-row aggregate, so seq plans ONE partition, the BNLJ inherited
+    # it, and — because SinglePartition trivially satisfies every
+    # downstream clustering requirement — the whole pair pipeline
+    # (pair generation AND the rank's row-scale windows) ran as
+    # single 6-8 s tasks (profiled, sf0.1). BOTH join inputs must be
+    # spread: AQE is free to broadcast-build either side of the
+    # nested-loop join, and the stream side sets the output
+    # parallelism. fan_out passes an already-parallel frame through
+    # untouched.
+    seq = fan_out(seq)
     a = seq.select(F.col("d").alias("di"), F.col("c").alias("ci"))
     b = seq.select(F.col("d").alias("dj"), F.col("c").alias("cj"))
+    # r11 (guide §3.1 — pick the join strategy deliberately): the
+    # dj > di inequality planned a BroadcastNestedLoopJoin, whose
+    # interpreted per-(row, build-row) condition loop cost ~20
+    # task-seconds per evaluation at sf0.1 (and the rank evaluates
+    # the pair table three times). The day spine is GAP-FREE by
+    # construction (every d in [0, dmax] exists exactly once), so the
+    # partner set of di is literally sequence(di+1, dmax): exploding
+    # that sequence and equi-joining dj against the broadcast spine
+    # generates the identical pair set through a codegen
+    # BroadcastHashJoin instead of a nested loop.
+    dmax_f = span.select(
+        F.datediff("dmax", "dmin").cast("long").alias("__dmax")
+    )
     pairs = (
-        a.join(b, F.col("dj") > F.col("di"))
+        a.crossJoin(F.broadcast(dmax_f))
+        .filter(F.col("di") < F.col("__dmax"))
+        .select(
+            "di",
+            "ci",
+            F.explode(
+                F.sequence(F.col("di") + F.lit(1), F.col("__dmax"))
+            ).alias("dj"),
+        )
+        .join(F.broadcast(b), "dj")
         .select(
             (F.col("cj") - F.col("ci")).alias("dy"),
             (F.col("dj") - F.col("di")).alias("dx"),
@@ -203,9 +237,37 @@ def ts_theilsen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("di") * 100000 + F.col("dj")).alias("pair_id"),
         )
     )
-    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # r11 (guide §1.2 — don't compute things twice): the pair count is
+    # C(|seq|, 2) by construction (one row per spine day, d unique,
+    # join condition dj > di), so counting seq replaces a SECOND full
+    # evaluation of the quadratic pair table (profiled: 5.6 s
+    # single-task stage at sf0.1).
+    n_pairs = seq.agg(
+        ((F.count(F.lit(1)) * (F.count(F.lit(1)) - 1)) / 2)
+        .cast("long")
+        .alias("n_pairs")
+    )
+    # r11: slopes are mostly UNIQUE, so the distinct-value table is
+    # pair-scale — without a value chunk the rank's (A) prefix ran as
+    # TWO single-task windows over ~2.9M rows (profiled at sf0.1:
+    # 7.6 s + 6.2 s one-task stages, 59+36 MB single-task shuffle
+    # writes). floor(slope·2^20) is integral and monotone in slope
+    # (positive-constant multiply and floor are both monotone), which
+    # routes (A) through the chunked global_prefix_sum. Chunk
+    # occupancy is bounded: for a fixed dx the slope spacing is
+    # 1/dx ≥ 1/|days| ≫ 2^-20, so a chunk holds at most one dy per
+    # dx value. NOT persisted: the rank's A/B/C components each
+    # regenerate the pair table, but with the explode+BHJ generator a
+    # MEMORY_AND_DISK cache measured WORSE (174 vs 112 task-seconds,
+    # sf0.1) — the ~200 MB cache write plus three deserializing reads
+    # cost more than two extra codegen generations.
     rk = skew_resistant_rank(
-        pairs, "slope", "pair_id", out="rnk", descending=False
+        pairs,
+        "slope",
+        "pair_id",
+        out="rnk",
+        descending=False,
+        value_chunk_col=F.floor(F.col("slope") * F.lit(1048576.0)),
     )
     return (
         rk.join(F.broadcast(n_pairs))

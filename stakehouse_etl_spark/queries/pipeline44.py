@@ -208,10 +208,15 @@ def j25_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "event_type",
     )
+    # r11: MIN is order-independent, so the forward frame runs over
+    # the REVERSED total order with an incremental preceding frame —
+    # identical frame contents ("current row onward" in event order),
+    # O(rows) instead of Spark's O(rows²) unbounded-following
+    # evaluation per user partition.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
         "user_id",

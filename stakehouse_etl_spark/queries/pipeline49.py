@@ -73,7 +73,15 @@ def j29_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # r11: MIN is order-independent — the forward extreme runs over
+    # the REVERSED total order with an incremental preceding frame
+    # (identical "current row onward" contents) instead of Spark's
+    # O(rows²) unbounded-following frame evaluation.
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     su = F.when(F.col("event_type") == "signup", F.col("ts_us"))
     w = e.select(
         "user_id",

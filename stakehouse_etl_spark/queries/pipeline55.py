@@ -183,16 +183,30 @@ def ts_rfm_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
+    # r11 (guide §5 — cut lineage when the plan, not the data, is the
+    # cost): three CHAINED two-phase ranks each reference their input
+    # from A/B/C subplans, so without a cut the orders rollup subtree
+    # replicates ~3^3 times through the nested decompositions — at
+    # sf0.1 the wall was ~60 tiny stages of plan/scheduling overhead
+    # (5.0 task-seconds under a 5.8 s wall). base is customer-scale
+    # and narrow; one eager checkpoint bounds the replication.
+    from stakehouse_etl_spark.caches import checkpoint_tracked
+
+    base = checkpoint_tracked(base)
     n_t = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # three global row_numbers over the O(customers) table — each via
     # the two-phase decomposition, never a single-partition window
-    rk = skew_resistant_rank(
-        base, value="recency_days", id_col="o_custkey",
-        descending=False, out="r_rank",
+    rk = checkpoint_tracked(
+        skew_resistant_rank(
+            base, value="recency_days", id_col="o_custkey",
+            descending=False, out="r_rank",
+        )
     )
-    rk = skew_resistant_rank(
-        rk, value="frequency", id_col="o_custkey",
-        descending=False, out="f_rank",
+    rk = checkpoint_tracked(
+        skew_resistant_rank(
+            rk, value="frequency", id_col="o_custkey",
+            descending=False, out="f_rank",
+        )
     )
     rk = skew_resistant_rank(
         rk, value="monetary_cents", id_col="o_custkey",
