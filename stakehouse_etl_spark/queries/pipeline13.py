@@ -70,12 +70,21 @@ def dedup_lsh_eval_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates,
     )
 
+    from stakehouse_etl_spark.caches import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     ground_truth_guard(
         docs, query="dedup_lsh_eval_pr", twin="dedup_lsh_eval_sampled"
     )
-    exact = jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
-    cand = lsh_candidates(docs)
+    # r11 (guide §5): each pair table has TWO consumers (its count and
+    # the TP join), and the expensive part is the pair JOIN itself —
+    # the operators only persist their shingle inputs. The outputs are
+    # narrow id pairs, bounded here by the ground-truth guard; persist
+    # so the exact verify join and the LSH banding each run once.
+    exact = persist_tracked(
+        jaccard_pairs(docs, threshold_pct=20).select("id_a", "id_b")
+    )
+    cand = persist_tracked(lsh_candidates(docs))
     n_exact = exact.count()
     n_cand = cand.count()
     n_tp = exact.join(cand, ["id_a", "id_b"]).count()
@@ -156,13 +165,20 @@ def dedup_lsh_eval_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates,
     )
 
+    from stakehouse_etl_spark.caches import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     stride = max(1, n // _LSH_EVAL_SAMPLE_TARGET)
     sdocs = docs.filter(F.col("doc_id") % stride == 0)
     n_sampled = sdocs.count()
-    exact = jaccard_pairs(sdocs, threshold_pct=20).select("id_a", "id_b")
-    cand = lsh_candidates(sdocs)
+    # r11 (guide §5): same two-consumer shape as dedup_lsh_eval_pr —
+    # persist the narrow pair outputs (bounded by the ~5k-doc sample)
+    # so the exact verify join and the banding pass each run once.
+    exact = persist_tracked(
+        jaccard_pairs(sdocs, threshold_pct=20).select("id_a", "id_b")
+    )
+    cand = persist_tracked(lsh_candidates(sdocs))
     n_exact = exact.count()
     n_cand = cand.count()
     n_tp = exact.join(cand, ["id_a", "id_b"]).count()

@@ -580,22 +580,41 @@ def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Jaccard-CC collapse), so ledger ``status='kept'`` is
     definitionally that pipeline's output set.
     """
+    from stakehouse_etl_spark.caches import checkpoint_tracked, persist_tracked
     from stakehouse_etl_spark.operators.text import (
+        fan_out,
         normalized_fingerprint,
         quality_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    qf = quality_features(docs).select(
-        "doc_id", "text", (F.col("quality_score") >= 0.5).alias("q_ok")
+    # r11 (guide §1.2/§2.3, the pipeline_corpus_clean playbook): the
+    # old shape re-evaluated quality_features ~4× (fpt twice through
+    # the cm self-derivation, surv's filter, led's q_ok column) and
+    # the fingerprint 3×, all at scan parallelism — profiled 72.6
+    # task-seconds / 8.7 s wall at sf0.1. Now: one spread shuffle
+    # (fan_out; pass-through on well-partitioned scans at 100 TB),
+    # ONE quality+fingerprint pass materialized as a NARROW
+    # checkpoint (doc_id, q_ok, fp — no text), and every downstream
+    # consumer (canon groupBy, exact-dup map, the ledger's q_ok
+    # column) reads that. Survivors do not re-run the gate: winner
+    # ids are quality-passing by construction and doc_id is unique,
+    # so `wide ⋉ winners` equals `quality(docs) ⋉ winners`.
+    wide = fan_out(docs.select("doc_id", "text"))
+    q_ok = F.col("quality_score") >= 0.5
+    base = checkpoint_tracked(
+        quality_features(wide).select(
+            "doc_id",
+            q_ok.alias("q_ok"),
+            F.when(q_ok, normalized_fingerprint(F.col("text"))).alias("fp"),
+        )
     )
-    q = qf.filter("q_ok")
-    fpt = q.select(
-        "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
-    )
+    fpt = base.filter("q_ok").select("doc_id", "fp")
     cm = fpt.groupBy("fp").agg(F.min("doc_id").alias("canon"))
-    ex = fpt.join(cm, "fp").select("doc_id", "canon")
-    surv = q.join(
+    # ex feeds the winner semi-join AND the ledger join — persist the
+    # narrow (doc_id, canon) map so the groupBy+join runs once.
+    ex = persist_tracked(fpt.join(cm, "fp").select("doc_id", "canon"))
+    surv = wide.join(
         ex.filter(F.col("canon") == F.col("doc_id")).select("doc_id"),
         "doc_id",
         "left_semi",
@@ -604,7 +623,7 @@ def corpus_drop_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
         "node", "doc_id"
     )
-    led = qf.select("doc_id", "q_ok").join(ex, "doc_id", "left").join(
+    led = base.select("doc_id", "q_ok").join(ex, "doc_id", "left").join(
         comp, "doc_id", "left"
     )
     is_near = F.col("component").isNotNull() & (

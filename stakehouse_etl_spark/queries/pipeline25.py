@@ -170,11 +170,19 @@ def corpus_token_budget_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ``global_prefix_sum``), so no single-partition window exists at
     any scale — the oracle's textbook windows are exactly what this
     plan refuses to run."""
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_chars", token_count(F.col("text")).alias("n_tok")
+    # r11 (guide §5/§1.2): d feeds the rank's A/B/C subplans and the
+    # rank feeds the prefix-sum's — without cuts the tokenizing
+    # token_count split re-ran ~9× per doc (real CPU, not just plan
+    # overhead). Both frames are narrow (three/four numeric cols).
+    from stakehouse_etl_spark.caches import checkpoint_tracked
+
+    d = checkpoint_tracked(
+        fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "n_chars", token_count(F.col("text")).alias("n_tok")
+        )
     )
-    ranked = skew_resistant_rank(
-        d, "n_chars", "doc_id", out="rnk", descending=True
+    ranked = checkpoint_tracked(
+        skew_resistant_rank(d, "n_chars", "doc_id", out="rnk", descending=True)
     )
     cum = global_prefix_sum(
         ranked, id_col="rnk", value="n_tok", out="cum_tok", inclusive=True

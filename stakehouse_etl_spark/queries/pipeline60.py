@@ -111,13 +111,25 @@ def ml_kendall_tau_b_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
+    # r11 (guide §5 — same plan-replication class as
+    # ts_rfm_segmentation): two CHAINED two-phase ranks replicate the
+    # orders-rollup subtree ~3² times through their A/B/C subplans,
+    # and `cells` then feeds FIVE consumers (both pair sides, marg,
+    # tr, tm) — before-plan: 1500 Exchange nodes. base is
+    # customer-scale and cells is ≤25 rows; eager checkpoints bound
+    # the replication at each fan-out point.
+    from stakehouse_etl_spark.caches import checkpoint_tracked
+
+    base = checkpoint_tracked(base)
     n_t = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # two global row_numbers over the O(customers) table — two-phase
     # decompositions, never a single-partition window (same fix as
     # ts_rfm_segmentation)
-    rk = skew_resistant_rank(
-        base, value="recency_days", id_col="o_custkey",
-        descending=False, out="r_rank",
+    rk = checkpoint_tracked(
+        skew_resistant_rank(
+            base, value="recency_days", id_col="o_custkey",
+            descending=False, out="r_rank",
+        )
     )
     rk = skew_resistant_rank(
         rk, value="monetary_cents", id_col="o_custkey",
@@ -127,7 +139,9 @@ def ml_kendall_tau_b_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6 - F.expr("(r_rank * 5 - 1) div n + 1")).alias("r"),
         F.expr("(m_rank * 5 - 1) div n + 1").alias("m"),
     )
-    cells = sc.groupBy("r", "m").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    cells = checkpoint_tracked(
+        sc.groupBy("r", "m").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
     a = cells.select(
         F.col("r").alias("ra"), F.col("m").alias("ma"), F.col("w").alias("wa")
     )

@@ -183,6 +183,14 @@ def ml_caliper_match_att_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_kc",
         )
     )
+    # r11 (guide §5 — plan-replication class): per feeds the rank's
+    # A/B/C subplans AND the control-side groupBy, so the
+    # customer⨝orders rollup re-evaluated ~8× without a cut; pick is
+    # then consumed by the caliper filter AND the treated count.
+    # Both frames are customer-scale and narrow.
+    from stakehouse_etl_spark.caches import checkpoint_tracked
+
+    per = checkpoint_tracked(per)
     # nearest control by spend = prefix-max / suffix-min of the
     # control-only spend over the global (spend, id) order. Both run
     # two-phase (rank → chunked extrema), never a single-partition
@@ -193,7 +201,7 @@ def ml_caliper_match_att_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = global_prefix_extrema(
         rk, id_col="__i", value="__ctrl", out_prev="prev_c", out_next="next_c"
     ).drop("__i", "__ctrl")
-    pick = w.filter(F.col("treated")).select(
+    pick = checkpoint_tracked(w.filter(F.col("treated"))).select(
         "id",
         "spend_kc",
         "bal_cents",
