@@ -506,6 +506,16 @@ def ann_lsh_pairs(
     Recall is governed by N_PLANES (8 → ~|cos| high pairs collide with
     good probability); run multiple plane-sets and union for higher
     recall — same plan shape.
+
+    PRECONDITIONS (ADVICE r11): ``id_col`` must be unique — the capped
+    arm's position-order pair generation relies on it (duplicate-id
+    input would emit id_a == id_b self-pairs the uncapped arm's
+    ``id_a < id_b`` self-join excludes, diverging the two arms).
+    ``max_bucket`` also bounds the capped arm's per-row memory at
+    O(max_bucket·dim) — ~0.5 MB at the default 1000; callers passing a
+    much larger cap (≳10k) should use the uncapped join arm
+    (``max_bucket=None`` plus their own pre-filter) instead of this
+    collected form.
     """
     from stakehouse_etl_spark.operators.buckets import drop_oversize_buckets
 

@@ -82,6 +82,14 @@ def gap_fill_linear(
     missing-range computation (U3,
     back-fillers/validator-balances-backfiller.py:154) feeds an exact
     window interpolation instead of a REST replay.
+
+    CONTRACT: ``time`` must be unique per ``key``. The grid join
+    guarantees this for the output rows, and the forward-neighbor
+    window below depends on it: it evaluates over the REVERSED order
+    (incremental frame, not the O(rows²) unbounded-following form),
+    which holds the exact "current row onward" set only when no two
+    rows tie on ``time`` — with ties, ROWS frames split by physical
+    position, which differs between the asc and desc sorts.
     """
     spans = df.groupBy(key).agg(
         F.min(time).alias("_t0"), F.max(time).alias("_t1")

@@ -741,6 +741,14 @@ def global_prefix_extrema(
     back to a keyed shuffle join when it doesn't. ``greatest`` /
     ``least`` skip NULLs, preserving agg semantics when a whole chunk
     prefix is NULL.
+
+    ``id_col`` must be UNIQUE: the suffix side evaluates as a
+    preceding frame over the reversed order (incremental, never
+    quadratic), which holds exactly the strictly-after row set only
+    when no two rows tie on ``id_col`` (with ties, ROWS frames split
+    by physical position, which differs between the asc and desc
+    sorts — the same caveat as ``gap_fill_linear``). Both catalog
+    callers pass a rank/distinct key.
     """
     return _prefix_extrema(
         df, id_col, value, value, out_prev, out_next, chunk_width, levels
@@ -772,8 +780,18 @@ def _prefix_extrema(
     wb = Window.partitionBy(ch).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wf = Window.partitionBy(ch).orderBy(id_col).rowsBetween(
-        1, Window.unboundedFollowing
+    # Suffix-min via the REVERSED order with an incremental preceding
+    # frame (r12, VERDICT r11 item 6 — the same rewrite as r11's
+    # gap-fill fix): [1, unboundedFollowing] re-aggregates the
+    # partition remainder per row (O(rows²) per partition). Here the
+    # partition is chunk-bounded (≤ chunk_width rows) so the quadratic
+    # was latent, not live — closed anyway so a future caller with a
+    # bigger chunk can't reintroduce it. desc() is the exact reversal
+    # of the default asc_nulls_first (desc defaults to nulls_last),
+    # so for UNIQUE ids the frame holds exactly the strictly-after
+    # set; min is order-independent within the frame.
+    wf = Window.partitionBy(ch).orderBy(F.col(id_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
     local = t.withColumn(pl, F.max(vmax).over(wb)).withColumn(
         nl, F.min(vmin).over(wf)
@@ -787,7 +805,13 @@ def _prefix_extrema(
         ).select(ch, po, no)
     else:
         wpb = Window.orderBy(ch).rowsBetween(Window.unboundedPreceding, -1)
-        wpf = Window.orderBy(ch).rowsBetween(1, Window.unboundedFollowing)
+        # Same reversal as wf above: chunk ids are groupBy outputs
+        # (unique), so the reversed preceding frame is exactly the
+        # strictly-after set — and this single-partition window stops
+        # being quadratic in the bottom-level chunk count.
+        wpf = Window.orderBy(F.col(ch).desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
         offs = totals.select(
             ch,
             F.max(cmx).over(wpb).alias(po),

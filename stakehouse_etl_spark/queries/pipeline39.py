@@ -242,6 +242,14 @@ def ts_theilsen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join condition dj > di), so counting seq replaces a SECOND full
     # evaluation of the quadratic pair table (profiled: 5.6 s
     # single-task stage at sf0.1).
+    # SHARED INVARIANT (ADVICE r11): this count AND the
+    # explode(sequence)+BHJ pair generator above both assume seq holds
+    # every d in [0, dmax] exactly once — which the spine construction
+    # guarantees (explode(sequence(dmin, dmax)) over one (dmin, dmax)
+    # row, LEFT join preserving every spine day). If the spine or the
+    # daily aggregation ever changes (duplicate days, clamped span),
+    # both the pair set and this count diverge from the oracle's
+    # COUNT(*) OVER () together and silently — re-derive both.
     n_pairs = seq.agg(
         ((F.count(F.lit(1)) * (F.count(F.lit(1)) - 1)) / 2)
         .cast("long")

@@ -323,3 +323,64 @@ def test_cosine_topk_auto_dispatch(spark, monkeypatch):
     local = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     monkeypatch.delenv("SPARK_GRAFT_ARROW_AUTO_BYTES", raising=False)
     assert _auto_arrow(local, 10) in (True, False)
+
+
+def test_capped_bucket_collect_caps_before_collect(spark, hot_docs):
+    """r12 (VERDICT r11 item 1): the capped arm must drop over-cap
+    buckets with the SPILLABLE window count BEFORE collect_list builds
+    the member array — the size()-after-aggregate form materialized a
+    hot bucket's entire id list in one unspillable aggregation buffer,
+    an executor-OOM hazard on exactly the skewed input the cap exists
+    for. Pin the plan: the window-cap filter (__bsz) is present, the
+    post-collect size() filter is gone."""
+    plan = (
+        lsh_candidates(hot_docs, max_bucket=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__bsz" in plan, "window cap missing from the capped arm"
+    # The pair generator legitimately reads size(__ids) inside its
+    # slice lambda; the hazard is specifically a FILTER on the
+    # collected array's size (i.e. cap applied after materialization).
+    import re
+
+    assert not re.search(r"Filter \(?size\(__ids", plan), (
+        "post-collect size() cap reintroduced — hot buckets would "
+        "materialize before the filter"
+    )
+
+
+def test_incremental_bucket_collect_caps_before_collect(spark):
+    """Same pin for the side-aware incremental kernel (dedup.py
+    incremental_minhash_dedup_indexed): cap via window before the
+    member-struct collect_list."""
+    from stakehouse_etl_spark.operators.dedup import (
+        incremental_minhash_dedup_indexed,
+    )
+
+    cb = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(6)],
+        "doc_id long, band_idx int, band_key string",
+    )
+    cs = spark.createDataFrame(
+        [(i, ["x"], 1) for i in range(6)],
+        "doc_id long, shingle_set array<string>, n_sh long",
+    )
+    bb = spark.createDataFrame(
+        [(10, 0, "hot")], "doc_id long, band_idx int, band_key string"
+    )
+    bs = spark.createDataFrame(
+        [(10, ["x"], 1)], "doc_id long, shingle_set array<string>, n_sh long"
+    )
+    ids = spark.createDataFrame([(10,)], "doc_id long")
+    out = incremental_minhash_dedup_indexed(
+        cb, cs, bb, bs, ids, threshold_pct=20, max_bucket=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "__bsz" in plan
+    assert not re.search(r"Filter \(?size\(__ms", plan)
+    # Semantics unchanged: hot bucket (7 > 5) dropped → batch doc kept.
+    assert {r["doc_id"] for r in out.collect()} == {10}

@@ -28,7 +28,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or [n for n, q in QUERIES.items() if q.bench]
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
