@@ -604,19 +604,24 @@ def prefix_filter_jaccard_pairs(
     # compact (one row per doc) so the re-read is cheap.
     from pyspark.storagelevel import StorageLevel
 
-    # Storage-level dispatch from the same footer-metadata doc count
-    # that gates the barriers below (r11, guide §5): the shingle-array
-    # caches were pinned DISK_ONLY after the r9 sf30 heap kill, but at
-    # sub-20k-doc scale the arrays are a few MB and every consumer
-    # pays a disk round-trip + deserialization instead of a memory
-    # read. MEMORY_AND_DISK below the gate (spills if wrong), the r9
-    # scale-safe DISK_ONLY at or above it / when the count is unknown.
+    # small_corpus gates the dispatch barriers and the empty-candidate
+    # short-circuit below (r10): below ~20k docs those job barriers
+    # cost more than the corpus-scale work they can save.
     small_corpus = (
         approx_doc_count is not None and approx_doc_count < 20_000
     )
-    cache_level = (
-        StorageLevel.MEMORY_AND_DISK if small_corpus else StorageLevel.DISK_ONLY
-    )
+    # r12 (VERDICT r11 item 2): the r11 storage-level dispatch
+    # (MEMORY_AND_DISK below the 20k gate) is REVERTED to uniform
+    # DISK_ONLY. The driver flagged the lossless arm as its only r11
+    # bench regression (1.32x median, slower at BOTH 32 and 8 cores),
+    # and a bench-methodology re-A/B this round (fresh JVM, page-cache
+    # warmup, 3-pass medians, 4 sessions per arm, alternating) reads a
+    # dead wash: lossless dispatch medians {2.02, 1.88, 2.02, 1.88} vs
+    # DISK_ONLY {2.05, 1.94}; capped {1.89, 1.86, 1.83, 1.73} vs
+    # {1.78, 1.74}. The r11 paired -18% claim does not reproduce, so
+    # the scale-proven single code path wins by simplicity (the r9
+    # sf30 heap-kill rationale for DISK_ONLY is unconditional again).
+    cache_level = StorageLevel.DISK_ONLY
 
     # Persist the per-doc array frame UNCONDITIONALLY (r10 A/B: a
     # "skip the persist in the sparse path" variant rebuilt dfreq from
