@@ -75,8 +75,42 @@ def _mk37(sql: str):
     return run
 
 
+def _run_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_portable_recursive with query-scoped single-partition shuffles.
+
+    The recursive CTE executes as ~28 sequential UnionLoop iterations,
+    each re-planning and re-running the step body (profiled r12: 195
+    jobs per run, 7 per iteration — executeAndCacheAndCount + broadcast
+    futures + AQE stage jobs; wall is driver latency, task time is
+    ~1/3 of wall). Every post-shuffle stage in the step plan carries at
+    most one row per quarter (the GROUP BY cardinality, ≤ ~28 at ANY
+    scale factor — a property of the data's 7-year order span, not of
+    the host), while the scale-bearing scan + partial aggregation
+    parallelism is governed by input splits, not shuffle.partitions.
+    So shuffle.partitions=1 is exact-scale-correct for this query;
+    interleaved in-session A/B at sf0.1 reads −20–25% (medians 6.0–6.6
+    vs 8.0–8.7 s; AQE-off, no-broadcast, no-codegen variants all
+    measured worse — numbers in OPTIMIZATION_r12.md). The conf is
+    scoped to a child session (same SparkContext, nothing leaks to the
+    caller); engine-critical confs are re-pinned via apply_engine_conf
+    because a new session inherits only builder-time conf.
+    """
+    from stakehouse_etl_spark.session import apply_engine_conf
+
+    scoped = spark.newSession()
+    apply_engine_conf(scoped)
+    scoped.conf.set("spark.sql.shuffle.partitions", "1")
+    register_views(scoped, sf_dir)
+    return scoped.sql(_PORTABLE37["sql_portable_recursive"])
+
+
 for _name, _sql in _PORTABLE37.items():
-    register(_name, oracle=_sql, tags=("sql", "portable"))(_mk37(_sql))
+    if _name == "sql_portable_recursive":
+        register(_name, oracle=_sql, tags=("sql", "portable"))(
+            _run_recursive
+        )
+    else:
+        register(_name, oracle=_sql, tags=("sql", "portable"))(_mk37(_sql))
 
 
 # ---------------------------------------------------------------------------
